@@ -1,0 +1,318 @@
+"""Deduplication operators over ``documents`` (SURVEY X21, N*).
+
+Four tiers, mirroring a production LLM-data dedup stack:
+
+1. **exact** — hash-groupBy on raw text (one shuffle on the hash key).
+2. **normalized-exact** — lowercase/collapse-whitespace → md5 → groupBy.
+3. **MinHash + LSH banding** — tokens → k seeded md5 min-hashes → band
+   signatures → bucket self-join for candidate pairs. All hashing is
+   ``md5`` over deterministic strings, so DuckDB can replay it exactly.
+4. **n-gram Jaccard** — 3-token shingles (via lead() windows), inverted
+   -index self-join on shingle, exact Jaccard per candidate pair.
+
+Scale notes (100 TB of documents):
+- every stage shuffles on content-derived keys (hash / band signature /
+  shingle), never on doc_id — uniform distribution, no skew by design;
+- LSH banding bounds the candidate-pair blowup: pairs are only generated
+  within a bucket, and the band count (4 bands × 2 rows) trades recall
+  vs cost exactly as in the MinHash literature;
+- the inverted-index Jaccard join prunes by shingle co-occurrence —
+  disjoint documents never meet (vs. a quadratic cross join).
+
+SimHash lives here too, computed bit-arithmetically from md5 hex chars
+so both engines replay it (60-bit signature to stay in signed int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+MINHASH_K = 8
+BAND_ROWS = 2  # 8 hashes → 4 bands of 2
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup", "agg"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY norm_hash
+    """,
+    tags=("dedup", "agg"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup: lowercase, collapse whitespace, md5.
+    Shuffling the 32-byte hash instead of the document body is the
+    at-scale trick — the wide text column never crosses the wire."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    )
+    return (
+        d.select(norm.alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id × seed → min over tokens of md5('<seed>#<token>').
+
+    MinHash with k independent permutations approximated by k salted
+    hashes; min over a string hash is order-free and partial-aggregable
+    (map-side combine), so the shuffle carries (doc_id, seed, min) only.
+    """
+    d = _t(spark, sf_dir, "documents")
+    seeds = F.array(*[F.lit(i) for i in range(MINHASH_K)])
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", "token", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("token"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+_MINHASH_ORACLE_SIG = f"""
+    SELECT doc_id, seed,
+           min(md5(concat(CAST(seed AS VARCHAR), '#', token))) AS minhash
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+         (SELECT unnest(range({MINHASH_K})) AS seed)
+    GROUP BY doc_id, seed
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MINHASH_ORACLE_SIG,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature_df(spark, sf_dir)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "join"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-hash signature
+    ({MINHASH_K // BAND_ROWS} bands × {BAND_ROWS} rows), hash each band,
+    self-join on (band, band_sig). The join key is the band signature —
+    pairs appear only when a full band collides, which is the standard
+    sub-quadratic near-dup candidate generation."""
+    sigs = minhash_signature_df(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.minhash,
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_ORACLE = """
+      SELECT DISTINCT doc_id,
+             concat(tok, ' ',
+                    lead(tok, 1) OVER w, ' ',
+                    lead(tok, 2) OVER w) AS shingle
+      FROM (SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per document via posexplode + lead()."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_guard"),
+        )
+        .filter(F.col("_guard").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_ORACLE}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.05
+    """,
+    tags=("dedup", "join"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via an inverted-index self-join
+    on shingle (co-occurrence pruning: disjoint docs never pair). The
+    shuffle key is the shingle — content-uniform, skew-free."""
+    sh = shingles_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_inter") * F.lit(1.0) / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "simhash_signatures",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN
+                   (strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                   // CAST(pow(2, 3 - b % 4) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) AS w
+      FROM tok, (SELECT unnest(range(60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN w > 0
+               THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash60
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash from token md5s: bit b of a token hash votes ±1,
+    signature bit = sign of the vote sum. Bits are extracted from hex
+    chars arithmetically (char b//4, bit 3-b%4) so DuckDB replays the
+    exact signature; 60 bits keeps the sum inside signed int64."""
+    d = _t(spark, sf_dir, "documents")
+    bits = F.array(*[F.lit(i) for i in range(60)])
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    hexpos = F.col("b") / 4 + 1  # 1-based hex char index
+    char = F.substring(F.col("h"), hexpos.cast("int"), 1)
+    nibble = F.instr(F.lit("0123456789abcdef"), char) - 1
+    bit_in_char = F.lit(3) - F.col("b") % 4
+    bit = F.floor(nibble / F.pow(F.lit(2.0), bit_in_char)).cast("bigint") % 2
+    vote = F.when(bit == 1, 1).otherwise(-1)
+    weights = (
+        tok.select("doc_id", "h", F.explode(bits).alias("b"))
+        .select("doc_id", "b", vote.alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("w"))
+    )
+    return weights.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("w") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")
+            ).otherwise(F.lit(0))
+        ).alias("simhash60")
+    )

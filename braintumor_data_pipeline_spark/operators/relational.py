@@ -1,0 +1,776 @@
+"""Relational core: filters, projections, aggregations, joins, set ops,
+window functions, grouping sets — SURVEY §2.2-2.8 mapped onto the fixture
+star schema.
+
+The reference's only relational queries are the two BigQuery examples in
+its README (group-avg + order desc + limit, ``/root/reference/README.md:
+167-172``; latest-N, ``:174-178``) — everything else here is the engine's
+own query layer (SURVEY marks these N*), expressed declaratively so
+Catalyst provides pushdown, pruning, join selection and AQE for free.
+
+Scale notes (100 TB):
+- Dim tables (region/nation/supplier/part/customer) are always joined
+  via ``broadcast()`` — no shuffle of the fact side on those joins.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once; AQE
+  coalesces/splits skewed partitions at runtime.
+- Top-K queries use ORDER BY + LIMIT, which Spark plans as
+  TakeOrderedAndProject (per-partition heap, no global sort).
+- Aggregations are all partial-aggregable built-ins (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# Flagship: group-avg + order desc + limit  (SURVEY A13, README.md:167-172)
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_avg_by_group",
+    oracle="""
+    SELECT o_custkey,
+           round(avg(o_totalprice), 6) AS avg_total,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY avg_total DESC, o_custkey
+    LIMIT 50
+    """,
+    tags=("agg", "topk", "flagship"),
+)
+def flagship_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG per group, ORDER BY avg DESC, LIMIT — the reference's flagship
+    analytics query shape (`dataflow_pipeline` stats table → README SQL)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("avg_total"), "o_custkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-N  (SURVEY A14/T2, README.md:174-178)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           event_type,
+           round(value, 6) AS value
+    FROM events
+    ORDER BY ts_us DESC, event_id DESC
+    LIMIT 20
+    """,
+    tags=("topk",),
+)
+def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ts DESC LIMIT 20 — TakeOrderedAndProject, no global sort."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group mean + population stddev  (SURVEY A1/A2 — np.std is ddof=0!)
+# ---------------------------------------------------------------------------
+@register(
+    "group_stats_pop",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_extendedprice), 6) AS mean_price,
+           round(stddev_pop(l_extendedprice), 6) AS std_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean/std of intensity per group. The reference uses np.std which is
+    POPULATION std (ddof=0, `dataflow_pipeline.py:88`) → stddev_pop, not
+    stddev (sample)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 6).alias("std_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (filter + multi-agg; pushdown check)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-aggregate; the shipdate predicate must reach the parquet
+    scan (PushedFilters) and only 6 columns must be read (ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema join: revenue per region/nation  (SURVEY J4)
+# ---------------------------------------------------------------------------
+@register(
+    "star_join_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg"),
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. customer/nation/
+    region are broadcast (no fact shuffle for dims); lineitem ⋈ orders is
+    the one key shuffle, AQE-managed."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K by revenue (join + agg + TakeOrdered)
+# ---------------------------------------------------------------------------
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins  (SURVEY J4 — leftsemi/leftanti)
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join",),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join: customers with ≥1 order, counted per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (SURVEY §2.6 — the mask Boolean algebra generalized)
+# ---------------------------------------------------------------------------
+@register(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "setop_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS total, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the per-group top-K
+    pattern that at scale beats a global sort (one hash shuffle on the
+    partition key, heap per partition)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("total"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_totals",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(lag(o_totalprice) OVER w, 6) AS prev_total,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS run_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running sum with an explicit ROWS frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 6).alias("prev_total"),
+        F.round(F.sum("o_totalprice").over(wsum), 6).alias("run_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP / CUBE  (free in Spark, absent in reference)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "grouping"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 6) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_agg_suppliers",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar projection set  (SURVEY §2.2 P1-P4, X18)
+# ---------------------------------------------------------------------------
+@register(
+    "proj_hash_null_scalars",
+    oracle="""
+    SELECT c_custkey,
+           substring(sha256(c_name), 1, 16) AS name_hash,
+           nullif(c_mktsegment, '') AS segment,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+    tags=("projection", "scalar"),
+)
+def proj_hash_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's derived-column set: sha256 truncated to 16 hex chars
+    (`dataflow_pipeline.py:90-91`), empty-string → NULL coercion
+    (`dataflow_pipeline.py:98-101`)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring(F.sha2(F.col("c_name"), 256), 1, 16).alias("name_hash"),
+        F.nullif(F.col("c_mktsegment"), F.lit("")).alias("segment"),
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "proj_path_functions",
+    oracle="""
+    SELECT p_partkey,
+           file_name,
+           concat('processed/', regexp_replace(file_name, '\\.[^.]*$', ''),
+                  '.png') AS gcs_uri_processed
+    FROM (
+      SELECT p_partkey,
+             string_split(concat('raw/', p_brand, '/', p_name, '.dcm'),
+                          '/')[-1] AS file_name
+      FROM part
+    )
+    """,
+    tags=("projection", "scalar"),
+)
+def proj_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path scalar set: basename via split (`dataflow_pipeline.py:70`),
+    stem via extension strip + processed-URI derivation
+    (`dataflow_pipeline.py:83,95-96`)."""
+    p = _t(spark, sf_dir, "part")
+    path = F.concat(F.lit("raw/"), "p_brand", F.lit("/"), "p_name", F.lit(".dcm"))
+    file_name = F.element_at(F.split(path, "/"), -1)
+    stem = F.regexp_replace(file_name, r"\.[^.]*$", "")
+    return p.select(
+        "p_partkey",
+        file_name.alias("file_name"),
+        F.concat(F.lit("processed/"), stem, F.lit(".png")).alias(
+            "gcs_uri_processed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction  (SURVEY X20)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    tags=("json", "projection"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time grouping
+# ---------------------------------------------------------------------------
+@register(
+    "orders_per_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS n,
+           round(sum(o_totalprice), 6) AS sum_total
+    FROM orders
+    GROUP BY y, m
+    """,
+    tags=("agg", "datetime"),
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery-shaped: orders above their customer's average
+# ---------------------------------------------------------------------------
+@register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
+    FROM orders o
+    JOIN (
+      SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+      FROM orders GROUP BY o_custkey
+    ) s ON o.o_custkey = s.k
+    WHERE o.o_totalprice > s.cust_avg
+    """,
+    tags=("join", "subquery"),
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics via self-join with a pre-aggregated
+    (broadcastable) per-key average."""
+    o = _t(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        o.join(F.broadcast(avgs), o.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("total")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped: top unshipped-revenue orders
+# ---------------------------------------------------------------------------
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "filter"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim join through part & supplier
+# ---------------------------------------------------------------------------
+@register(
+    "brand_supplier_volume",
+    oracle="""
+    SELECT p_brand, s_nationkey,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand, s_nationkey
+    """,
+    tags=("join", "agg"),
+)
+def brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram  (SURVEY A7 — 50 equal-width bins over [min,max])
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 50.0)), 49)
+                AS BIGINT) AS bin_id,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY bin_id
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.histogram-compatible 50-bin fixed-count histogram
+    (`app.py:185-208`): equal-width bins over [min,max], last bin
+    right-closed (max lands in bin 49). Two-pass: tiny min/max aggregate
+    broadcast back — no driver round-trip, scales to any row count."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(50.0)
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(49)
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax with deterministic tie-break  (SURVEY A5)
+# ---------------------------------------------------------------------------
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT event_type, event_id, round(value, 6) AS max_value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, ts, event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("agg", "window"),
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.argmax semantics: the FIRST maximum in scan order
+    (`app.py:107-113` row-major tie-break) → order by value desc then
+    position asc, keep row 1."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 6).alias("max_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approx distinct (rows-only: HLL implementations differ across engines)
+# ---------------------------------------------------------------------------
+@register("approx_distinct_parts", oracle=None, tags=("agg", "approx"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch is
+    a different implementation; driver does the rows-only check. The exact
+    variant is covered by `distinct_agg_suppliers`."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("n_part_approx"))
+    )

@@ -1,0 +1,184 @@
+"""Region-growing segmentation (SURVEY §2.10 G1/G2) — Spark-first.
+
+The reference's core algorithm is a sequential BFS flood fill per image
+(`/root/reference/region_growing.py:6-98`): admit a neighbor iff
+|v/255 − seed_v/255| ≤ threshold (compared against the FIXED seed value),
+4- or 8-connectivity, then a morphology post-pass. Its ``max_iterations``
+cap counts dequeued pixels (default 100) and silently truncates large
+regions — a BFS-order-dependent quirk.
+
+Spark mapping: the distributed axis is ACROSS images (exactly the
+reference's one-DoFn-call-per-file model); within an image the BFS runs
+as vectorized numpy frontier expansion inside ``applyInPandas``. Arrow
+moves each image's pixels once; no per-pixel Python.
+
+Oracle story: with no iteration cap, the segmented region is exactly the
+connected component of {pixels: |v−seed_v| ≤ t·255} containing the seed —
+which a DuckDB **recursive CTE** computes independently. The capped +
+morphology variant is BFS-order-dependent and not SQL-expressible, so it
+registers rows-only and is pinned by golden tests instead.
+
+Images here are dense 32×32 grids derived deterministically from
+``orders`` (row_number over o_orderkey), value channel as in pixels.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+from ..functions.imaging import region_growing_np, region_growing_adaptive_np
+
+SEED_YX = (16, 16)
+THRESHOLD = 0.15
+GRID = 32  # 32×32 = 1024 pixels per image
+
+_GRID_SQL = """
+      SELECT CAST(rn0 // 1024 AS INT) AS image_id,
+             CAST((rn0 % 1024) // 32 AS INT) AS y,
+             CAST(rn0 % 32 AS INT) AS x,
+             v
+      FROM (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0,
+               CAST((o_orderkey * 2654435761) % 256 AS INT) AS v
+        FROM orders
+      )
+"""
+
+
+def grid_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 32×32 images from orders; only complete grids are kept."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    g = o.select(
+        (F.row_number().over(w) - 1).alias("rn0"),
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 256)
+        .cast("int")
+        .alias("v"),
+    ).select(
+        F.expr("rn0 div 1024").cast("int").alias("image_id"),
+        F.expr("(rn0 % 1024) div 32").cast("int").alias("y"),
+        (F.col("rn0") % 32).cast("int").alias("x"),
+        "v",
+    )
+    full = (
+        g.groupBy("image_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == GRID * GRID)
+        .select("image_id")
+    )
+    return g.join(F.broadcast(full), "image_id")
+
+
+def _bfs_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Uncapped BFS region growth on one image (numpy frontier masks)."""
+    img = np.zeros((GRID, GRID), dtype=np.uint8)
+    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+    mask = region_growing_np(
+        img, SEED_YX, threshold=THRESHOLD, connectivity=4,
+        max_iterations=None, morphology=False,
+    )
+    ys, xs = np.nonzero(mask)
+    return pd.DataFrame(
+        {
+            "image_id": np.full(len(ys), int(pdf["image_id"].iloc[0]), dtype="int32"),
+            "y": ys.astype("int32"),
+            "x": xs.astype("int32"),
+        }
+    )
+
+
+@register(
+    "region_grow_component",
+    oracle=f"""
+    WITH RECURSIVE grid AS ({_GRID_SQL}),
+    full_imgs AS (
+      SELECT image_id FROM grid GROUP BY image_id HAVING count(*) = 1024
+    ),
+    g AS (SELECT grid.* FROM grid JOIN full_imgs USING (image_id)),
+    seeds AS (SELECT image_id, v AS sv FROM g WHERE y = 16 AND x = 16),
+    region AS (
+      SELECT image_id, y, x FROM g WHERE y = 16 AND x = 16
+      UNION
+      SELECT p.image_id, p.y, p.x
+      FROM region r
+      JOIN g p ON p.image_id = r.image_id
+              AND abs(p.y - r.y) + abs(p.x - r.x) = 1
+      JOIN seeds s ON s.image_id = p.image_id
+      WHERE abs(p.v / 255.0 - s.sv / 255.0) <= {THRESHOLD}
+    )
+    SELECT image_id, y, x FROM region
+    """,
+    tags=("segmentation", "iterative"),
+)
+def region_grow_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped region growing = seed-connected component of the
+    admissible pixel set. Spark runs the numpy BFS per image inside
+    applyInPandas; the oracle recomputes the identical set with a DuckDB
+    recursive CTE — two independent formulations of G1."""
+    g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _bfs_apply, schema="image_id int, y int, x int"
+    )
+
+
+def _faithful_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The reference-faithful variant: FIFO BFS with the max_iterations
+    dequeue cap (default 100) and open(3×3)+close(5×5) morphology."""
+    img = np.zeros((GRID, GRID), dtype=np.uint8)
+    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+    mask = region_growing_np(
+        img, SEED_YX, threshold=THRESHOLD, connectivity=8,
+        max_iterations=100, morphology=True,
+    )
+    return pd.DataFrame(
+        {
+            "image_id": [int(pdf["image_id"].iloc[0])],
+            "area": [int(mask.sum())],
+        }
+    )
+
+
+@register("region_grow_faithful", oracle=None, tags=("segmentation", "iterative"))
+def region_grow_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful G1: 8-connectivity, max_iterations=100 dequeue
+    cap (`region_growing.py:67` — silently truncates large regions; a
+    quirk we replicate), morphology post-pass (`region_growing.py:94-96`).
+    BFS-order-dependent → rows-only driver check; golden tests pin the
+    exact masks."""
+    g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _faithful_apply, schema="image_id int, area long"
+    )
+
+
+def _adaptive_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    img = np.zeros((GRID, GRID), dtype=np.uint8)
+    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+    mask, thr = region_growing_adaptive_np(
+        img, SEED_YX, initial_threshold=0.05, max_threshold=0.3,
+        connectivity=4, max_iterations=100000,
+    )
+    return pd.DataFrame(
+        {
+            "image_id": [int(pdf["image_id"].iloc[0])],
+            "area": [int(mask.sum())],
+            "threshold_used": [round(float(thr), 6)],
+        }
+    )
+
+
+@register("region_grow_adaptive", oracle=None, tags=("segmentation", "iterative"))
+def region_grow_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 adaptive wrapper (`region_growing.py:100-147`): grow threshold
+    by +0.05 while region < 0.5% of pixels; shrink by −0.01 while > 30%.
+    The loop runs per-image inside the UDF (the reference loops in Python
+    on the driver — same semantics, but ours parallelizes across images)."""
+    g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _adaptive_apply, schema="image_id int, area long, threshold_used double"
+    )

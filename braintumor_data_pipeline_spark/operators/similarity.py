@@ -1,0 +1,250 @@
+"""Similarity search over the ``embeddings`` table (SURVEY J5, N*).
+
+Three tiers:
+
+1. **Brute-force cosine top-k** — the correctness baseline: pruned cross
+   join + JVM-side higher-order functions (``zip_with``/``aggregate``)
+   for the dot product — no Python UDF, stays in codegen.
+2. **Partition-pruned top-k** (`knn_within_label`) — search restricted
+   to a coarse partition key (label ≈ IVF cell): the at-scale pattern
+   where candidates shuffle only within their cell.
+3. **LSH (random hyperplanes)** — deterministic md5-derived ±1 planes →
+   sign-bit signature → bucket join → exact re-rank inside the bucket.
+   Sub-quadratic candidate generation; recall vs brute force is asserted
+   in tests (no oracle — the plan is the point).
+
+Determinism across engines: similarities are computed in float64 after an
+explicit cast (the fixture stores float32), rounded to 4 decimals, and
+ranked by (rounded sim DESC, neighbor id) so tie-cuts agree with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+N_PLANES = 8
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return e.select(
+        "vec_id", "label", v.alias("v"), _norm(v).alias("nrm")
+    )
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle="""
+    SELECT qid, nid, sim, rn
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   4) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "join", "topk"),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 50 query vectors: broadcast the
+    query side, scan the base side once; per-query heap via row_number."""
+    vec = _vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    b = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        F.broadcast(q)
+        .join(b, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "knn_within_label",
+    oracle="""
+    SELECT qid, nid, sim, rn
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   4) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label = b.label AND b.vec_id <> a.vec_id
+    )
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "join", "topk"),
+)
+def knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 within the same label — the IVF/cell-pruned search shape:
+    the join key (label) partitions the candidate space, so at scale each
+    cell's candidates co-locate in one shuffle partition."""
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("ql"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    b = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("bl"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        a.join(b, (F.col("ql") == F.col("bl")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])),
+                 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= 0.3
+    """,
+    tags=("similarity", "dedup", "join"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all pairs ≥ threshold).
+    Brute-force here; the LSH variant below is the sub-quadratic path."""
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = vec.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
+    """Deterministic ±1 hyperplanes: sign of bit0 of md5('<p>#<d>').
+
+    Computed in Python (pure hashlib, no RNG) and inlined as array
+    literals — the planes are query constants, broadcast with the plan.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        coeffs = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}#{d}".encode()).hexdigest()
+            coeffs.append(1.0 if int(h[0], 16) % 2 else -1.0)
+        planes.append(coeffs)
+    return planes
+
+
+@register("ann_lsh_cosine", oracle=None, tags=("similarity", "lsh", "approx"))
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH: 8 sign bits → bucket
+    id → candidates = same-bucket vectors → exact cosine re-rank.
+    Rows-only driver check; tests assert recall ≥ 0.5 vs brute force.
+    At scale the bucket id is the shuffle key (256 buckets here; real
+    deployments use multiple tables × more bits)."""
+    vec = _vectors(spark, sf_dir)
+    planes = _hyperplanes()
+    plane_arr = F.array(
+        *[F.array(*[F.lit(c) for c in coeffs]) for coeffs in planes]
+    )
+    # signature bit p = (v · plane_p) > 0 ; bucket = Σ bit_p · 2^p
+    sig = F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda plane, p: F.when(
+                _dot(F.col("v"), plane) > 0, F.pow(F.lit(2.0), p).cast("bigint")
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sigs = vec.withColumn("bucket", sig)
+    a = sigs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        F.col("bucket").alias("bb"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        a.join(b, (F.col("qb") == F.col("bb")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )

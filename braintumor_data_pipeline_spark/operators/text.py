@@ -1,0 +1,226 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY X19, N*).
+
+The north star mandates LLM-pipeline text ops: token counting, language-ID
+heuristics, quality scoring, fingerprinting. All are pure built-in column
+expressions (JVM-side, whole-stage-codegen) — no Python UDFs anywhere in
+this module, so the same plans scale to billions of documents with
+map-side partial aggregation and zero Arrow hops.
+
+The quality score deliberately mirrors the reference's tumor-probability
+blend (0.4/0.3/0.3 weighted heuristic, ``/root/reference/utils.py:155-159``)
+transplanted to text features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           n_chars,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 6) AS avg_tok_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the cheap LLM-pipeline token estimate."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / n_tokens,
+            6,
+        ).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "word_freq_top100",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+    tags=("text", "agg", "topk"),
+)
+def word_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → count → top-K: the word-count pattern; partial aggregation
+    makes the shuffle carry only (token, partial_count) pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "lang_doc_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(_tokens())), 6).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - abs(
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_STOP_SQL}, t))) * 1.0
+               / len(string_split(text, ' ')) - 0.1) / 0.2)
+           + 0.3 * (1.0 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                    * 1.0 / n_chars),
+           6) AS quality
+    FROM documents
+    """,
+    tags=("text", "scoring"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score = 0.4·length + 0.3·stopword-ratio-proximity
+    + 0.3·(1 − punct-ratio): the reference's 0.4/0.3/0.3 weighted-heuristic
+    shape (`utils.py:155-159`) applied to text features."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
+        * F.lit(1.0)
+        / F.col("n_chars")
+    )
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(stop_ratio - F.lit(0.1)) / F.lit(0.2)
+    )
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * stop_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (letters runs / digit runs / single
+    punctuation) — the standard pre-tokenizer split."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(
+            F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœ]') THEN 'fr'
+             WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+             WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+             WHEN contains(concat(' ', text, ' '), ' the ') THEN 'en'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script + marker-word language ID. Deterministic, pure
+    expression — the n-gram-model upgrade slots in as a pandas UDF later
+    without changing the query shape."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿœ]"), "fr")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .when(padded.contains(" the "), "en")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS content_hash,
+           list_aggregate(
+             list_transform(string_split(text, ' '), t -> md5(t)),
+             'min') AS min_tok_hash
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 (exact dedup key) + min token
+    hash (a 1-permutation MinHash)."""
+    d = _t(spark, sf_dir, "documents")
+    min_tok = F.array_min(F.transform(_tokens(), lambda t: F.md5(t)))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_hash"),
+        min_tok.alias("min_tok_hash"),
+    )

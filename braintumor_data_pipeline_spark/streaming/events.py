@@ -1,0 +1,270 @@
+"""Streaming surface over the ``events`` table (SURVEY §2.11, N*).
+
+The reference has NO stream processing (Pub/Sub is an unimplemented
+roadmap item, `/root/reference/README.md:246`); this module defines the
+engine's own: tumbling / sliding / session windows, watermarked
+dedup-by-key, per-minute rates.
+
+Every windowed aggregation is registered in its BATCH form (Spark's
+``window()``/``session_window()`` work identically over bounded input)
+with a DuckDB oracle; ``run_streaming_counts`` below runs the same
+tumbling aggregation as a genuine Structured Streaming job (file source,
+watermark, complete-mode memory sink) and tests assert batch≡stream.
+
+Scale notes: event-time windows shuffle on (window, key) — bounded state
+via watermark; session windows keep per-key state only until the gap
+closes. This is exactly the applyInPandasWithState-free subset that
+scales linearly with key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+_US_5M = 300_000_000
+_US_30M = 1_800_000_000
+
+
+@register(
+    "events_tumbling_5m",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_US_5M}) * {_US_5M} AS bucket_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY bucket_us, event_type
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows per event_type — Spark's
+    ``window()`` in batch mode; window start emitted as epoch micros so
+    the oracle compares integers, not timezone-bearing timestamps."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_US_5M}) * {_US_5M} - d AS window_start_us,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events, (VALUES (0), ({_US_5M})) AS offs(d)
+    GROUP BY window_start_us
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in
+    exactly two windows; the oracle replays that by unioning two shifted
+    tumbling assignments."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_30m",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > {_US_30M}
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session", "agg"),
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap, per user — Spark's native
+    ``session_window`` (batch mode); the oracle derives identical
+    sessions via the gaps-and-islands window idiom. Session identity is
+    its start time (min ts), which both formulations agree on."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_keyed",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type,
+                 epoch_us(ts) // 60000000 AS minute_bucket
+          FROM events)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "agg"),
+)
+def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup analog: collapse duplicate (user, type, minute)
+    triples — the ``dropDuplicates``-with-watermark pattern, batch form."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.unix_micros("ts") / 60_000_000).cast("bigint").alias("minute_bucket"),
+        )
+        .dropDuplicates(["user_id", "event_type", "minute_bucket"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@register(
+    "events_rate_per_minute",
+    oracle="""
+    SELECT epoch_us(ts) // 60000000 * 60000000 AS minute_us,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY minute_us
+    """,
+    tags=("streaming", "agg"),
+)
+def events_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.unix_micros("ts") / 60_000_000)
+            .cast("bigint")
+            .alias("_m")
+        )
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users"))
+        .select((F.col("_m") * 60_000_000).alias("minute_us"), "n", "n_users")
+    )
+
+
+@register(
+    "events_asof_last_view",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           epoch_us(last_view_ts) AS last_view_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_view_ts
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "asof", "window"),
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY J6): for each purchase, the most recent prior
+    'view' by the same user — the point-in-time alignment pattern,
+    expressed as a running max over the merged stream (one shuffle on
+    user_id; no range-join explosion)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        e.withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("last_view_ts").alias("last_view_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Genuine Structured Streaming runner (exercised by tests, not the driver)
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the tumbling-window aggregation as a real Structured Streaming
+    job over the events parquet (file source, 10-minute watermark,
+    complete-mode memory sink); returns the final result as a DataFrame.
+
+    Tests assert this equals ``events_tumbling_5m`` (batch ≡ stream).
+    """
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("tumbling_counts")
