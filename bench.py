@@ -1,0 +1,75 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``; each query is
+forced end-to-end with the ``noop`` sink (full materialization, no
+collect-to-driver cost, no sink I/O). Prints:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from braintumor_data_pipeline_spark import registry
+from braintumor_data_pipeline_spark.session import get_spark
+
+# Headline set: one representative per operator family (SURVEY §2).
+HEADLINE = [
+    "flagship_avg_by_group",      # A13 group-avg + topk
+    "pricing_summary",            # scan-filter-agg (pushdown)
+    "star_join_revenue",          # 4-way star join
+    "top_revenue_orders",         # selective join + topk
+    "window_rank_orders",         # window functions
+    "rollup_lineitem",            # grouping sets
+    "histogram_totalprice",       # fixed-bin histogram
+    "minhash_dedup_groups",       # dedup: minhash signature groups (linear)
+    "ngram_jaccard_pairs",        # dedup: inverted-index jaccard
+    "knn_bruteforce_cosine",      # similarity top-k
+    "pixel_minmax_normalize",     # pixel-relation imaging
+    "mask_metrics",               # mask algebra
+    "region_grow_component",      # iterative applyInPandas BFS
+    "events_session_30m",         # session windows
+    "events_asof_last_view",      # as-of join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="braintumor-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+    specs = registry.all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        # one warm-up plan build + run to amortize JVM/codegen warmup noise
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

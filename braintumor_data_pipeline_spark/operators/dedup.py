@@ -178,6 +178,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_dedup_groups",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    per_doc AS (
+      SELECT doc_id,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS sig_hash
+      FROM sigs
+      GROUP BY doc_id
+    )
+    SELECT sig_hash, min(doc_id) AS keep_id, count(*) AS n_members
+    FROM per_doc
+    GROUP BY sig_hash
+    """,
+    tags=("dedup", "minhash", "agg"),
+)
+def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS (not pairs): docs sharing the full k-hash MinHash
+    signature collapse to one group with keep_id = min(doc_id).
+
+    This is the at-scale dedup shape: linear in corpus size (two
+    shuffles: signature build, then group-by-signature), whereas pair
+    enumeration (``minhash_lsh_pairs``) is inherently quadratic inside
+    dup clusters — on this fixture's tiny shared vocabulary, 5k docs
+    already produce 9.2M candidate pairs. Pairs stay in the catalog for
+    parity/verification; pipelines dedup via groups."""
+    sigs = minhash_signature_df(spark, sf_dir)
+    per_doc = sigs.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+                ",",
+            )
+        ).alias("sig_hash")
+    )
+    return per_doc.groupBy("sig_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members")
+    )
+
+
 _SHINGLES_ORACLE = """
       SELECT DISTINCT doc_id,
              concat(tok, ' ',
