@@ -204,47 +204,80 @@ def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
     return planes
 
 
+N_TABLES = 16
+BITS_PER_TABLE = 4
+
+
 @register("ann_lsh_cosine", oracle=None, tags=("similarity", "lsh", "approx"))
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH: 8 sign bits → bucket
-    id → candidates = same-bucket vectors → exact cosine re-rank.
-    Rows-only driver check; tests assert recall ≥ 0.5 vs brute force.
-    At scale the bucket id is the shuffle key (256 buckets here; real
-    deployments use multiple tables × more bits)."""
+    """Approximate top-5 via multi-table random-hyperplane LSH:
+    16 tables x 4 sign bits. A pair becomes a candidate when ANY table's
+    4-bit bucket matches: for angle t the collision odds are
+    1-(1-(1-t/pi)^4)^16 (~0.9 at cos 0.3), versus ~1.7% for a single
+    8-bit table on this corpus (measured: random embeddings have distant
+    top neighbors, so one wide table misses nearly everything).
+
+    Candidates = union of same-(table, bucket) pairs -> exact cosine
+    re-rank -> top-5. The shuffle key is (table, bucket); at scale, more
+    bits per table shrink buckets and more tables raise recall - both
+    knobs scale linearly in cost. Rows-only driver check; tests gate
+    recall vs brute force."""
     vec = _vectors(spark, sf_dir)
-    planes = _hyperplanes()
-    plane_arr = F.array(
-        *[F.array(*[F.lit(c) for c in coeffs]) for coeffs in planes]
+    planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
+
+    def _bucket(t: int):
+        # bucket of table t = sum_{b<BITS} [v . plane_{t*BITS+b} > 0] * 2^b
+        bits = [
+            F.when(
+                _dot(
+                    F.col("v"),
+                    F.array(
+                        *[F.lit(c) for c in planes[t * BITS_PER_TABLE + b]]
+                    ),
+                )
+                > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(BITS_PER_TABLE)
+        ]
+        out = bits[0]
+        for bb in bits[1:]:
+            out = out + bb
+        return out
+
+    table_buckets = F.array(*[_bucket(t) for t in range(N_TABLES)])
+    sigs = vec.select(
+        "vec_id", "v", "nrm",
+        F.posexplode(table_buckets).alias("table", "bucket"),
     )
-    # signature bit p = (v · plane_p) > 0 ; bucket = Σ bit_p · 2^p
-    sig = F.aggregate(
-        F.transform(
-            plane_arr,
-            lambda plane, p: F.when(
-                _dot(F.col("v"), plane) > 0, F.pow(F.lit(2.0), p).cast("bigint")
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    sigs = vec.withColumn("bucket", sig)
     a = sigs.select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qb"),
+        "table",
+        "bucket",
     )
     b = sigs.select(
         F.col("vec_id").alias("nid"),
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
-        F.col("bucket").alias("bb"),
+        F.col("table").alias("btable"),
+        F.col("bucket").alias("bbucket"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("table") == F.col("btable"))
+            & (F.col("bucket") == F.col("bbucket"))
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "qv", "qn", "nid", "bv", "bn")
+        .dropDuplicates(["qid", "nid"])
     )
     sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        a.join(b, (F.col("qb") == F.col("bb")) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", sim.alias("sim"))
+        cand.select("qid", "nid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )

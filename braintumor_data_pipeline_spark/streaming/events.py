@@ -19,6 +19,8 @@ scales linearly with key cardinality.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -241,12 +243,26 @@ def run_streaming_tumbling_counts(
 
     Tests assert this equals ``events_tumbling_5m`` (batch ≡ stream).
     """
-    schema = _t(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events.parquet")
+    import shutil
+
+    # file stream sources need a DIRECTORY; stage the single parquet file
+    stage_dir = os.path.join(checkpoint_dir + "_src")
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
     )
+    # schema as stored: ts is int64 nanos (see sources/fixtures.py)
+    raw_schema = spark.read.parquet(
+        os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")

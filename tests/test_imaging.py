@@ -1,0 +1,152 @@
+"""Golden/property tests for the numpy image library (SURVEY §2.9, §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from braintumor_data_pipeline_spark.functions import imaging as im
+
+
+# --- windowing (X1/X2): the two reference variants disagree on odd widths
+def test_windowing_pipeline_variant():
+    arr = np.array([[0, 100, 120, 200, 4000]], dtype=np.int16)
+    out, wc, ww = im.apply_windowing_pipeline(arr, 120.0, 81.0)
+    # low=79.5 high=160.5: 0→clip 79.5→0; 120→(40.5/81)*255=127.5→127
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 0 and out[0, 4] == 255
+    assert out[0, 2] == 127
+    assert (wc, ww) == (120.0, 81.0)
+
+
+def test_windowing_app_variant_differs_on_odd_width():
+    arr = np.array([[120]], dtype=np.int16)
+    app = im.apply_windowing_app(arr, 120, 81)  # low=80,high=160 → (40/80)*255
+    assert app[0, 0] == 127  # 127.5 truncated
+    arr2 = np.array([[80]], dtype=np.int16)
+    assert im.apply_windowing_app(arr2, 120, 81)[0, 0] == 0
+    pipe, _, _ = im.apply_windowing_pipeline(arr2.astype(float), 120.0, 81.0)
+    assert pipe[0, 0] == 1  # (80-79.5)/81*255 = 1.57 → 1 ≠ app variant
+
+
+def test_windowing_fallback_minmax():
+    arr = np.array([[0, 50, 100]], dtype=np.int16)
+    out, wc, ww = im.apply_windowing_pipeline(arr, None, None)
+    assert wc is None and ww is None
+    assert out[0, 0] == 0 and out[0, 2] == 255
+
+
+def test_windowing_zero_width_falls_back():
+    arr = np.array([[0, 10]], dtype=np.int16)
+    out, wc, ww = im.apply_windowing_pipeline(arr, 50.0, 0.0)
+    assert wc is None and ww is None  # ww>0 guard → fallback path
+
+
+# --- grayscale (X6): fixed-point BT.601 matches the float formula ±1
+def test_grayscale_matches_float_coefficients():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    gray = im.to_grayscale(img)
+    ref = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )
+    assert np.abs(gray.astype(float) - ref).max() <= 1.0
+    two_d = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    assert im.to_grayscale(two_d) is two_d  # passthrough
+
+
+# --- blur (X5)
+def test_blur_sigma_zero_passthrough():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert im.gaussian_blur(img, 0.0) is img
+
+
+def test_blur_preserves_constant_and_mean():
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    assert np.array_equal(im.gaussian_blur(img, 1.5), img)
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    out = im.gaussian_blur(noisy, 2.0)
+    assert abs(float(out.mean()) - float(noisy.mean())) < 2.0
+    assert out.std() < noisy.std()  # smoothing reduces variance
+
+
+# --- CLAHE (X4)
+def test_clahe_range_and_contrast():
+    rng = np.random.RandomState(5)
+    # low-contrast image concentrated in [100, 130]
+    img = rng.randint(100, 131, size=(64, 64), dtype=np.uint8)
+    out = im.clahe(img)
+    assert out.dtype == np.uint8
+    assert out.std() > img.std()  # contrast enhanced
+    # clip limit 2.0 bounds the stretch, but range must widen markedly
+    assert int(out.max()) - int(out.min()) > 3 * (int(img.max()) - int(img.min()))
+
+
+def test_clahe_uniform_image_stays_flat():
+    img = np.full((64, 64), 42, dtype=np.uint8)
+    out = im.clahe(img)
+    assert out.std() == pytest.approx(0.0, abs=1e-9)
+
+
+# --- morphology (X8)
+def test_morphology_open_removes_specks_close_fills_holes():
+    mask = np.zeros((20, 20), dtype=np.uint8)
+    mask[5:15, 5:15] = 1
+    mask[10, 10] = 0  # hole → closed
+    mask[0, 0] = 1  # speck → opened away
+    out = im.morphology_open_close(mask)
+    assert out[0, 0] == 0
+    assert out[10, 10] == 1
+    assert out[7, 7] == 1
+
+
+# --- SSIM (X13)
+def test_ssim_identity_and_symmetry():
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    b = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    assert im.ssim(a, a) == pytest.approx(1.0, abs=1e-9)
+    assert im.ssim(a, b) == pytest.approx(im.ssim(b, a), abs=1e-9)
+    assert im.ssim(a, b) < 0.5  # unrelated noise
+
+
+def test_ssim_resizes_mismatched_shapes():
+    a = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    b = a[::2, ::2]
+    assert im.ssim(a, b) > 0.5
+
+
+# --- Butterworth (X14)
+def test_butterworth_highpass_kills_flat_lowpass_keeps():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    hp = im.butterworth_filter(img, high_pass=True)
+    lp = im.butterworth_filter(img, high_pass=False)
+    assert hp.dtype == np.uint8 and lp.dtype == np.uint8
+    flat = np.full((32, 32), 99, dtype=np.uint8)
+    assert im.butterworth_filter(flat, high_pass=True).max() == 0
+
+
+# --- BF-score (X15)
+def test_bf_score_with_and_without_gt():
+    mask = np.zeros((32, 32), dtype=np.uint8)
+    mask[8:24, 8:24] = 1
+    s_self = im.bf_score(mask, mask)
+    assert s_self == pytest.approx(1.0, abs=1e-9)  # identical edges
+    s_solo = im.bf_score(mask, None)
+    assert 0.0 <= s_solo <= 1.0
+    shifted = np.roll(mask, 4, axis=0)
+    assert im.bf_score(mask, shifted) < s_self
+
+
+# --- dummy GT (X16): seeded determinism
+def test_dummy_gt_deterministic_and_perturbed():
+    mask = np.zeros((40, 40), dtype=np.uint8)
+    mask[10:30, 10:30] = 1
+    g1 = im.generate_dummy_ground_truth(mask, seed=42)
+    g2 = im.generate_dummy_ground_truth(mask, seed=42)
+    g3 = im.generate_dummy_ground_truth(mask, seed=43)
+    assert np.array_equal(g1, g2)
+    assert not np.array_equal(g1, g3)
+    assert g1.sum() > 0 and not np.array_equal(g1, mask)

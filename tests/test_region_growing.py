@@ -1,0 +1,112 @@
+"""Region-growing semantics (SURVEY G1/G2, FIXTURES.md B4 cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from braintumor_data_pipeline_spark.functions.imaging import (
+    region_growing_adaptive_np,
+    region_growing_np,
+)
+
+
+def _two_blob_image():
+    img = np.zeros((40, 40), dtype=np.uint8)
+    img[5:15, 5:15] = 200  # blob A
+    img[25:35, 25:35] = 210  # blob B (separate, similar intensity)
+    return img
+
+
+def test_seed_out_of_bounds_raises():
+    img = np.zeros((10, 10), dtype=np.uint8)
+    with pytest.raises(ValueError, match="outside image bounds"):
+        region_growing_np(img, (10, 0))
+    with pytest.raises(ValueError):
+        region_growing_np(img, (0, -1))
+
+
+def test_two_blobs_no_leak():
+    img = _two_blob_image()
+    mask = region_growing_np(
+        img, (10, 10), threshold=0.1, connectivity=4,
+        max_iterations=None, morphology=False,
+    )
+    assert mask[5:15, 5:15].all()
+    assert mask[25:35, 25:35].sum() == 0  # disconnected blob untouched
+    assert mask.sum() == 100
+
+
+def test_iteration_cap_truncates_flat_image():
+    """The reference quirk (`region_growing.py:67`): max_iterations counts
+    DEQUEUED pixels; default 100 on a flat image truncates the region."""
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    capped = region_growing_np(
+        img, (32, 32), threshold=0.1, connectivity=4,
+        max_iterations=100, morphology=False,
+    )
+    # each dequeue admits ≤4 new pixels; with 100 dequeues the region is
+    # far smaller than the image
+    assert 100 <= capped.sum() < 64 * 64
+    uncapped = region_growing_np(
+        img, (32, 32), threshold=0.1, connectivity=4,
+        max_iterations=None, morphology=False,
+    )
+    assert uncapped.sum() == 64 * 64
+
+
+def test_capped_bfs_prefix_of_uncapped():
+    img = _two_blob_image()
+    capped = region_growing_np(
+        img, (10, 10), threshold=0.1, connectivity=8,
+        max_iterations=10, morphology=False,
+    )
+    full = region_growing_np(
+        img, (10, 10), threshold=0.1, connectivity=8,
+        max_iterations=None, morphology=False,
+    )
+    assert (capped & ~full).sum() == 0  # capped ⊆ uncapped
+    assert capped.sum() < full.sum()
+
+
+def test_connectivity_4_vs_8_diagonal():
+    img = np.zeros((5, 5), dtype=np.uint8)
+    img[0, 0] = img[1, 1] = 200  # diagonal touch only
+    m4 = region_growing_np(img, (0, 0), 0.05, 4, None, morphology=False)
+    m8 = region_growing_np(img, (0, 0), 0.05, 8, None, morphology=False)
+    assert m4[1, 1] == 0 and m8[1, 1] == 1
+
+
+def test_threshold_vs_fixed_seed_not_chained():
+    """Admission compares against the FIXED seed value — a smooth gradient
+    must stop once |v−seed| exceeds t·255, even though neighbors differ
+    only by 1."""
+    img = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (3, 1))  # 24 cols
+    mask = region_growing_np(
+        img, (1, 0), threshold=0.1, connectivity=4,
+        max_iterations=None, morphology=False,
+    )
+    # seed v=0; admissible cols have v ≤ 25.5 → cols 0,1,2
+    assert mask[:, :3].all() and mask[:, 3:].sum() == 0
+
+
+def test_adaptive_grows_small_region():
+    img = np.zeros((40, 40), dtype=np.uint8)
+    img[19:22, 19:22] = 190  # small bright patch
+    img[20, 20] = 200  # seed differs from patch by 10 → t=0.01 admits none
+    mask, t = region_growing_adaptive_np(
+        img, (20, 20), initial_threshold=0.01, max_threshold=0.3,
+        connectivity=4, max_iterations=100000,
+    )
+    assert t > 0.01  # threshold was increased
+    assert mask.sum() >= 1600 * 0.005 or t >= 0.3
+
+
+def test_adaptive_shrinks_large_region():
+    rng = np.random.RandomState(3)
+    img = rng.randint(120, 136, size=(40, 40), dtype=np.uint8)
+    mask, t = region_growing_adaptive_np(
+        img, (20, 20), initial_threshold=0.3, max_threshold=0.3,
+        connectivity=4, max_iterations=100000,
+    )
+    assert t < 0.3  # threshold was decreased from the initial

@@ -1,0 +1,35 @@
+"""Similarity-search quality checks (SURVEY J5)."""
+
+from __future__ import annotations
+
+from braintumor_data_pipeline_spark.operators.similarity import (
+    ann_lsh_cosine,
+    knn_bruteforce_cosine,
+)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The LSH path must find a decent share of the true top-5 neighbors
+    for the query set (vec_id < 50) — quality gate on the approximate
+    plan, not just 'it returns rows'."""
+    exact = {
+        (r.qid, r.nid) for r in knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.qid, r.nid)
+        for r in ann_lsh_cosine(spark, sf_dir).collect()
+        if r.qid < 50
+    }
+    assert exact, "bruteforce returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall:.2f}"
+
+
+def test_bruteforce_sims_sane(spark, sf_dir):
+    rows = knn_bruteforce_cosine(spark, sf_dir).collect()
+    assert all(-1.0 <= r.sim <= 1.0 for r in rows)
+    # each query has exactly 5 ranked neighbors
+    from collections import Counter
+
+    per_q = Counter(r.qid for r in rows)
+    assert set(per_q.values()) == {5}
