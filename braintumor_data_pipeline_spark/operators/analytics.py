@@ -1,0 +1,341 @@
+"""Analytics breadth: statistical aggregates, extended window functions,
+pivot, string/array scalar libraries, subquery shapes (SURVEY §2.4, §2.8,
+X18 extensions — all N* engine-surface operators, pure built-ins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(var_pop(l_discount), 6) AS disc_var,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           round(min(l_extendedprice), 6) AS min_price,
+           round(max(l_extendedprice), 6) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate library: corr, covar_pop, var_pop, exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). All partial-aggregable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER w, 6) AS first_total,
+           round(nth_value(o_totalprice, 2) OVER w, 6) AS second_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 6).alias("first_total"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 6).alias("second_total"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 6) AS total,
+           count(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+           ) AS n_within_1k
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based): how many orders price within ±1000.
+    Single global ordering — fine for a demo query; partition first for
+    production scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("total"),
+        F.count("*").over(w).alias("n_within_1k"),
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit = one-pass, no distinct
+    pre-scan); oracle spells it as conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot yields NULL for absent combos; the CASE form yields 0
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS lev_dist,
+           concat(upper(substring(lower(c_name), 1, 1)),
+                  substring(lower(c_name), 2)) AS name_title,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           reverse(c_name) AS name_rev,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat_ws('|', c_name, c_mktsegment) AS joined
+    FROM customer
+    """,
+    tags=("projection", "scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar breadth: edit distance, casing, padding, translate,
+    reverse — all JVM built-ins (X18 extension)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev_dist"),
+        F.initcap(F.lower("c_name")).alias("name_title"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_name").alias("name_rev"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 6) AS vmin,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS vmax,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                 / len(embedding), 6) AS vmean,
+           round(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'),
+             6) AS sq_sum,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_coord
+    FROM embeddings
+    """,
+    tags=("projection", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    multimodal 'typed payload column' pattern, all JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(vd), 6).alias("vmin"),
+        F.round(F.array_max(vd), 6).alias("vmax"),
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("vmean"),
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("sq_sum"),
+        F.round(F.element_at(vd, 1), 6).alias("first_coord"),
+    )
+
+
+@register(
+    "like_in_between_filters",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_type LIKE '%AND%'
+      AND p_size BETWEEN 5 AND 25
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#13')
+    """,
+    tags=("filter",),
+)
+def like_in_between_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / BETWEEN / IN predicate set — pushdown-friendly filters."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%AND%")
+        & F.col("p_size").between(5, 25)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#13")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
+    "in_subquery_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    """,
+    tags=("join", "subquery", "filter"),
+)
+def in_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join against a broadcastable dim chain."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    return (
+        o.join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("total"))
+    )
+
+
+@register(
+    "union_all_multi_source",
+    oracle="""
+    SELECT kind, key_id, round(balance, 6) AS balance FROM (
+      SELECT 'customer' AS kind, c_custkey AS key_id, c_acctbal AS balance
+      FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_suppkey AS key_id, s_acctbal AS balance
+      FROM supplier
+    )
+    """,
+    tags=("setop",),
+)
+def union_all_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) across heterogeneous sources aligned to
+    a common schema — the multi-source ingestion shape."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key_id"),
+        F.round("c_acctbal", 6).alias("balance"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("key_id"),
+        F.round("s_acctbal", 6).alias("balance"),
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           count(*) AS n,
+           round(avg(o_totalprice), 6) AS avg_total
+    FROM orders
+    GROUP BY bucket, o_orderstatus
+    """,
+    tags=("agg", "projection"),
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+        )
+    )
+
+
+@register(
+    "exists_high_value_items",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 80000
+    )
+    """,
+    tags=("join", "subquery"),
+)
+def exists_high_value_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a pushed-down predicate → filter BEFORE the
+    semi join, so only qualifying lineitems shuffle."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 80000)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )

@@ -1,0 +1,178 @@
+"""Per-image UDF operators over the fixture-derived grid images:
+regionprops (X11), pairwise SSIM (X13/J2), BF-score (X15), Butterworth
+(X14), dummy-GT + metric chain — the reference's per-image algorithms as
+registered, driver-checkable (rows-only) queries.
+
+These exercise the ``applyInPandas`` image path end-to-end: the
+distributed axis is across images (one Arrow group per image_id), numpy
+does the within-image math — SURVEY §2.9's design stance. Masks come
+from the deterministic grid (segmentation.grid_images_df): pred =
+(v ≥ 128), gt = (v2 ≥ 128) where v2 is the second pseudo-random channel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+from ..functions.imaging import (
+    bf_score,
+    butterworth_filter,
+    generate_dummy_ground_truth,
+    ssim,
+)
+from ..functions.regionprops import region_properties
+from .segmentation import GRID, grid_images_df
+
+
+def _grid_with_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid images with both value channels (v, v2)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    g = o.select(
+        (F.row_number().over(w) - 1).alias("rn0"),
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 256).cast("int").alias("v"),
+        ((F.col("o_orderkey") * F.lit(2246822519)) % 256).cast("int").alias("v2"),
+    ).select(
+        F.expr("rn0 div 1024").cast("int").alias("image_id"),
+        F.expr("(rn0 % 1024) div 32").cast("int").alias("y"),
+        (F.col("rn0") % 32).cast("int").alias("x"),
+        "v",
+        "v2",
+    )
+    full = (
+        g.groupBy("image_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == GRID * GRID)
+        .select("image_id")
+    )
+    return g.join(F.broadcast(full), "image_id")
+
+
+def _to_arrays(pdf: pd.DataFrame, cols=("v",)) -> list[np.ndarray]:
+    out = []
+    for c in cols:
+        img = np.zeros((GRID, GRID), dtype=np.uint8)
+        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[c].to_numpy()
+        out.append(img)
+    return out
+
+
+@register("mask_regionprops", oracle=None, tags=("masks", "imaging", "udf"))
+def mask_regionprops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regionprops of the pred mask's first region per image
+    (`evaluation.py:41-58`): eccentricity, axis lengths, solidity.
+    Moment math is not SQL-tractable → rows-only check + golden tests."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        props = region_properties((v >= 128).astype(np.uint8))
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "eccentricity": round(props["eccentricity"], 6),
+                    "major_axis_length": round(props["major_axis_length"], 6),
+                    "minor_axis_length": round(props["minor_axis_length"], 6),
+                    "solidity": round(props["solidity"], 6),
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, eccentricity double, major_axis_length double,"
+        " minor_axis_length double, solidity double",
+    )
+
+
+@register("image_pair_metrics", oracle=None, tags=("imaging", "udf", "join"))
+def image_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise image comparison (J2): SSIM, BF-score (with GT), and the
+    no-GT BF fallback between the two value channels of each grid image —
+    the `advanced_metrics` chain end-to-end per image."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        v, v2 = _to_arrays(pdf, ("v", "v2"))
+        pred = (v >= 128).astype(np.uint8)
+        gt = (v2 >= 128).astype(np.uint8)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "ssim_images": round(ssim(v, v2), 6),
+                    "bf_with_gt": round(bf_score(pred, gt), 6),
+                    "bf_no_gt": round(bf_score(pred, None), 6),
+                }
+            ]
+        )
+
+    return _grid_with_gt(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, ssim_images double, bf_with_gt double,"
+        " bf_no_gt double",
+    )
+
+
+@register("butterworth_stats", oracle=None, tags=("imaging", "udf"))
+def butterworth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterworth high/low-pass (X14, `advanced_metrics.py:24-47`) per
+    grid image; emits mean/std of the filtered images (the downstream
+    stats the pipeline would append)."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        hp = butterworth_filter(v, 30, 2, high_pass=True)
+        lp = butterworth_filter(v, 30, 2, high_pass=False)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "hp_mean": round(float(hp.mean()), 6),
+                    "hp_std": round(float(hp.std()), 6),
+                    "lp_mean": round(float(lp.mean()), 6),
+                    "lp_std": round(float(lp.std()), 6),
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, hp_mean double, hp_std double, lp_mean double,"
+        " lp_std double",
+    )
+
+
+@register("dummy_gt_dice", oracle=None, tags=("imaging", "udf", "masks"))
+def dummy_gt_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 → A9 chain: generate the seeded dummy ground truth from the
+    pred mask (seed = image_id for determinism), then Dice against the
+    original — the reference demo flow (`app.py` metrics panel) as a
+    distributed query."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        image_id = int(pdf["image_id"].iloc[0])
+        pred = (v >= 128).astype(np.uint8)
+        gt = generate_dummy_ground_truth(pred, seed=image_id)
+        inter = float(np.logical_and(pred > 0, gt > 0).sum())
+        s = float((pred > 0).sum() + (gt > 0).sum())
+        dice = 2.0 * inter / s if s > 0 else 1.0
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": image_id,
+                    "gt_area": int(gt.sum()),
+                    "dice_vs_dummy": round(dice, 6),
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply, schema="image_id int, gt_area long, dice_vs_dummy double"
+    )

@@ -1,0 +1,169 @@
+"""Multimodal columns (north star, SURVEY N*): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas UDFs.
+
+The pattern at 100 TB: blobs ride in parquet binary columns (or
+references to object storage), metadata columns drive partition pruning,
+and each modality's decode/feature stage is a ``mapInPandas`` over the
+binary column — the blob never leaves the executor, only features come
+back.
+
+- **Images** are REAL end-to-end here: grid images → PNG-encode into a
+  binary column (+ metadata) → a second Arrow stage decodes and extracts
+  features. Two stages on purpose: stage 1 materializes the multimodal
+  table shape, stage 2 is the consumer any downstream pipeline would run.
+- **Audio/Video** decoders need codec libraries this container lacks:
+  the Spark plumbing (schema, batching, UDF signature) is real and
+  tested; the codec call is stubbed — ``decode_audio``/
+  ``decode_video_frames`` raise NotImplementedError unless handed the
+  deterministic fake codec used by the tests (clearly marked STUB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..functions.imaging import sobel_magnitude
+from ..sources.png import decode_png, encode_png
+from .segmentation import grid_images_df, GRID
+
+IMAGE_TABLE_SCHEMA = (
+    "image_id int, format string, width int, height int, n_bytes long,"
+    " payload binary"
+)
+
+
+def images_as_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1: the multimodal image table — (metadata…, payload binary)."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((GRID, GRID), dtype=np.uint8)
+        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+        png = encode_png(img)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "format": "png",
+                    "width": GRID,
+                    "height": GRID,
+                    "n_bytes": len(png),
+                    "payload": png,
+                }
+            ]
+        )
+
+    return (
+        grid_images_df(spark, sf_dir)
+        .groupBy("image_id")
+        .applyInPandas(encode, schema=IMAGE_TABLE_SCHEMA)
+    )
+
+
+@register("multimodal_image_features", oracle=None, tags=("multimodal", "udf"))
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2: decode the binary column and extract features (mean, std,
+    Sobel edge energy, downsampled 2×2 thumbnail means) — one fused Arrow
+    stage per batch of blobs, mirroring the ETL DoFn fusion."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_png(bytes(r["payload"]))
+                th = img.reshape(2, GRID // 2, 2, GRID // 2).mean(axis=(1, 3))
+                rows.append(
+                    {
+                        "image_id": int(r["image_id"]),
+                        "mean_v": round(float(img.mean()), 6),
+                        "std_v": round(float(img.std()), 6),
+                        "edge_energy": round(
+                            float(sobel_magnitude(img).mean()), 6
+                        ),
+                        "thumb_tl": round(float(th[0, 0]), 6),
+                        "thumb_br": round(float(th[1, 1]), 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "mean_v", "std_v", "edge_energy",
+                    "thumb_tl", "thumb_br",
+                ],
+            )
+
+    return images_as_binary_table(spark, sf_dir).mapInPandas(
+        features,
+        schema="image_id int, mean_v double, std_v double, edge_energy double,"
+        " thumb_tl double, thumb_br double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio / video: real plumbing, STUBBED codecs
+# ---------------------------------------------------------------------------
+
+
+def fake_audio_codec(payload: bytes) -> np.ndarray:
+    """Deterministic FAKE decoder for tests: bytes → int16 'samples'
+    (byte b → b·257 − 32768, the exact uint8→int16 range expansion)."""
+    wide = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) * 257 - 32768
+    return wide.astype(np.int16)
+
+
+def decode_audio(payload: bytes, codec=None) -> np.ndarray:
+    """STUB (SURVEY multimodal contract): audio decoding requires codec
+    libraries not present in this container. The Spark-side plumbing
+    (binary column in, feature columns out via ``audio_features``) is
+    real; pass ``codec=fake_audio_codec`` in tests."""
+    if codec is None:
+        raise NotImplementedError(
+            "audio codec libraries unavailable in this environment; "
+            "inject a codec callable (see fake_audio_codec)"
+        )
+    return codec(payload)
+
+
+def decode_video_frames(payload: bytes, every_nth: int = 10, codec=None):
+    """STUB: frame sampling for video blobs; same contract as audio."""
+    if codec is None:
+        raise NotImplementedError(
+            "video codec libraries unavailable in this environment; "
+            "inject a codec callable"
+        )
+    frames = codec(payload)
+    return frames[::every_nth]
+
+
+def audio_features_df(df: DataFrame, codec=fake_audio_codec) -> DataFrame:
+    """(key, payload binary) → per-blob audio features via mapInPandas —
+    the multimodal consumer stage with the codec injected."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples = decode_audio(bytes(r["payload"]), codec=codec).astype(
+                    np.int64
+                )  # widen before abs: |int16 -32768| overflows int16
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                rows.append(
+                    {
+                        "key": int(r["key"]),
+                        "n_samples": int(len(samples)),
+                        "rms": round(rms, 6),
+                        "peak": int(np.abs(samples).max()) if len(samples) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["key", "n_samples", "rms", "peak"]
+            )
+
+    return df.mapInPandas(
+        feats, schema="key int, n_samples long, rms double, peak int"
+    )

@@ -81,12 +81,15 @@ def _load_all() -> None:
     # Imported for their registration side effects.
     from .operators import (  # noqa: F401
         relational,
+        analytics,
         text,
         dedup,
         similarity,
         pixels,
         masks,
         segmentation,
+        imaging_udf,
+        multimodal,
     )
     from .streaming import events as _events  # noqa: F401
 

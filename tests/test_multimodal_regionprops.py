@@ -1,0 +1,103 @@
+"""Multimodal plumbing + regionprops tests (SURVEY X11, multimodal N*)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from braintumor_data_pipeline_spark.functions.regionprops import region_properties
+from braintumor_data_pipeline_spark.operators.multimodal import (
+    audio_features_df,
+    decode_audio,
+    decode_video_frames,
+    fake_audio_codec,
+    images_as_binary_table,
+    multimodal_image_features,
+)
+
+
+# --- regionprops (pure numpy) ---
+def test_regionprops_empty_mask_zeros():
+    props = region_properties(np.zeros((10, 10), dtype=np.uint8))
+    assert props == {
+        "eccentricity": 0.0,
+        "major_axis_length": 0.0,
+        "minor_axis_length": 0.0,
+        "solidity": 0.0,
+    }
+
+
+def test_regionprops_square_is_solid_and_round():
+    mask = np.zeros((30, 30), dtype=np.uint8)
+    mask[5:25, 5:25] = 1
+    p = region_properties(mask)
+    assert p["solidity"] == pytest.approx(1.0, abs=1e-9)
+    assert p["eccentricity"] == pytest.approx(0.0, abs=1e-9)
+    # 4·sqrt(μ) with μ = (20²−1)/12 + 1/12 ≈ 33.33 → ≈ 23.09
+    assert p["major_axis_length"] == pytest.approx(23.094, abs=0.01)
+    assert p["major_axis_length"] == pytest.approx(p["minor_axis_length"])
+
+
+def test_regionprops_elongated_eccentric():
+    mask = np.zeros((40, 40), dtype=np.uint8)
+    mask[18:22, 5:35] = 1  # 4×30 bar
+    p = region_properties(mask)
+    assert p["eccentricity"] > 0.95
+    assert p["major_axis_length"] > 5 * p["minor_axis_length"]
+
+
+def test_regionprops_concave_shape_low_solidity():
+    mask = np.zeros((30, 30), dtype=np.uint8)
+    mask[5:25, 5:9] = 1
+    mask[5:9, 5:25] = 1  # L-shape
+    p = region_properties(mask)
+    assert p["solidity"] < 0.6
+
+
+def test_regionprops_first_region_only():
+    mask = np.zeros((30, 30), dtype=np.uint8)
+    mask[2:6, 2:6] = 1  # first in scan order: 4×4 square
+    mask[20:29, 20:22] = 1  # later elongated region must be ignored
+    p = region_properties(mask)
+    assert p["eccentricity"] == pytest.approx(0.0, abs=1e-9)
+
+
+# --- multimodal binary-column plumbing ---
+def test_image_binary_table_and_features(spark, sf_dir):
+    tbl = images_as_binary_table(spark, sf_dir)
+    rows = tbl.collect()
+    assert len(rows) >= 1
+    r = rows[0]
+    assert r.format == "png" and r.width == 32 and r.height == 32
+    assert r.n_bytes == len(r.payload) > 0
+
+    feats = {f.image_id: f for f in multimodal_image_features(spark, sf_dir).collect()}
+    assert set(feats) == {r.image_id for r in rows}
+    for f in feats.values():
+        assert 0 <= f.mean_v <= 255 and f.edge_energy > 0
+
+
+def test_audio_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_audio(b"\x00\x01")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_video_frames(b"\x00\x01")
+
+
+def test_audio_features_with_fake_codec(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"key": [1, 2], "payload": [bytes(range(100)), b"\x80" * 50]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.key: r for r in audio_features_df(df).collect()}
+    assert out[1].n_samples == 100 and out[2].n_samples == 50
+    # fake codec maps 0x80 → 0x80·257−32768 = 128
+    assert out[2].rms == pytest.approx(128.0, abs=1e-9)
+    assert out[1].peak == abs(0 * 257 - 32768)
+
+
+def test_fake_codec_deterministic():
+    a = fake_audio_codec(b"\x00\xff\x10")
+    assert a.tolist() == [-32768, 32767, 0x10 * 257 - 32768]
