@@ -140,6 +140,18 @@ def test_bf_score_with_and_without_gt():
     assert im.bf_score(mask, shifted) < s_self
 
 
+# --- overlay (X12)
+def test_overlay_marks_mask_and_boundary():
+    img = np.full((12, 12), 100, dtype=np.uint8)
+    mask = np.zeros((12, 12), dtype=np.uint8)
+    mask[4:8, 4:8] = 1
+    out = im.overlay_segmentation(img, mask, overlay_color=(255, 0, 0), alpha=0.5)
+    assert out.shape == (12, 12, 3)
+    assert tuple(out[4, 4]) == (255, 0, 0)  # boundary painted solid
+    assert tuple(out[5, 5]) == (227, 100, 100)  # interior blended +0.5·255
+    assert tuple(out[0, 0]) == (100, 100, 100)  # background untouched
+
+
 # --- dummy GT (X16): seeded determinism
 def test_dummy_gt_deterministic_and_perturbed():
     mask = np.zeros((40, 40), dtype=np.uint8)
