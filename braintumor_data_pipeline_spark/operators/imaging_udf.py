@@ -32,26 +32,7 @@ from .segmentation import GRID, grid_images_df
 
 def _grid_with_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid images with both value channels (v, v2)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    w = Window.orderBy("o_orderkey")
-    g = o.select(
-        (F.row_number().over(w) - 1).alias("rn0"),
-        ((F.col("o_orderkey") * F.lit(2654435761)) % 256).cast("int").alias("v"),
-        ((F.col("o_orderkey") * F.lit(2246822519)) % 256).cast("int").alias("v2"),
-    ).select(
-        F.expr("rn0 div 1024").cast("int").alias("image_id"),
-        F.expr("(rn0 % 1024) div 32").cast("int").alias("y"),
-        (F.col("rn0") % 32).cast("int").alias("x"),
-        "v",
-        "v2",
-    )
-    full = (
-        g.groupBy("image_id")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") == GRID * GRID)
-        .select("image_id")
-    )
-    return g.join(F.broadcast(full), "image_id")
+    return grid_images_df(spark, sf_dir, with_gt=True)
 
 
 def _to_arrays(pdf: pd.DataFrame, cols=("v",)) -> list[np.ndarray]:

@@ -50,21 +50,50 @@ _GRID_SQL = """
 """
 
 
-def grid_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense 32×32 images from orders; only complete grids are kept."""
+def _dense_indexed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → (rn0, o_orderkey): global dense index 0..N−1 by key,
+    computed scalably.
+
+    A bare ``row_number() OVER (ORDER BY key)`` collapses everything
+    into ONE window partition — a non-starter at scale. The standard
+    fix: (1) range-block the key space, (2) row_number within each block
+    (parallel windows), (3) add per-block offsets from a tiny count
+    aggregate that broadcasts. One extra small shuffle, full parallelism.
+    """
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    w = Window.orderBy("o_orderkey")
-    g = o.select(
-        (F.row_number().over(w) - 1).alias("rn0"),
-        ((F.col("o_orderkey") * F.lit(2654435761)) % 256)
-        .cast("int")
-        .alias("v"),
-    ).select(
+    blocked = o.select("o_orderkey", F.expr("o_orderkey div 4096").alias("blk"))
+    counts = blocked.groupBy("blk").agg(F.count("*").alias("cnt"))
+    # one row per block → this window is over a tiny frame, then broadcast
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "blk", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off")
+    )
+    wblk = Window.partitionBy("blk").orderBy("o_orderkey")
+    return blocked.join(F.broadcast(offsets), "blk").select(
+        (F.row_number().over(wblk) - 1 + F.col("off")).alias("rn0"),
+        "o_orderkey",
+    )
+
+
+def grid_images_df(
+    spark: SparkSession, sf_dir: str, with_gt: bool = False
+) -> DataFrame:
+    """Dense 32×32 images from orders; only complete grids are kept.
+    ``with_gt`` adds the second pseudo-random channel v2."""
+    idx = _dense_indexed_orders(spark, sf_dir)
+    cols = [
         F.expr("rn0 div 1024").cast("int").alias("image_id"),
         F.expr("(rn0 % 1024) div 32").cast("int").alias("y"),
         (F.col("rn0") % 32).cast("int").alias("x"),
-        "v",
-    )
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 256).cast("int").alias("v"),
+    ]
+    if with_gt:
+        cols.append(
+            ((F.col("o_orderkey") * F.lit(2246822519)) % 256)
+            .cast("int")
+            .alias("v2")
+        )
+    g = idx.select(*cols)
     full = (
         g.groupBy("image_id")
         .agg(F.count("*").alias("n"))
