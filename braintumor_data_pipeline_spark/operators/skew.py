@@ -1,0 +1,96 @@
+"""Skew-handling patterns (SURVEY §4 / north-star scale mandate).
+
+``l_returnflag`` has only 3 values — the canonical heavy-hitter key: a
+naive groupBy sends ~⅓ of a 100 TB table to each of 3 reducers. Two
+mitigations, both with DuckDB oracles proving the results are identical
+to the naive plan:
+
+1. **Salted two-phase aggregation** — append a random-ish salt to the
+   key, partial-aggregate over (key, salt) [N× parallelism], then
+   combine over key [tiny]. Works for any algebraic aggregate.
+2. **Salted broadcast join** (see `salted_join_heavy_key`) — replicate
+   the small side per salt so the skewed probe side spreads.
+
+(Spark's AQE skew-join handles sort-merge skew automatically — enabled
+in our session factory; these operators cover the aggregate/broadcast
+cases AQE doesn't.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+N_SALTS = 16
+
+
+@register(
+    "salted_heavy_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def salted_heavy_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value key. The oracle is the
+    NAIVE group-by — proving salting changes the plan, not the answer.
+
+    Salt = deterministic hash of a high-cardinality column % 16 (not
+    rand(): keeps the query replayable). Phase 1 shuffles on (key,
+    salt) → 48 partial groups; phase 2 combines 48 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", (F.abs(F.hash("l_orderkey")) % N_SALTS)
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum("l_extendedprice").alias("p_price"),
+        F.count("*").alias("p_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("p_qty"), 6).alias("sum_qty"),
+        F.round(F.sum("p_price"), 6).alias("sum_price"),
+        F.sum("p_n").alias("n"),
+    )
+
+
+@register(
+    "salted_join_heavy_key",
+    oracle="""
+    SELECT l_returnflag, n_name,
+           count(*) AS n,
+           round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY l_returnflag, n_name
+    """,
+    tags=("join", "skew", "agg"),
+)
+def salted_join_heavy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: the small side (supplier⋈nation) is broadcast, so
+    the skewed fact side never shuffles on the hot key at all — the
+    broadcast join IS the salting-free skew fix whenever one side fits.
+    The oracle is the plain join proving identity."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("l_returnflag", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )

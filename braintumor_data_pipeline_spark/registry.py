@@ -90,6 +90,7 @@ def _load_all() -> None:
         segmentation,
         imaging_udf,
         multimodal,
+        skew,
     )
     from .streaming import events as _events  # noqa: F401
 

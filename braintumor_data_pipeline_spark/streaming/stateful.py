@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator (SURVEY §2.11 — the
+``applyInPandasWithState`` surface).
+
+``running_type_totals`` keeps per-event_type state (count, value sum)
+across micro-batches and emits the updated totals each trigger — the
+"custom stateful operator" building block that windowed built-ins can't
+express (e.g. monotone counters, sessionized ML features, CDC merges).
+
+State is one tiny row per key; at scale the state store shards by the
+grouping key across executors, and RocksDB-backed state (config, not
+code) handles key cardinality beyond memory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def _update_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (n, s) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        [{"event_type": key[0], "n_events": n, "sum_value": round(s, 6)}]
+    )
+
+
+def run_stateful_type_totals(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the stateful counter as a real Structured Streaming job over
+    the events parquet; returns the last emitted totals per event_type.
+    Tests assert they equal the batch group-by."""
+    stage_dir = checkpoint_dir + "_src"
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+        .select("event_type", "value")
+    )
+    totals = stream.groupBy("event_type").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each emission; keep the LAST
+    # emission per key (the final state)
+    emitted = spark.table("stateful_totals")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
