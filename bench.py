@@ -40,6 +40,31 @@ HEADLINE = [
 ]
 
 
+def _bench_etl(spark) -> float:
+    """Image-ETL throughput: 48 synthetic 64×64 DICOMs through the fused
+    decode→window→CLAHE→blur→PNG→stats stage (noop sink)."""
+    import tempfile
+
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.plans.etl import process_dicom_files
+    from braintumor_data_pipeline_spark.sources.dicom import dcmwrite
+
+    d = tempfile.mkdtemp(prefix="bench_dicom_")
+    rng = np.random.RandomState(7)
+    for i in range(48):
+        px = rng.normal(800, 300, (64, 64)).astype("int16")
+        with open(os.path.join(d, f"b{i:03d}.dcm"), "wb") as fh:
+            fh.write(
+                dcmwrite(px, patient_id=f"B{i}", study_uid="7.7",
+                         sop_uid=f"7.7.{i}", window_center=800.0,
+                         window_width=1200.0)
+            )
+    t0 = time.time()
+    process_dicom_files(spark, d).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,6 +80,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["etl_pipeline_48imgs"] = _bench_etl(spark)
 
     total = round(sum(timings.values()), 3)
     print(
