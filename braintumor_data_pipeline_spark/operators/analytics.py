@@ -339,3 +339,165 @@ def exists_high_value_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS INT) AS days_since_epoch_start,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+    tags=("projection", "datetime"),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar library: extraction, day arithmetic, month
+    arithmetic with end-of-month clamping, last_day (X18 extension)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "numeric_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(abs(l_discount - 0.05), 6) AS disc_dev,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+           l_linenumber % 3 AS line_mod
+    FROM lineitem
+    """,
+    tags=("projection", "numeric"),
+)
+def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar library (X18 extension) — all codegen built-ins."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping"),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via spark.sql — the
+    registry supports SQL-built plans identically to DataFrame ones."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "priority_delayed_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def priority_delayed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipping lineitem,
+    counted by priority — correlated EXISTS with a non-equi condition →
+    semi join on the key with the date predicate in the join condition."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "returned_revenue_by_customer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS lost_revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "filter"),
+)
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
+    Return-flag filter pushed to the lineitem scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )

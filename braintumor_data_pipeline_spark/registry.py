@@ -91,6 +91,7 @@ def _load_all() -> None:
         imaging_udf,
         multimodal,
         skew,
+        components,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
