@@ -94,14 +94,41 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based): how many orders price within ±1000.
-    Single global ordering — fine for a demo query; partition first for
-    production scale."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
-    return o.select(
-        "o_orderkey",
-        F.round("o_totalprice", 6).alias("total"),
-        F.count("*").over(w).alias("n_within_1k"),
+
+    NOT a global ``Window.orderBy(price).rangeBetween(...)`` — an
+    unpartitioned window collapses the whole table into one partition
+    (WindowExec warns, and at scale it is a non-starter). The same
+    semantics distribute as a band join: bucket by floor(price/width),
+    replicate one side to its 3 adjacent buckets, equi-join on bucket,
+    keep |price diff| ≤ width, count per row. Shuffles on uniform bucket
+    keys; AQE handles any residual skew.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    width = 1000
+    probe = o.withColumn("b", F.floor(F.col("o_totalprice") / width))
+    build = o.select(F.col("o_totalprice").alias("p2")).withColumn(
+        "b",
+        F.explode(
+            F.array(
+                F.floor(F.col("p2") / width) - 1,
+                F.floor(F.col("p2") / width),
+                F.floor(F.col("p2") / width) + 1,
+            )
+        ),
+    )
+    return (
+        probe.join(build, "b")
+        .filter(
+            (F.col("p2") >= F.col("o_totalprice") - width)
+            & (F.col("p2") <= F.col("o_totalprice") + width)
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("n_within_1k"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("total"),
+            "n_within_1k",
+        )
     )
 
 

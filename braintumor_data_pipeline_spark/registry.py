@@ -92,6 +92,7 @@ def _load_all() -> None:
         multimodal,
         skew,
         components,
+        tpch_shapes,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401

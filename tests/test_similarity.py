@@ -33,3 +33,35 @@ def test_bruteforce_sims_sane(spark, sf_dir):
 
     per_q = Counter(r.qid for r in rows)
     assert set(per_q.values()) == {5}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (learned 16-cell quantizer, nprobe=4) must recover a solid
+    share of the true top-5 — and by construction scans only ~nprobe/K
+    of the base side per query."""
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        ann_ivf_cosine,
+    )
+
+    exact = {
+        (r.qid, r.nid) for r in knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    approx = {(r.qid, r.nid) for r in ann_ivf_cosine(spark, sf_dir).collect()}
+    assert exact, "bruteforce returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_each_query_ranked(spark, sf_dir):
+    from collections import Counter
+
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        ann_ivf_cosine,
+    )
+
+    rows = ann_ivf_cosine(spark, sf_dir).collect()
+    per_q = Counter(r.qid for r in rows)
+    # every query probes nonempty cells → full top-5 unless the corpus
+    # inside the probed cells is smaller than 5 (never at these SFs)
+    assert set(per_q.values()) == {5}
+    assert all(1 <= r.rn <= 5 for r in rows)
