@@ -48,3 +48,118 @@ def test_streaming_equals_batch_tumbling(spark, sf_dir, tmp_path):
     }
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarted query must resume from the checkpoint: phase 2 reads
+    ONLY the file added after the stop, and totals match the batch
+    group-by over everything (no loss, no double count)."""
+    from braintumor_data_pipeline_spark.streaming.recovery import (
+        read_totals,
+        run_recoverable_totals,
+        stage_events_split,
+    )
+
+    stage = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    paths = stage_events_split(spark, sf_dir, str(tmp_path / "all"), n_files=3)
+    import os
+    import shutil
+
+    os.makedirs(stage, exist_ok=True)
+    # phase 1: two of three files
+    for p in paths[:2]:
+        shutil.copy(p, stage)
+    read1 = run_recoverable_totals(spark, stage, ckpt, out)
+    n_expected_1 = sum(
+        spark.read.parquet(p).count() for p in paths[:2]
+    )
+    assert read1 == n_expected_1
+
+    # phase 2: add the third file, restart from the same checkpoint
+    shutil.copy(paths[2], stage)
+    read2 = run_recoverable_totals(spark, stage, ckpt, out)
+    n_file3 = spark.read.parquet(paths[2]).count()
+    assert read2 == n_file3, "restart re-read already-processed files"
+
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in read_totals(spark, out).collect()
+    }
+    want = {r.event_type: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed count with a 10-minute watermark: a row
+    arriving far behind the watermark must NOT reopen its (already
+    emitted) window — the late-data contract."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_file(name, ts_list):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "k": ["a"] * len(ts_list)}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # rename not needed; append adds a new file per call
+
+    # batch 1: two rows in window 10:00-10:05
+    write_file("f1", ["2026-01-01 10:00:30", "2026-01-01 10:01:00"])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_demo")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: advance event time far past the watermark → closes 10:00
+    write_file("f2", ["2026-01-01 11:00:00"])
+    q.processAllAvailable()
+    # batch 3: a LATE row for the long-closed 10:00 window
+    write_file("f3", ["2026-01-01 10:02:00"])
+    q.processAllAvailable()
+    # batch 4: advance again so anything pending would flush
+    write_file("f4", ["2026-01-01 12:00:00"])
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.ws, r.n) for r in spark.table("late_demo").collect()
+    }
+    # the 10:00 window emitted once, with the 2 on-time rows only
+    assert ("2026-01-01 10:00:00", 2) in rows
+    assert ("2026-01-01 10:00:00", 3) not in rows, "late row reopened window"
