@@ -1,0 +1,236 @@
+"""Training-data pipeline operators over ``documents`` (north-star N*):
+deterministic sampling, train/test splitting, PII masking, fixed-size
+chunking with overlap, and a column-profiling pass.
+
+The reference has no text surface at all (its ETL is image-only,
+`/root/reference/dataflow_pipeline.py:68-110`); these are the standard
+LLM-corpus preparation stages, each expressed as pure built-in
+DataFrame ops so they run JVM-side at 100 TB:
+
+- **hash sampling / splits** use md5(doc_id) — content-independent,
+  deterministic, reproducible across engines and runs (never
+  ``rand()``, which cannot be oracle-checked and resamples per retry);
+- **PII masking** is regexp_replace (codegen) — no UDF;
+- **chunking** is sequence+explode over token offsets: one shuffle-free
+  narrow fan-out, linear in corpus size, and each chunk carries
+  provenance (doc_id, chunk_id, token span);
+- **profiling** is a single aggregate pass computing per-column
+  null/distinct/extremes (the pre-training sanity scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+
+@register(
+    "hash_sample_documents",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+    tags=("sampling", "filter"),
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: md5(doc_id) prefix below '1a' (26/256).
+    Reproducible, engine-independent, and — unlike rand(seed) — stable
+    under retries, repartitions, and speculative execution."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "train_test_split_documents",
+    oracle="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT CASE
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+               THEN 'train' ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    tags=("sampling", "agg"),
+)
+def train_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~81/19 train/test split on the same hash (first hex digit < 'd'):
+    membership is a pure function of the key, so the split is identical
+    on every engine, every run, and under any parallelism."""
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d",
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pii_mask_documents",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS masked,
+           length(text) -
+             length(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '', 'g'),
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '', 'g')) AS masked_chars
+    FROM documents
+    """,
+    tags=("text", "projection"),
+)
+def pii_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email, phone-shaped, and IPv4-shaped spans →
+    placeholder tokens, plus how many characters were redacted — all
+    regexp_replace, fully codegen, no UDF. (The fixture corpus has no
+    real PII; the operator is the point, and masked_chars counts
+    whatever matched.)"""
+    d = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+    def scrub(col, repl_email, repl_phone, repl_ip):
+        out = F.regexp_replace(col, email, repl_email)
+        out = F.regexp_replace(out, phone, repl_phone)
+        return F.regexp_replace(out, ip, repl_ip)
+
+    masked = scrub(F.col("text"), "<EMAIL>", "<PHONE>", "<IP>")
+    stripped = scrub(F.col("text"), "", "", "")
+    return d.select(
+        "doc_id",
+        masked.alias("masked"),
+        (F.length("text") - F.length(stripped)).alias("masked_chars"),
+    )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@register(
+    "doc_chunks_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, t,
+             unnest(range(0,
+               greatest(len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS start0
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start0 / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           start0 AS tok_start,
+           array_to_string(t[start0 + 1 : start0 + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM spans
+    """,
+    tags=("text", "chunking"),
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (32-token windows, stride 24):
+    tokens → sequence of start offsets → explode → slice. Narrow
+    (shuffle-free) fan-out; each chunk keeps (doc_id, chunk_id,
+    tok_start) provenance for downstream dedup/packing stages."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    # same start set as the oracle: range(0, max(n-K+S, 1), S)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - CHUNK_TOKENS + CHUNK_STRIDE, F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("tok_start"))
+        .select(
+            "doc_id",
+            (F.col("tok_start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            "tok_start",
+            F.concat_ws(
+                " ", F.slice("t", F.col("tok_start") + 1, CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 6) AS min_v,
+           round(max(l_quantity), 6) AS max_v,
+           round(avg(l_quantity), 4) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           round(min(l_extendedprice), 6),
+           round(max(l_extendedprice), 6),
+           round(avg(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 6),
+           round(max(l_discount), 6),
+           round(avg(l_discount), 4)
+    FROM lineitem
+    """,
+    tags=("profiling", "agg"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pre-training data sanity scan): null count,
+    distinct count, min/max/mean per numeric column — one aggregate
+    per column batched into a single job via unionByName (Spark shares
+    the scan; at scale swap exact distinct for approx_count_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def prof(c: str) -> DataFrame:
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 6).alias("min_v"),
+            F.round(F.max(c), 6).alias("max_v"),
+            F.round(F.avg(c), 4).alias("mean_v"),
+        )
+
+    out = prof("l_quantity")
+    for c in ("l_extendedprice", "l_discount"):
+        out = out.unionByName(prof(c))
+    return out

@@ -93,6 +93,7 @@ def _load_all() -> None:
         skew,
         components,
         tpch_shapes,
+        llm_pipeline,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
