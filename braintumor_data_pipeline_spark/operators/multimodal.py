@@ -167,3 +167,83 @@ def audio_features_df(df: DataFrame, codec=fake_audio_codec) -> DataFrame:
     return df.mapInPandas(
         feats, schema="key int, n_samples long, rms double, peak int"
     )
+
+
+def fake_video_codec(payload: bytes, frame: int = 4) -> np.ndarray:
+    """Deterministic FAKE video decoder for tests: bytes → (n, f, f)
+    uint8 'frames' (truncating to whole frames)."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    n = len(buf) // (frame * frame)
+    return buf[: n * frame * frame].reshape(n, frame, frame)
+
+
+def video_frame_features_df(
+    df: DataFrame, codec=fake_video_codec, every_nth: int = 10
+) -> DataFrame:
+    """(key, payload binary) → one row per SAMPLED frame (every_nth),
+    with per-frame mean/std — the video consumer stage: frame sampling
+    happens inside the executor (the blob never moves), and the fan-out
+    to frames is a mapInPandas yielding multiple rows per blob."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = decode_video_frames(
+                    bytes(r["payload"]), every_nth=every_nth, codec=codec
+                )
+                for i, fr in enumerate(frames):
+                    rows.append(
+                        {
+                            "key": int(r["key"]),
+                            "frame_idx": i * every_nth,
+                            "mean_v": round(float(fr.mean()), 6),
+                            "std_v": round(float(fr.std()), 6),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["key", "frame_idx", "mean_v", "std_v"]
+            )
+
+    return df.mapInPandas(
+        feats, schema="key int, frame_idx int, mean_v double, std_v double"
+    )
+
+
+def image_resize_df(
+    spark: SparkSession, sf_dir: str, out_size: int = 8
+) -> DataFrame:
+    """Resize stage for the multimodal image table: decode → nearest-
+    neighbor resize to (out_size, out_size) → re-encode. Same
+    blob-stays-on-executor contract; the resized payload is the
+    downstream-training-ready artifact."""
+    from ..functions.imaging import _resize_nearest
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_png(bytes(r["payload"]))
+                small = _resize_nearest(img, (out_size, out_size))
+                png = encode_png(small.astype(np.uint8))
+                rows.append(
+                    {
+                        "image_id": int(r["image_id"]),
+                        "format": "png",
+                        "width": out_size,
+                        "height": out_size,
+                        "n_bytes": len(png),
+                        "payload": png,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "format", "width", "height",
+                    "n_bytes", "payload",
+                ],
+            )
+
+    return images_as_binary_table(spark, sf_dir).mapInPandas(
+        resize, schema=IMAGE_TABLE_SCHEMA
+    )

@@ -101,3 +101,54 @@ def test_audio_features_with_fake_codec(spark):
 def test_fake_codec_deterministic():
     a = fake_audio_codec(b"\x00\xff\x10")
     assert a.tolist() == [-32768, 32767, 0x10 * 257 - 32768]
+
+
+def test_video_frame_sampling_with_fake_codec(spark):
+    """Video plumbing: frame-sample fan-out (every 2nd of 8 frames) with
+    per-frame features, codec injected."""
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        fake_video_codec,
+        video_frame_features_df,
+    )
+
+    payload = bytes(range(128))  # 8 frames of 4x4
+    df = spark.createDataFrame([(1, bytearray(payload))], "key int, payload binary")
+    rows = video_frame_features_df(df, every_nth=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4, 6]
+    frames = fake_video_codec(payload)
+    assert rows[0].mean_v == round(float(frames[0].mean()), 6)
+    assert rows[-1].mean_v == round(float(frames[6].mean()), 6)
+
+
+def test_video_stub_raises_without_codec():
+    import pytest as _pytest
+
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_video_frames(b"xx")
+
+
+def test_image_resize_stage(spark, sf_dir):
+    """Resize stage: 32x32 payloads come back as decodable 8x8 PNGs with
+    nearest-neighbor values from the source grid."""
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        image_resize_df,
+        images_as_binary_table,
+    )
+    from braintumor_data_pipeline_spark.sources.png import decode_png
+
+    orig = {
+        r.image_id: decode_png(bytes(r.payload))
+        for r in images_as_binary_table(spark, sf_dir).collect()
+    }
+    small = image_resize_df(spark, sf_dir, out_size=8).collect()
+    assert small and all(r.width == r.height == 8 for r in small)
+    for r in small:
+        img = decode_png(bytes(r.payload))
+        assert img.shape == (8, 8)
+        # nearest-neighbor: each output pixel equals SOME source pixel
+        src = orig[r.image_id]
+        assert img[0, 0] == src[0, 0]
