@@ -1,0 +1,114 @@
+"""Warehouse change-management patterns (N*): SCD Type-2 history
+construction and MERGE (upsert) semantics — the ETL shapes a stats
+table like the reference's BigQuery sink (`/root/reference/
+dataflow_pipeline.py:135-141`, WRITE_APPEND only) grows into once
+updates and corrections exist.
+
+Both are expressed as pure DataFrame ops (no Delta/iceberg dependency):
+SCD2 is gaps-and-islands over event time; MERGE is the standard
+expansion ``(target ANTI source) UNION ALL transform(source)`` — at
+scale both shuffle once on the key, and MERGE's anti join is exactly
+what table formats run under the hood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_us(min(ts)) AS valid_from_us,
+           epoch_us(max(ts)) AS valid_to_us,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events
+    )
+    GROUP BY user_id, event_type, grp
+    """,
+    tags=("cdc", "window", "agg"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from an event log: one row per
+    contiguous run of the same event_type per user, with validity
+    bounds — the gaps-and-islands double-row_number construction.
+    Both windows partition by user (uniform key, parallel)."""
+    e = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("valid_from_us"),
+            F.unix_micros(F.max("ts")).alias("valid_to_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH source AS (
+      SELECT o_orderkey, round(o_totalprice + 1000, 6) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, round(o_totalprice, 6), 'N'
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM source
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 6), o_orderstatus
+    FROM orders t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey
+    )
+    """,
+    tags=("cdc", "join", "setop"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expansion: a change feed (simulated: +1000 price
+    updates for keys %3=0, brand-new keys for %5=0) upserted into
+    orders — WHEN MATCHED THEN UPDATE ∪ WHEN NOT MATCHED THEN INSERT,
+    planned as (target ANTI-JOIN source) UNION ALL source. One shuffle
+    on o_orderkey; this is the physical plan Delta/Iceberg MERGE
+    executes after file pruning."""
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 1000, 6).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    source = updates.unionByName(inserts)
+    untouched = o.join(source, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return source.unionByName(untouched)

@@ -94,6 +94,7 @@ def _load_all() -> None:
         components,
         tpch_shapes,
         llm_pipeline,
+        cdc,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
