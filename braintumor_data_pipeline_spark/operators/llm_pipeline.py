@@ -234,3 +234,46 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_extendedprice", "l_discount"):
         out = out.unionByName(prof(c))
     return out
+
+
+PACK_BUDGET = 128  # tokens per training sequence
+
+
+@register("chunk_packing_greedy", oracle=None, tags=("text", "packing", "udf"))
+def chunk_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily fill 128-token training sequences with
+    whole documents, never splitting one (oversize docs get a pack of
+    their own). Greedy fill is inherently sequential-stateful, so it is
+    NOT SQL-expressible — the distributed axis is the ``source`` key
+    (packs never cross sources), the per-group fill runs in
+    applyInPandas ordered by doc_id (deterministic). Rows-only driver
+    check; invariants (budget respected, order preserved, determinism)
+    are pinned in tests.
+
+    At scale: grouping key count ≈ corpora/shards, so parallelism comes
+    from sharding the corpus (e.g. pack per (source, doc_id div N));
+    state per group is one integer — nothing accumulates.
+    """
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fill, pid = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > PACK_BUDGET:
+                pid += 1
+                fill = 0
+            pack_ids.append(pid)
+            fill += int(n)
+        out = pdf.assign(pack_id=pack_ids)
+        return out[["source", "pack_id", "doc_id", "n_tokens"]]
+
+    return d.groupBy("source").applyInPandas(
+        pack, schema="source string, pack_id long, doc_id long, n_tokens int"
+    )

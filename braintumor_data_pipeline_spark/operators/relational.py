@@ -774,3 +774,41 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("n_part_approx"))
     )
+
+
+@register(
+    "null_semantics_groups",
+    oracle="""
+    SELECT k, count(*) AS n,
+           count(k) AS n_nonnull_k,
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_rows,
+           coalesce(k, 'URGENTISH') AS k_filled
+    FROM (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS k FROM orders
+    )
+    GROUP BY k
+    """,
+    tags=("agg", "null"),
+)
+def null_semantics_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pinned end-to-end: nullif creates NULLs, GROUP BY
+    keeps a NULL group, count(*) vs count(col) differ on it, coalesce
+    fills it — the exact conventions the reference relies on for its
+    empty-string→NULL columns (`dataflow_pipeline.py:98-101`)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif("o_orderpriority", F.lit("1-URGENT"))
+    return (
+        o.select(k.alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_nonnull_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_null_rows"
+            ),
+        )
+        .select(
+            "k", "n", "n_nonnull_k", "n_null_rows",
+            F.coalesce("k", F.lit("URGENTISH")).alias("k_filled"),
+        )
+    )

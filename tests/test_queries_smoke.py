@@ -32,3 +32,31 @@ def test_entry_smoke(spark):
 
     df = m.entry(spark)
     assert df.count() > 0
+
+
+def test_chunk_packing_invariants(spark, sf_dir):
+    """Greedy packing: budget respected for multi-doc packs, oversize
+    docs isolated, doc order inside a pack preserved, deterministic."""
+    from collections import defaultdict
+
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        PACK_BUDGET,
+        chunk_packing_greedy,
+    )
+
+    rows = chunk_packing_greedy(spark, sf_dir).collect()
+    assert rows
+    packs = defaultdict(list)
+    for r in rows:
+        packs[(r.source, r.pack_id)].append(r)
+    for (_, _), members in packs.items():
+        total = sum(r.n_tokens for r in members)
+        if len(members) > 1:
+            assert total <= PACK_BUDGET
+        # doc order within the pack is ascending (fill order)
+        ids = [r.doc_id for r in members]
+        assert ids == sorted(ids)
+    rows2 = chunk_packing_greedy(spark, sf_dir).collect()
+    assert {(r.source, r.pack_id, r.doc_id) for r in rows} == {
+        (r.source, r.pack_id, r.doc_id) for r in rows2
+    }
