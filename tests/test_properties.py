@@ -1,0 +1,156 @@
+"""Hypothesis property tests over the numpy imaging/segmentation library
+(SURVEY §5.3) — invariants that must hold for EVERY input, not just the
+golden fixtures. All numpy-only (no Spark session) so hundreds of
+examples run in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from braintumor_data_pipeline_spark.functions.imaging import (
+    apply_windowing_pipeline,
+    gaussian_blur,
+    morphology_open_close,
+    normalize_minmax,
+    region_growing_np,
+    ssim,
+    to_grayscale,
+)
+
+small_u8 = arrays(
+    np.uint8, st.tuples(st.integers(4, 16), st.integers(4, 16))
+)
+small_i16 = arrays(
+    np.int16, st.tuples(st.integers(4, 16), st.integers(4, 16))
+)
+
+
+@given(small_i16)
+@settings(max_examples=60, deadline=None)
+def test_normalize_minmax_range_and_extremes(arr):
+    out = normalize_minmax(arr)
+    assert out.dtype == np.uint8
+    if arr.max() > arr.min():
+        # guarded variant maps extremes to the full range ends
+        assert out.min() == 0
+        assert out.max() == 255
+    else:
+        assert (out == 0).all()  # flat image → all zeros (guarded denom)
+
+
+@given(
+    small_i16,
+    st.floats(-500, 2000),
+    st.floats(1, 1000),
+)
+@settings(max_examples=60, deadline=None)
+def test_windowing_pipeline_monotone_and_bounded(arr, wc, ww):
+    out, owc, oww = apply_windowing_pipeline(arr, wc, ww)
+    assert out.dtype == np.uint8
+    assert (owc, oww) == (wc, ww)
+    # windowing = monotone clip+rescale: value order never inverts
+    flat_in = arr.astype(np.float64).ravel()
+    flat_out = out.astype(np.int64).ravel()
+    order = np.argsort(flat_in, kind="stable")
+    assert (np.diff(flat_out[order]) >= 0).all()
+
+
+@given(small_i16)
+@settings(max_examples=30, deadline=None)
+def test_windowing_invalid_width_falls_back_to_minmax(arr):
+    out, owc, oww = apply_windowing_pipeline(arr, 100.0, 0.0)
+    ref = normalize_minmax(arr.astype(np.float32))
+    assert (owc, oww) == (None, None)
+    assert (out == ref).all()
+
+
+@given(arrays(np.uint8, st.tuples(st.integers(5, 12), st.integers(5, 12)),
+              elements=st.integers(0, 1)))
+@settings(max_examples=60, deadline=None)
+def test_morphology_binary_shape_preserving(mask):
+    out = morphology_open_close(mask)
+    assert out.shape == mask.shape
+    assert set(np.unique(out)).issubset({0, 1})
+
+
+@given(small_u8)
+@settings(max_examples=30, deadline=None)
+def test_blur_sigma_nonpositive_is_identity(img):
+    assert (gaussian_blur(img, 0.0) == img).all()
+    assert (gaussian_blur(img, -1.0) == img).all()
+
+
+@given(small_u8, st.floats(0.3, 3.0))
+@settings(max_examples=30, deadline=None)
+def test_blur_stays_in_input_range(img, sigma):
+    out = gaussian_blur(img, sigma)
+    assert out.shape == img.shape
+    # convolution with a non-negative normalized kernel cannot escape
+    # the input's [min, max] envelope (±1 for uint8 rounding)
+    assert out.min() >= max(int(img.min()) - 1, 0)
+    assert out.max() <= min(int(img.max()) + 1, 255)
+
+
+@given(arrays(np.uint8, st.tuples(st.integers(8, 16), st.integers(8, 16)),
+              elements=st.integers(0, 255)))
+@settings(max_examples=20, deadline=None)
+def test_ssim_self_is_one(img):
+    assert abs(ssim(img, img) - 1.0) < 1e-9
+
+
+@given(arrays(np.uint8, st.tuples(st.integers(3, 3), st.integers(4, 4),
+                                  st.integers(3, 3)),
+              elements=st.integers(0, 255)))
+@settings(max_examples=30, deadline=None)
+def test_grayscale_equal_channels_identity(rgb3):
+    # (h, w, 3) with identical channels → grayscale equals that channel
+    rgb = np.stack([rgb3[..., 0]] * 3, axis=-1)
+    out = to_grayscale(rgb)
+    assert (out.astype(int) - rgb3[..., 0].astype(int) <= 1).all()
+    assert (rgb3[..., 0].astype(int) - out.astype(int) <= 1).all()
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(6, 14), st.integers(6, 14)),
+           elements=st.integers(0, 255)),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_region_growing_invariants(img, threshold):
+    sy, sx = img.shape[0] // 2, img.shape[1] // 2
+    mask = region_growing_np(
+        img, (sy, sx), threshold=threshold, max_iterations=None,
+        morphology=False,
+    )
+    assert set(np.unique(mask)).issubset({0, 1})
+    assert mask[sy, sx] == 1  # seed always in region (pre-morphology)
+    # every admitted pixel satisfies the admission predicate
+    seed_norm = img[sy, sx] / 255.0
+    admissible = np.abs(img / 255.0 - seed_norm) <= threshold
+    assert (mask.astype(bool) <= admissible).all()
+    # threshold 1.0 floods the whole image (everything is admissible)
+    if threshold == 1.0:
+        assert mask.all()
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(6, 12), st.integers(6, 12)),
+           elements=st.integers(0, 255)),
+)
+@settings(max_examples=30, deadline=None)
+def test_region_growing_cap_bounds_area(img):
+    """The reference's max_iterations quirk: the region can never hold
+    more pixels than cap·(1+neighbors) and capped ⊆ uncapped."""
+    sy, sx = 3, 3
+    capped = region_growing_np(
+        img, (sy, sx), threshold=0.5, max_iterations=10, morphology=False
+    )
+    uncapped = region_growing_np(
+        img, (sy, sx), threshold=0.5, max_iterations=None, morphology=False
+    )
+    assert (capped.astype(bool) <= uncapped.astype(bool)).all()
+    assert capped.sum() <= 10 * 9  # 10 dequeues × (self + 8 neighbors)
