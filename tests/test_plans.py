@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes
+SCALE.md claims, so a refactor that silently loses a broadcast or a
+pushdown fails CI — the plan IS the product at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from braintumor_data_pipeline_spark import registry
+from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    assert "SortMergeJoin" not in plan or "lineitem" in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    # shipdate filter must reach the parquet scan, not sit in a Filter
+    i = plan.index("PushedFilters")
+    assert "l_shipdate" in plan[i : i + 300], plan[i : i + 300]
+    # column pruning: the scan must not read all 11 lineitem columns
+    j = plan.index("ReadSchema", i)
+    read_schema = plan[j : j + 400]
+    assert "l_partkey" not in read_schema, read_schema
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_avg_by_group")
+    # partial agg → one exchange → final agg (+ top-K, no global sort)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_customers_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "semi_join_active_customers")
+    anti = _plan(spark, sf_dir, "anti_join_inactive_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_python_row_udf_anywhere(spark, sf_dir):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned from every
+    registered plan — Arrow stages (ArrowEvalPython / mapInPandas /
+    FlatMapGroupsInPandas) are the only Python allowed."""
+    bad = []
+    for name, entry in sorted(registry.all_queries().items()):
+        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            bad.append(name)
+    assert not bad, f"row-at-a-time Python UDFs in: {bad}"
+
+
+def test_unknown_table_raises_clean_error(spark, sf_dir):
+    with pytest.raises(ValueError, match="[Uu]nknown"):
+        load_table(spark, sf_dir, "nonexistent_table")
+
+
+def test_bad_sf_dir_fails_fast(spark):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((AnalysisException, Exception)):
+        load_table(spark, "/root/testdata/sf_does_not_exist", "orders").count()
