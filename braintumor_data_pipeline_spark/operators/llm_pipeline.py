@@ -277,3 +277,87 @@ def chunk_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         pack, schema="source string, pack_id long, doc_id long, n_tokens int"
     )
+
+
+@register(
+    "corpus_prep_end_to_end",
+    oracle=f"""
+    WITH kept AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+    ),
+    quality AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+      WHERE d.n_chars >= 30
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM quality
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0,
+               greatest(len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS start0
+      FROM toks
+    )
+    SELECT CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+             THEN 'train' ELSE 'test'
+           END AS split,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks
+    FROM chunks
+    GROUP BY split
+    """,
+    tags=("text", "dedup", "chunking", "sampling", "agg"),
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-preparation pipeline — every stage a proven
+    operator, chained as one lazy plan so Catalyst fuses the narrow
+    stages and the only shuffles are the dedup groupBy and the final
+    split aggregate:
+
+      normalized exact-dedup (keep min doc_id)
+      → quality gate (n_chars ≥ 30)
+      → chunk 32/24
+      → deterministic train/test split
+      → per-split doc & chunk counts
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    )
+    kept = (
+        d.select("doc_id", norm_hash.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality = (
+        d.join(kept, "doc_id", "left_semi")
+        .filter(F.col("n_chars") >= 30)
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    n = F.size("t")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - CHUNK_TOKENS + CHUNK_STRIDE, F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = quality.select(
+        "doc_id", F.explode(starts).alias("tok_start")
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d",
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        chunks.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+        )
+    )
