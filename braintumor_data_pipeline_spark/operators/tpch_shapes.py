@@ -253,3 +253,159 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("join", "agg"),
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts split by a priority IN-list
+    after a fact-fact join with a pushed date range."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-06-01'
+      AND l_shipdate < DATE '1995-07-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one month —
+    conditional-agg ratio after a broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-06-01")
+        & (F.col("l_shipdate") < "1995-07-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "filter", "agg"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    the planner keeps the join equi (on partkey) and evaluates the
+    disjunction post-join; per-side conjuncts that appear in every
+    branch would be pushed below (none do here, as in the original)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 6) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '1998-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers gone quiet
+    (no orders since 1998) — scalar subquery (tiny broadcast) +
+    NOT EXISTS anti join on a filtered fact, grouped by segment
+    (segment stands in for the original's phone-prefix country code;
+    every fixture customer has SOME order, so recency is the idleness
+    predicate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
