@@ -11,15 +11,11 @@ import os
 from pyspark.sql import functions as F
 
 from braintumor_data_pipeline_spark.sources.fixtures import load_table
-
-
-def _parquet_files(path: str) -> list[str]:
-    return [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
+from braintumor_data_pipeline_spark.sources.maintenance import (
+    cluster_by,
+    compact_parquet,
+    parquet_files as _parquet_files,
+)
 
 
 def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
@@ -33,11 +29,7 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert n_before >= 32
 
     compact = str(tmp_path / "compact")
-    df = spark.read.parquet(frag)
-    # size-based target: ceil(bytes / 128 MiB), at least 1
-    total_bytes = sum(os.path.getsize(f) for f in _parquet_files(frag))
-    target = max(1, -(-total_bytes // (128 * 1024 * 1024)))
-    df.repartition(target).write.mode("overwrite").parquet(compact)
+    target = compact_parquet(spark, frag, compact)
 
     assert len(_parquet_files(compact)) == target < n_before
     a = spark.read.parquet(compact)
@@ -59,9 +51,7 @@ def test_sort_clustering_narrows_file_ranges(spark, sf_dir, tmp_path):
     full_span = hi - lo
 
     clustered = str(tmp_path / "clustered")
-    o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(
-        clustered
-    )
+    cluster_by(o, clustered, 8, "o_custkey")
     scattered = str(tmp_path / "scattered")
     o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(scattered)
 
@@ -89,9 +79,7 @@ def test_clustered_scan_reads_fewer_files(spark, sf_dir, tmp_path):
     a subset of files (row-group pruning via footer stats)."""
     o = load_table(spark, sf_dir, "orders")
     clustered = str(tmp_path / "c2")
-    o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(
-        clustered
-    )
+    cluster_by(o, clustered, 8, "o_custkey")
     hit = (
         spark.read.parquet(clustered)
         .filter(F.col("o_custkey") <= 50)
