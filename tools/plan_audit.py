@@ -33,6 +33,7 @@ CARTESIAN_OK = {
     "embedding_neardup_pairs", # all-pairs tier; LSH/IVF are the scale path
     "histogram_totalprice",    # 1-row bounds broadcast
     "pixel_histogram",         # 1-row bounds broadcast per image set
+    "q22_idle_rich_customers", # 1-row scalar-subquery (avg) broadcast
 }
 
 
