@@ -1,0 +1,173 @@
+"""Time-series / product-analytics operators over ``events`` (N*):
+calendar-spine gap filling, funnel analysis, cohort retention.
+
+The reference's only temporal notion is a processed-at ORDER BY
+(`/root/reference/README.md:174-178`); these are the event-time shapes
+an analytics engine over the same stats/event tables is actually asked
+for. All pure DataFrame ops:
+
+- the date spine is sequence+explode from one tiny min/max aggregate —
+  never a driver-side date loop;
+- funnel stages chain ordered conditional aggregates (stage N's
+  timestamp must follow stage N-1's) — two shuffles on user_id total;
+- cohorts are two groupBys on (user, week) then (cohort, offset),
+  uniform keys throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+
+@register(
+    "date_spine_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS revenue,
+             count(*) AS n_events
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.revenue, 0.0) AS revenue,
+           coalesce(d.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("timeseries", "join", "agg"),
+)
+def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily purchase revenue: a generated calendar spine
+    (sequence over one broadcast min/max row) left-joined with the
+    daily aggregate, zero-filled — days with no purchases appear."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("revenue"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("timeseries", "funnel", "agg"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click — each stage an aggregate
+    joined forward on (user, ts > prev stage). Event-order funnels are
+    the canonical product-analytics ask; everything shuffles on
+    user_id."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(
+                prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
+                (s.user_id == F.col("pu")) & (s.ts > F.col("pt")),
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+           CAST(date_diff('week', f.cohort_week, a.active_week) AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "cohort", "agg"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each later week they were active — the triangle every growth
+    dashboard draws. Two uniform-key shuffles (user, then cohort
+    cell)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

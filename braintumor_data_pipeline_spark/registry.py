@@ -95,6 +95,7 @@ def _load_all() -> None:
         tpch_shapes,
         llm_pipeline,
         cdc,
+        timeseries,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
