@@ -351,26 +351,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars arithmetically (char b//4, bit 3-b%4) so DuckDB replays the
     exact signature; 60 bits keeps the sum inside signed int64."""
     d = _t(spark, sf_dir, "documents")
-    bits = F.array(*[F.lit(i) for i in range(60)])
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
-    hexpos = F.col("b") / 4 + 1  # 1-based hex char index
-    char = F.substring(F.col("h"), hexpos.cast("int"), 1)
-    nibble = F.instr(F.lit("0123456789abcdef"), char) - 1
-    bit_in_char = F.lit(3) - F.col("b") % 4
-    bit = F.floor(nibble / F.pow(F.lit(2.0), bit_in_char)).cast("bigint") % 2
-    vote = F.when(bit == 1, 1).otherwise(-1)
-    weights = (
-        tok.select("doc_id", "h", F.explode(bits).alias("b"))
-        .select("doc_id", "b", vote.alias("v"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("w"))
+
+    def vote(b: int):
+        # bit b lives in hex char b//4 (1-based), position 3-b%4 — all
+        # constants per b, so each vote is a plain string expression
+        char = F.substring(F.col("h"), b // 4 + 1, 1)
+        nibble = F.instr(F.lit("0123456789abcdef"), char) - 1
+        bit = F.floor(nibble / F.lit(float(2 ** (3 - b % 4)))).cast(
+            "bigint"
+        ) % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    # ONE row per token carrying all 60 votes; 60 parallel partial-
+    # aggregable sums; the signature is then a pure projection — 60×
+    # fewer rows through the explode/shuffle than a token×bit cross
+    wide = tok.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"w{b}") for b in range(60)]
     )
-    return weights.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("w") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")
-            ).otherwise(F.lit(0))
-        ).alias("simhash60")
-    )
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.cast("bigint").alias("simhash60"))
