@@ -308,3 +308,76 @@ def tumor_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.select("image_id", F.round(prob, 6).alias("probability"))
+
+
+@register(
+    "mask_moments_ellipse",
+    oracle=f"""
+    WITH px AS ({_MASKED_SQL}),
+    mom AS (
+      SELECT image_id,
+             count(*) AS area,
+             avg(CAST(x AS DOUBLE)) AS cx, avg(CAST(y AS DOUBLE)) AS cy,
+             avg(CAST(x AS DOUBLE) * x) AS mxx,
+             avg(CAST(y AS DOUBLE) * y) AS myy,
+             avg(CAST(x AS DOUBLE) * y) AS mxy
+      FROM px WHERE pred = 1
+      GROUP BY image_id
+    ),
+    cov AS (
+      SELECT image_id, area,
+             mxx - cx * cx AS mu20,
+             myy - cy * cy AS mu02,
+             mxy - cx * cy AS mu11
+      FROM mom
+    ),
+    eig AS (
+      SELECT image_id, area,
+             (mu20 + mu02 + sqrt(4 * mu11 * mu11
+                                 + (mu20 - mu02) * (mu20 - mu02))) / 2 AS l1,
+             (mu20 + mu02 - sqrt(4 * mu11 * mu11
+                                 + (mu20 - mu02) * (mu20 - mu02))) / 2 AS l2
+      FROM cov
+    )
+    SELECT image_id, area,
+           round(4 * sqrt(l1), 6) AS major_axis,
+           round(4 * sqrt(greatest(l2, 0)), 6) AS minor_axis,
+           round(CASE WHEN l1 > 0 THEN sqrt(1 - l2 / l1) ELSE 0 END, 6)
+             AS eccentricity
+    FROM eig
+    """,
+    tags=("masks", "moments", "agg"),
+)
+def mask_moments_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipse-of-inertia properties of the WHOLE pred mask from image
+    moments, as pure SQL aggregates: central second moments → covariance
+    eigenvalues → axis lengths (4√λ) and eccentricity — the same public
+    moment math `functions/regionprops.py` applies per component
+    (X11's first-region/solidity variant stays UDF-side; the moments
+    themselves are fully oracle-checkable)."""
+    m = masked_df(spark, sf_dir).filter(F.col("pred") == 1)
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    mom = m.groupBy("image_id").agg(
+        F.count("*").alias("area"),
+        F.avg(xd).alias("cx"),
+        F.avg(yd).alias("cy"),
+        F.avg(xd * xd).alias("mxx"),
+        F.avg(yd * yd).alias("myy"),
+        F.avg(xd * yd).alias("mxy"),
+    )
+    mu20 = F.col("mxx") - F.col("cx") * F.col("cx")
+    mu02 = F.col("myy") - F.col("cy") * F.col("cy")
+    mu11 = F.col("mxy") - F.col("cx") * F.col("cy")
+    common = F.sqrt(4 * mu11 * mu11 + (mu20 - mu02) * (mu20 - mu02))
+    l1 = (mu20 + mu02 + common) / 2
+    l2 = (mu20 + mu02 - common) / 2
+    return mom.select(
+        "image_id",
+        "area",
+        F.round(4 * F.sqrt(l1), 6).alias("major_axis"),
+        F.round(4 * F.sqrt(F.greatest(l2, F.lit(0.0))), 6).alias("minor_axis"),
+        F.round(
+            F.when(l1 > 0, F.sqrt(1 - l2 / l1)).otherwise(0.0), 6
+        ).alias("eccentricity"),
+    )
