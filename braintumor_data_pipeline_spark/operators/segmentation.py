@@ -94,13 +94,17 @@ def grid_images_df(
             .alias("v2")
         )
     g = idx.select(*cols)
-    full = (
-        g.groupBy("image_id")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") == GRID * GRID)
-        .select("image_id")
+    # rn0 is dense 0..N−1, so every image below N div 1024 is complete —
+    # the completeness predicate is one broadcast scalar, not a
+    # per-image count aggregation (saves a full shuffle of the grid)
+    total = _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_total")
     )
-    return g.join(F.broadcast(full), "image_id")
+    return (
+        g.crossJoin(F.broadcast(total))
+        .filter(F.col("image_id") < F.floor(F.col("n_total") / (GRID * GRID)))
+        .drop("n_total")
+    )
 
 
 def _bfs_apply(pdf: pd.DataFrame) -> pd.DataFrame:
