@@ -7,8 +7,9 @@ Four tiers, mirroring a production LLM-data dedup stack:
 3. **MinHash + LSH banding** — tokens → k seeded md5 min-hashes → band
    signatures → bucket self-join for candidate pairs. All hashing is
    ``md5`` over deterministic strings, so DuckDB can replay it exactly.
-4. **n-gram Jaccard** — 3-token shingles (via lead() windows), inverted
-   -index self-join on shingle, exact Jaccard per candidate pair.
+4. **n-gram Jaccard** — 3-token shingles (shuffle-free array slicing;
+   the oracle uses lead() windows — two independent constructions),
+   inverted-index self-join on shingle, exact Jaccard per pair.
 
 Scale notes (100 TB of documents):
 - every stage shuffles on content-derived keys (hash / band signature /
@@ -25,7 +26,7 @@ so both engines replay it (60-bit signature to stay in signed int64).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -251,20 +252,30 @@ _SHINGLES_ORACLE = """
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per document via posexplode + lead()."""
+    """Distinct 3-token shingles per document, built by array slicing —
+    a NARROW transform+explode (no shuffle), vs the window-lead
+    formulation the DuckDB oracle uses (same shingle set, two
+    independent constructions). Only the final distinct shuffles."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("i")
+    # materialize the token array FIRST: referencing split() inside the
+    # transform lambda would inline a fresh split per element access
+    # (O(n²) tokenization per doc — measured 5× slower)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    starts = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+        ),
+    )
     return (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("shingle"),
-            F.lead("tok", 2).over(w).alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .select("doc_id", "shingle")
+        toks.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
