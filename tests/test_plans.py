@@ -75,3 +75,31 @@ def test_bad_sf_dir_fails_fast(spark):
 
     with pytest.raises((AnalysisException, Exception)):
         load_table(spark, "/root/testdata/sf_does_not_exist", "orders").count()
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (the at-scale sketch) must land within 1% of
+    the exact percentile on o_totalprice — accuracy gate on the
+    approximate path, mirroring the recall gates on ANN."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+        ).alias("approx"),
+    ).first()
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) / e < 0.01, (e, a)
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05, row
