@@ -528,3 +528,67 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "equidepth_histogram_totalprice",
+    oracle="""
+    WITH bounds AS (
+      SELECT [round(quantile_cont(o_totalprice, 0.1), 6),
+              round(quantile_cont(o_totalprice, 0.2), 6),
+              round(quantile_cont(o_totalprice, 0.3), 6),
+              round(quantile_cont(o_totalprice, 0.4), 6),
+              round(quantile_cont(o_totalprice, 0.5), 6),
+              round(quantile_cont(o_totalprice, 0.6), 6),
+              round(quantile_cont(o_totalprice, 0.7), 6),
+              round(quantile_cont(o_totalprice, 0.8), 6),
+              round(quantile_cont(o_totalprice, 0.9), 6)] AS bs
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM (
+      SELECT o_totalprice,
+             (SELECT count(*) FROM unnest(bs) AS t(b)
+              WHERE o_totalprice >= b) AS bucket
+      FROM orders, bounds
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram", "approx"),
+)
+def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles): pass 1 computes the 9 interior
+    decile boundaries (one tiny aggregate row, broadcast); pass 2 bins
+    each row by counting boundaries ≤ value — no global sort, no NTILE
+    window (which would single-partition the table). This two-pass
+    boundary shape is exactly how equi-depth stats are built at scale
+    (with approx_percentile swapped in when exactness isn't required;
+    the exact percentile keeps the DuckDB oracle bit-comparable).
+    Boundaries are rounded to 6dp on BOTH sides so the bin constants
+    are engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array({})),"
+            " b -> round(b, 6))".format(",".join(map(str, qs)))
+        ).alias("bs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(
+            F.filter("bs", lambda b: F.col("o_totalprice") >= b)
+        ).alias("bucket"),
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
