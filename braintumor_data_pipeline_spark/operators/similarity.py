@@ -395,3 +395,64 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once (cell-clustered layout), query many
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> list:
+    """Materialize the IVF index: base vectors + cell assignment written
+    range-clustered BY CELL (each parquet file covers ~one cell, so a
+    query's nprobe cells prune to a few files via footer stats — the
+    build-once/query-many layout). Returns the centroid table (the only
+    other index state; persist it next to the data in production)."""
+    from ..sources.maintenance import cluster_by
+
+    cents = _ivf_centroids(spark, sf_dir)
+    vec = _vectors(spark, sf_dir)
+    unit = F.transform("v", lambda x: x / F.col("nrm"))
+    base = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        _nearest_cell(unit, cents).alias("cell"),
+    )
+    cluster_by(base, index_dir, IVF_K // 2, "cell")
+    return cents
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    cents: list,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k search against the persisted index: queries probe their
+    nprobe nearest cells; the cell predicate prunes index FILES (layout)
+    before the exact re-rank. Same results as the inline ann_ivf_cosine
+    plan (asserted in tests)."""
+    base = spark.read.parquet(index_dir)
+    vec = _vectors(spark, sf_dir)
+    unit = F.transform("v", lambda x: x / F.col("nrm"))
+    q = (
+        vec.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(_probe_cells(unit, cents, nprobe)).alias("cell"),
+        )
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        q.join(base, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -65,3 +65,24 @@ def test_ivf_each_query_ranked(spark, sf_dir):
     # inside the probed cells is smaller than 5 (never at these SFs)
     assert set(per_q.values()) == {5}
     assert all(1 <= r.rn <= 5 for r in rows)
+
+
+def test_persisted_ivf_index_matches_inline(spark, sf_dir, tmp_path):
+    """Build-once/query-many: searching the persisted, cell-clustered
+    index returns exactly the inline IVF plan's results."""
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        ann_ivf_cosine,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(spark, sf_dir, idx)
+    from_index = {
+        (r.qid, r.nid, r.sim)
+        for r in query_ivf_index(spark, sf_dir, idx, cents).collect()
+    }
+    inline = {
+        (r.qid, r.nid, r.sim) for r in ann_ivf_cosine(spark, sf_dir).collect()
+    }
+    assert from_index == inline
