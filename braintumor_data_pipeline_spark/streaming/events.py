@@ -284,3 +284,113 @@ def run_streaming_tumbling_counts(
     q.processAllAvailable()
     q.stop()
     return spark.table("tumbling_counts")
+
+
+@register(
+    "events_view_purchase_within_30m",
+    oracle="""
+    SELECT v.user_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) AS purchase_us,
+           round(p.value, 6) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def events_view_purchase_within_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 30 minutes after a view by the
+    same user — the batch equivalent of a watermarked stream-stream
+    join (run_stream_stream_join runs the genuine streaming version;
+    tests assert they match). Equi-key on user_id bounds the shuffle;
+    the time band bounds the per-key state."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.round("p_value", 6).alias("purchase_value"),
+        )
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Genuine watermarked stream-stream join: the views stream joins the
+    purchases stream on user within (0, 30 min]. Both sides carry
+    watermarks and the join's time band lets Spark expire state — the
+    production pattern for event-correlation pipelines. Returns the
+    joined rows after processing all available input."""
+    import shutil
+
+    stage_dir = os.path.join(checkpoint_dir + "_src")
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        F.unix_micros("v_ts").alias("view_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.round("p_value", 6).alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("ss_join")

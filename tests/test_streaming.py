@@ -163,3 +163,20 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window emitted once, with the 2 on-time rows only
     assert ("2026-01-01 10:00:00", 2) in rows
     assert ("2026-01-01 10:00:00", 3) not in rows, "late row reopened window"
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch interval join's rows."""
+    from braintumor_data_pipeline_spark.streaming.events import (
+        events_view_purchase_within_30m,
+        run_stream_stream_join,
+    )
+
+    streamed = run_stream_stream_join(spark, sf_dir, str(tmp_path / "ssj"))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        tuple(r) for r in events_view_purchase_within_30m(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no view→purchase pairs"
