@@ -387,3 +387,60 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return wide.select("doc_id", sig.cast("bigint").alias("simhash60"))
+
+
+@register(
+    "lsh_pairs_edit_verified",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           round(1.0 - levenshtein(da.text, db.text)
+                 / greatest(length(da.text), length(db.text), 1), 6)
+             AS edit_sim
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE 1.0 - levenshtein(da.text, db.text)
+          / greatest(length(da.text), length(db.text), 1) >= 0.8
+    """,
+    tags=("dedup", "minhash", "verify"),
+)
+def lsh_pairs_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of production dedup: LSH candidates re-checked
+    with exact edit-distance similarity (≥0.8 kept). LSH bounds the
+    quadratic work; the expensive exact measure runs only on survivors —
+    candidates × O(len²) instead of corpus². Joins back to text via the
+    doc_id key (broadcastable at fixture scale; bucketed at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb"))
+    sim = F.lit(1.0) - F.levenshtein("ta", "tb") / F.greatest(
+        F.length("ta"), F.length("tb"), F.lit(1)
+    )
+    return (
+        pairs.join(F.broadcast(da), pairs.doc_a == F.col("ida"))
+        .join(F.broadcast(db), pairs.doc_b == F.col("idb"))
+        .filter(sim >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+    )
