@@ -409,3 +409,404 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1996-03-15'
+      AND l_shipdate > DATE '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
+    date predicates pushed to BOTH fact scans before the join, customer
+    reduced to a broadcast semi filter, TakeOrderedAndProject on top.
+    Ordering is on the ROUNDED revenue (+ key tiebreak) so both engines
+    cut the same prefix despite low-bit summation differences."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the customer and the supplier share
+    a nation — the distinguishing feature is the EXTRA equality between
+    two dimension keys reached through different fact columns
+    (c_nationkey = s_nationkey), evaluated post-join while every dim
+    stays broadcast; the only shuffles are orders⋈lineitem and the
+    final per-nation aggregate."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — no join at
+    all. Every predicate (date range, discount band, quantity cap) is
+    pushdown-eligible; at 100 TB this is the query where parquet
+    row-group min/max statistics do all the work and the aggregate is a
+    single partial+final reduction with no wide exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q7_nation_pair_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between a nation PAIR —
+    the same dimension table joined twice under different roles
+    (customer's nation vs supplier's nation) with a symmetric OR
+    predicate across the two aliases. Both nation joins broadcast; the
+    disjunction prunes to two nations per side before the wide join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | (
+        (F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
+    "q11_important_supplier_value",
+    oracle="""
+    WITH supp_value AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, round(value, 6) AS value
+    FROM supp_value
+    WHERE value > (SELECT sum(value) * 0.012 FROM supp_value)
+    ORDER BY value DESC, l_suppkey
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_important_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of the
+    global total — an aggregate compared against a scalar subquery over
+    the same aggregation (HAVING sum > 0.012 * total). The per-group agg
+    is computed once, reused for both sides; the global total is a
+    1-row broadcast. (Fixture has no partsupp, so supplier shipped
+    value stands in for stock value.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    total = sv.agg((F.sum("v") * 0.012).alias("threshold"))
+    return (
+        sv.crossJoin(F.broadcast(total))
+        .filter(F.col("v") > F.col("threshold"))
+        .select("l_suppkey", F.round("v", 6).alias("value"))
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum(l_quantity) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_qty, 6) AS total_qty
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_qty = (SELECT max(total_qty) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("agg", "subquery", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the group(s) achieving the global maximum of an
+    aggregate — agg once, take max of the agg as a 1-row broadcast,
+    equality-join back (ties kept). The measure is summed QUANTITY
+    (integral doubles → exact sums), so the max-equality is stable
+    across engines, unlike a float revenue sum."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    mx = rev.agg(F.max("tq").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("tq") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("tq", 6).alias("total_qty"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("join", "subquery", "agg", "distinct"),
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a blacklist via NOT IN — planned as an anti join (valid
+    here because s_suppkey is non-null; a nullable NOT IN column would
+    need the null-aware anti join Spark plans for that case). The
+    distinct-agg expands to a two-level aggregation on a cluster."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below a correlated PER-GROUP average —
+    decorrelated into avg-per-partkey then join-back with an inequality
+    (the same rewrite Catalyst and every warehouse planner performs).
+    The per-part avg only needs the brand's parts, so the brand filter
+    is semi-joined into the subquery side before aggregating — at
+    100 TB that shrinks the avg input by the brand selectivity."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avgs = brand_li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        brand_li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO' AND p_size <= 5
+      )
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    ORDER BY s_name
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers who moved
+    serious volume of a part subset in a window. Planned inside-out as
+    stacked semi joins: part-filter semi-join into lineitem, aggregate
+    with HAVING, then semi-join into supplier. No fact row is ever
+    widened; each IN level only ever flows keys."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pp = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

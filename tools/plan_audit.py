@@ -28,13 +28,41 @@ from braintumor_data_pipeline_spark.session import get_spark
 
 # Queries whose nested-loop is a deliberate pruned/broadcast design at
 # fixture scale (documented in their docstrings) — reported, not fatal.
+# Scalar-subquery broadcasts (1-row aggregate crossed into every row) are
+# detected structurally instead — see _all_nlj_are_scalar_broadcasts.
 CARTESIAN_OK = {
     "knn_bruteforce_cosine",   # broadcast query side (50 rows) by design
     "embedding_neardup_pairs", # all-pairs tier; LSH/IVF are the scale path
-    "histogram_totalprice",    # 1-row bounds broadcast
-    "pixel_histogram",         # 1-row bounds broadcast per image set
-    "q22_idle_rich_customers", # 1-row scalar-subquery (avg) broadcast
 }
+
+
+def _all_nlj_are_scalar_broadcasts(plan: str) -> bool:
+    """True iff every nested-loop join in the plan builds from a 1-row
+    scalar aggregate — the physical shape of a scalar subquery
+    (``BroadcastExchange IdentityBroadcastMode`` over a groupless
+    ``HashAggregate(keys=[]``, possibly through a Filter/Project). That
+    pattern moves one row per executor regardless of data scale and is
+    not a real Cartesian risk."""
+    if "CartesianProduct" in plan:
+        return False
+    n_joins = plan.count("BroadcastNestedLoopJoin")
+    n_scalar = 0
+    for m in re.finditer(r"BroadcastExchange IdentityBroadcastMode", plan):
+        tail = plan[m.end() : m.end() + 500]
+        for ln in tail.splitlines()[1:]:
+            op = ln.strip(" :+-")
+            if not op or op.startswith(("Filter", "Project", "ColumnarToRow")):
+                continue
+            if op.startswith(
+                (
+                    "HashAggregate(keys=[]",
+                    "SortAggregate(key=[]",
+                    "ObjectHashAggregate(keys=[]",
+                )
+            ):
+                n_scalar += 1
+            break
+    return n_joins > 0 and n_scalar == n_joins
 
 
 def main() -> int:
@@ -78,7 +106,13 @@ def main() -> int:
             else:
                 findings.append(("GLOBAL-WINDOW", True))
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            findings.append(("CARTESIAN", name not in CARTESIAN_OK))
+            benign = name in CARTESIAN_OK or _all_nlj_are_scalar_broadcasts(plan)
+            tag = (
+                "SCALAR-BROADCAST-NLJ"
+                if benign and name not in CARTESIAN_OK
+                else "CARTESIAN"
+            )
+            findings.append((tag, not benign))
         if "BatchEvalPython" in plan:
             findings.append(("PY-ROW-UDF", True))
         if findings:
