@@ -103,3 +103,46 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
+def test_q6_all_predicates_pushed_no_shuffle(spark, sf_dir):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    scan and the plan has no hashpartitioning exchange at all (scalar
+    aggregate = partial + final over SinglePartition)."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    i = plan.index("PushedFilters")
+    pushed = plan[i : i + 500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    j = plan.index("ReadSchema", i)
+    assert "l_orderkey" not in plan[j : j + 400]  # pruned to 4 columns
+
+
+def test_q3_two_sided_date_pushdown_topk(spark, sf_dir):
+    """Q3 pushes its date range to BOTH fact scans and plans the LIMIT
+    as TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    pushes = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushes), pushes
+    assert any("l_shipdate" in p for p in pushes), pushes
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_count_by_part")
+    assert "LeftAnti" in plan
+    # distinct agg expands to two aggregation levels, both present
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_q15_scalar_max_is_broadcast(spark, sf_dir):
+    """The max-of-aggregate comparison must be a 1-row broadcast, not a
+    shuffled join — Catalyst even turns the equality cross join into a
+    BroadcastHashJoin keyed on the normalized value."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
