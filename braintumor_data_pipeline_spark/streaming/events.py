@@ -394,3 +394,62 @@ def run_stream_stream_join(
     q.processAllAvailable()
     q.stop()
     return spark.table("ss_join")
+
+
+def run_streaming_dedup_counts(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Genuine streaming duplicate removal: ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type, minute_bucket), then per-type unique counts —
+    the streaming form of the batch ``events_dedup_keyed`` query (tests
+    assert batch ≡ stream).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is the
+    scale-correct operator: dedup state for a key is dropped once the
+    watermark passes its event time + delay, so state is bounded by the
+    duplicate-arrival window instead of growing with all history — at
+    100 TB/day of events, unbounded dedup state is the difference between
+    a running job and an OOM'd one.
+    """
+    import os as _os
+    import shutil
+
+    stage_dir = _os.path.join(checkpoint_dir + "_src")
+    _os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        _os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .select(
+            "ts",
+            "user_id",
+            "event_type",
+            (F.unix_micros("ts") / 60_000_000)
+            .cast("bigint")
+            .alias("minute_bucket"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+    )
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedup_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("dedup_counts")

@@ -146,3 +146,50 @@ def test_q15_scalar_max_is_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When a shuffle join's small side is selectively filtered, Spark
+    injects a runtime bloom filter on the big side's join key — at
+    100 TB this skips whole row groups of lineitem that cannot match.
+    Pin that the injection actually fires under the relevant confs."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        n = j.count()
+        assert n == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -180,3 +180,27 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "fixture produced no view→purchase pairs"
+
+
+def test_streaming_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark + downstream agg matches the batch
+    DISTINCT formulation (all duplicates here share a minute bucket, so
+    every duplicate pair is inside the 10-minute dedup window)."""
+    from braintumor_data_pipeline_spark.registry import all_queries
+    from braintumor_data_pipeline_spark.streaming.events import (
+        run_streaming_dedup_counts,
+    )
+
+    batch = {
+        r["event_type"]: r["n_unique"]
+        for r in all_queries()["events_dedup_keyed"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    streamed = {
+        r["event_type"]: r["n_unique"]
+        for r in run_streaming_dedup_counts(
+            spark, sf_dir, str(tmp_path / "ckpt_dedup")
+        ).collect()
+    }
+    assert streamed == batch
