@@ -592,3 +592,36 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "try_arithmetic_scalars",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_quantity - 25.0) = 0 THEN NULL
+                ELSE round(l_extendedprice / (l_quantity - 25.0), 6)
+           END AS safe_ratio,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    tags=("projection", "scalar", "null"),
+)
+def try_arithmetic_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family: try_divide NULLs out division by zero
+    (l_quantity=25 rows), try_cast NULLs out invalid casts ('R' → int)
+    instead of failing the job — at scale, one malformed row must not
+    kill a 1000-executor stage; the NULLs flow to a quarantine filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_quantity") - 25.0), 6
+        ).alias("safe_ratio"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias(
+            "qty_roundtrip"
+        ),
+    )

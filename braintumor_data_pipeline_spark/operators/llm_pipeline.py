@@ -361,3 +361,41 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_chunks"),
         )
     )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_sampled,
+           round(sum(o_totalprice), 6) AS sampled_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          < CASE WHEN c_mktsegment = 'BUILDING' THEN '33' ELSE '0d' END
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sampling", "join", "agg"),
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% of BUILDING-segment
+    orders, ~5% of every other segment (per-stratum md5 thresholds —
+    51/256 and 13/256). Same reproducibility argument as
+    hash_sample_documents, but with per-group rates, the shape used to
+    rebalance source mix in a training corpus. Unlike df.sampleBy, the
+    hash predicate is engine-independent and pushable below the join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    thresh = F.when(F.col("c_mktsegment") == "BUILDING", "33").otherwise("0d")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+            < thresh
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 6).alias("sampled_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -812,3 +812,71 @@ def null_semantics_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k", F.lit("URGENTISH")).alias("k_filled"),
         )
     )
+
+
+@register(
+    "setop_except_all_partkeys",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("setop", "bag"),
+)
+def setop_except_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each partkey keeps max(0, n_R − n_A)
+    copies — multiset subtraction, not the dedup of plain EXCEPT. Spark
+    plans it as a count-propagating aggregate, one shuffle on the key."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a)
+
+
+@register(
+    "setop_intersect_all_partkeys",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("setop", "bag"),
+)
+def setop_intersect_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: min(n_R, n_A) copies per key — the other half of
+    bag-semantics set algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a)
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', round(p_retailprice, 6) FROM part
+    """,
+    tags=("projection", "unpivot"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): one row per (part, measure) — the inverse
+    of pivot_event_type_counts. Spark's unpivot/melt is a zero-shuffle
+    projection (Expand node), NOT a union of scans — the table is read
+    once, which at 100 TB is the difference between one pass and k."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.round("p_retailprice", 6).alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )
