@@ -1,0 +1,118 @@
+"""Custom Spark DataSource: ``spark.read.format("dicom")`` (SURVEY S1-S3).
+
+The reference's scan is Beam ``MatchFiles → ReadMatches → ParDo(decode)``
+(`/root/reference/dataflow_pipeline.py:127-133`). The engine's primary
+port of that chain is ``binaryFile`` + ``mapInPandas`` (plans/etl.py) —
+this module is the OTHER idiomatic Spark formulation: the Python
+DataSource API (Spark 4), which packages match+read+decode as a named
+format with its own partition planning, so a DICOM directory is queried
+like any table:
+
+    spark.dataSource.register(DicomDataSource)
+    spark.read.format("dicom").option("filesPerPartition", "4").load(dir)
+
+Partition planning happens on the driver (cheap file listing only —
+no bytes read); decoding runs on executors, one partition per file
+chunk, which is exactly the Beam runner's bundle model. On a cluster the
+path must be shared storage (object store / DBFS) — same constraint
+``binaryFile`` has; the production-scale path stays plans/etl.py, this
+is the extension-surface demonstration with real decode semantics
+(pure-Python PS3.5 reader, window/min-max stats per the reference DoFn
+`dataflow_pipeline.py:68-110`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DICOM_SOURCE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("file_name", StringType(), False),
+        StructField("patient_id", StringType(), True),
+        StructField("study_uid", StringType(), True),
+        StructField("series_uid", StringType(), True),
+        StructField("sop_instance_uid", StringType(), True),
+        StructField("modality", StringType(), True),
+        StructField("rows", LongType(), True),
+        StructField("cols", LongType(), True),
+        StructField("window_center", DoubleType(), True),
+        StructField("window_width", DoubleType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+        StructField("std_intensity", DoubleType(), True),
+    ]
+)
+
+
+@dataclass
+class _FileChunk(InputPartition):
+    files: list
+
+
+class DicomDataSourceReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dicom source requires a path")
+        self.suffix = options.get("suffix", ".dcm").lower()
+        self.files_per_partition = int(options.get("filesPerPartition", "4"))
+
+    def partitions(self):
+        names = sorted(
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.lower().endswith(self.suffix)
+        )
+        k = max(1, self.files_per_partition)
+        chunks = [names[i : i + k] for i in range(0, len(names), k)]
+        return [_FileChunk(files=c) for c in chunks] or [_FileChunk(files=[])]
+
+    def read(self, partition):
+        # runs on executors; import inside so the class pickles cheaply
+        import numpy as np
+
+        from .dicom import dcmread
+
+        for fpath in partition.files:
+            with open(fpath, "rb") as f:
+                ds = dcmread(f.read())
+            img = ds.pixel_array.astype(np.float64)
+            wc = ds.window_center
+            ww = ds.window_width
+            yield (
+                fpath,
+                os.path.basename(fpath),
+                ds.PatientID or None,
+                ds.StudyInstanceUID or None,
+                ds.SeriesInstanceUID or None,
+                ds.SOPInstanceUID or None,
+                ds.Modality or None,
+                int(img.shape[0]),
+                int(img.shape[1]),
+                float(wc[0]) if wc else None,  # MultiValue → first element
+                float(ww[0]) if ww else None,
+                float(np.mean(img)),
+                float(np.std(img)),  # population std, like np.std/A2
+            )
+
+
+class DicomDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "dicom"
+
+    def schema(self):
+        return DICOM_SOURCE_SCHEMA
+
+    def reader(self, schema):
+        return DicomDataSourceReader(self.options)

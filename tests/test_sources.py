@@ -89,3 +89,87 @@ def test_storage_helpers(spark, tmp_path):
     arr = download_image_np(spark, listed_all[0])
     assert arr is not None and arr.shape == (6, 6) and (arr == 9).all()
     assert download_image_np(spark, dest + "/raw/zzz.png") is None
+
+
+class TestDicomDataSource:
+    """spark.read.format('dicom') — the Spark 4 Python DataSource
+    packaging of match+read+decode (see sources/dicom_datasource.py)."""
+
+    @pytest.fixture(scope="class")
+    def dicom_dir(self, tmp_path_factory):
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.dicom import dcmwrite
+
+        d = tmp_path_factory.mktemp("ds_dicoms")
+        rng = np.random.RandomState(7)
+        for i in range(10):
+            px = rng.randint(0, 2000, size=(32, 32)).astype(np.int16)
+            kwargs = (
+                {"window_center": [800.0, 400.0], "window_width": [1600.0, 200.0]}
+                if i % 2
+                else {}
+            )
+            (d / f"f_{i:02d}.dcm").write_bytes(
+                dcmwrite(
+                    px,
+                    patient_id="" if i == 3 else f"P{i}",
+                    study_uid=f"9.{i}",
+                    series_uid=f"9.{i}.1",
+                    sop_uid=f"9.{i}.1.0",
+                    modality="CT",
+                    **kwargs,
+                )
+            )
+        (d / "skip.txt").write_text("not dicom")
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def registered(self, spark):
+        from braintumor_data_pipeline_spark.sources.dicom_datasource import (
+            DicomDataSource,
+        )
+
+        spark.dataSource.register(DicomDataSource)
+        return spark
+
+    def test_reads_all_dicoms_skips_others(self, registered, dicom_dir):
+        df = registered.read.format("dicom").load(dicom_dir)
+        rows = df.collect()
+        assert len(rows) == 10
+        assert all(r.file_name.endswith(".dcm") for r in rows)
+
+    def test_partition_planning(self, registered, dicom_dir):
+        df = (
+            registered.read.format("dicom")
+            .option("filesPerPartition", "3")
+            .load(dicom_dir)
+        )
+        assert df.rdd.getNumPartitions() == 4  # ceil(10/3)
+
+    def test_semantics_match_reference_dofn(self, registered, dicom_dir):
+        import numpy as np
+
+        df = registered.read.format("dicom").load(dicom_dir)
+        by_name = {r.file_name: r for r in df.collect()}
+        # empty PatientID → NULL (dataflow_pipeline.py:90-91 semantics)
+        assert by_name["f_03.dcm"].patient_id is None
+        assert by_name["f_00.dcm"].patient_id == "P0"
+        # MultiValue window → first element (dataflow_pipeline.py:25-26)
+        assert by_name["f_01.dcm"].window_center == 800.0
+        assert by_name["f_01.dcm"].window_width == 1600.0
+        assert by_name["f_00.dcm"].window_center is None
+        # stats are np.mean / population np.std over raw pixels
+        from braintumor_data_pipeline_spark.sources.dicom import dcmread
+
+        with open(f"{dicom_dir}/f_02.dcm", "rb") as f:
+            img = dcmread(f.read()).pixel_array.astype(np.float64)
+        assert by_name["f_02.dcm"].mean_intensity == pytest.approx(np.mean(img))
+        assert by_name["f_02.dcm"].std_intensity == pytest.approx(np.std(img))
+
+    def test_projection_still_decodes_lazily_per_partition(
+        self, registered, dicom_dir
+    ):
+        df = registered.read.format("dicom").load(dicom_dir)
+        out = df.select("patient_id").where("rows = 32").count()
+        assert out == 10
