@@ -880,3 +880,86 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="value",
         )
     )
+
+
+@register(
+    "fk_integrity_violations",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    ORDER BY fk_edge
+    """,
+    tags=("quality", "join", "agg"),
+)
+def fk_integrity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scan — the data-quality gate a pipeline
+    runs before publishing a snapshot: orphan counts per FK edge via
+    anti joins (0 everywhere on healthy data). Dim-side anti joins are
+    broadcast; the two fact-side edges shuffle once on their key. Each
+    edge is an independent subtree, so the whole check runs in one job
+    with no cross-edge barrier."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(child, key, parent, pkey, edge):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    out = (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(
+            orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part")
+        )
+        .unionAll(
+            orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionAll(
+            orphans(
+                c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"
+            )
+        )
+        .unionAll(
+            orphans(
+                s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation"
+            )
+        )
+        .unionAll(
+            orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region")
+        )
+    )
+    return out.orderBy("fk_edge")

@@ -224,3 +224,82 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.col("text"))).alias("content_hash"),
         min_tok.alias("min_tok_hash"),
     )
+
+
+_BM25_TERMS = ("spark", "join", "shuffle")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT avg(doc_len) AS avgdl, count(*) AS n_docs FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'shuffle')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({_BM25_K1} + 1.0)
+             / (tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * doc_len / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN df USING (term)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "ranking", "agg"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Lucene idf form, k1=1.2 b=0.75) for the query
+    {spark, join, shuffle} — the retrieval scorer of a search/RAG
+    pipeline as pure DataFrame algebra. Term frequencies are computed
+    ONLY for query terms (the IN filter lands before the first
+    aggregation), doc lengths once per corpus; df and the corpus stats
+    are tiny broadcasts. At 100 TB the inverted-index analog is the
+    pre-aggregated (term → postings) table fed by the same tf plan."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = dl.agg(
+        F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doc_len") / F.col("avgdl")
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
