@@ -173,3 +173,62 @@ class TestDicomDataSource:
         df = registered.read.format("dicom").load(dicom_dir)
         out = df.select("patient_id").where("rows = 32").count()
         assert out == 10
+
+
+class TestPngDirSink:
+    """df.write.format('pngdir') — stage/commit/abort protocol around
+    the reference's side-effect PNG write (sources/png_sink.py)."""
+
+    @pytest.fixture(scope="class")
+    def registered(self, spark):
+        from braintumor_data_pipeline_spark.sources.png_sink import (
+            PngDirDataSource,
+        )
+
+        spark.dataSource.register(PngDirDataSource)
+        return spark
+
+    def _frame(self, spark, n=6, bad=False):
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.png import encode_png
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(n):
+            img = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
+            rows.append((f"img_{i:02d}.png", bytearray(encode_png(img))))
+        if bad:
+            rows.append(("poison.png", None))
+        return spark.createDataFrame(rows, "file_name string, content binary")
+
+    def test_commit_publishes_all_files(self, registered, tmp_path):
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.png import decode_png
+
+        out = str(tmp_path / "pngs")
+        df = self._frame(registered).repartition(3)
+        df.write.format("pngdir").option("path", out).mode("append").save()
+        names = sorted(os.listdir(out))
+        assert names == [f"img_{i:02d}.png" for i in range(6)]
+        # round-trip one file through the engine's own decoder
+        with open(os.path.join(out, "img_00.png"), "rb") as f:
+            img = decode_png(f.read())
+        assert img.shape == (16, 16) and img.dtype == np.uint8
+
+    def test_failed_job_publishes_nothing(self, registered, tmp_path):
+        from py4j.protocol import Py4JJavaError
+
+        out = str(tmp_path / "pngs_fail")
+        df = self._frame(registered, bad=True).repartition(2)
+        with pytest.raises((Py4JJavaError, Exception)):
+            df.write.format("pngdir").option("path", out).mode(
+                "append"
+            ).save()
+        # abort must leave no published files and no staging debris
+        leftover = []
+        if os.path.isdir(out):
+            for root, _dirs, files in os.walk(out):
+                leftover += [os.path.join(root, f) for f in files]
+        assert leftover == [], leftover
