@@ -171,3 +171,87 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "ohlc_hourly_downsample",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+           round(arg_min(value, ts ORDER BY ts, event_id), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ts ORDER BY ts DESC, event_id DESC), 6)
+             AS close,
+           count(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY hour_us
+    ORDER BY hour_us
+    """,
+    tags=("timeseries", "downsample", "agg"),
+)
+def ohlc_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the hypertable-rollup staple): per hour, the
+    first/max/min/last purchase value. Open/close are max_by/min_by on
+    the (ts, event_id) struct — ORDER-FREE aggregates, so the plan is
+    one partial+final hash aggregation with no sort and no window; ties
+    on ts break on event_id deterministically in both engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            (us - (us % 3_600_000_000)).alias("hour_us")
+        )
+        .agg(
+            F.round(F.min_by("value", tie), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", tie), 6).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("hour_us")
+    )
+
+
+@register(
+    "rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    )
+    SELECT day,
+           round(rev, 6) AS revenue,
+           round(sum(rev) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_7d
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: aggregate to one row per DAY first, then
+    a RANGE window over day numbers. The window's input is the per-day
+    aggregate (~hundreds of rows however large the raw table), so the
+    single-partition window sort is the benign prefix-sum pattern the
+    plan audit distinguishes — the heavy lifting happened in the keyed
+    aggregation below it."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.round("rev", 6).alias("revenue"),
+        F.round(F.sum("rev").over(w), 6).alias("rolling_7d"),
+    ).orderBy("day")

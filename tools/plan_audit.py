@@ -90,18 +90,28 @@ def main() -> int:
         # moved data is ~N/block_size rows, which is by-construction
         # tiny. Distinguish by the operator directly below the exchange.
         for m in re.finditer(r"Exchange SinglePartition", plan):
-            tail = plan[m.end() : m.end() + 400]
-            child = next(
-                (
-                    ln.strip(" :+-")
-                    for ln in tail.splitlines()[1:]
-                    if ln.strip(" :+-")
-                ),
-                "",
-            )
+            tail = plan[m.end() : m.end() + 600]
+            child = ""
+            for ln in tail.splitlines()[1:]:
+                op = ln.strip(" :+-")
+                # skip cardinality-preserving pass-throughs (a Project
+                # for a computed sort key, columnar transitions, AQE
+                # shuffle readers) — they don't change what volume the
+                # exchange moves
+                if not op or op.startswith(
+                    ("Project", "ColumnarToRow", "AQEShuffleRead", "*(")
+                ):
+                    if op.startswith("*("):  # codegen wrapper, look inside
+                        inner = op.split(" ", 1)[-1]
+                        if not inner.startswith(("Project", "ColumnarToRow")):
+                            child = inner
+                            break
+                    continue
+                child = op
+                break
             if "Window" not in plan[max(0, m.start() - 600) : m.start()]:
                 continue  # single-partition exchange for something else
-            if child.startswith("HashAggregate"):
+            if child.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
                 findings.append(("PREFIX-SUM-WINDOW (aggregated input)", False))
             else:
                 findings.append(("GLOBAL-WINDOW", True))
