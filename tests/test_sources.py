@@ -232,3 +232,58 @@ class TestPngDirSink:
             for root, _dirs, files in os.walk(out):
                 leftover += [os.path.join(root, f) for f in files]
         assert leftover == [], leftover
+
+
+class TestDicomStreamSource:
+    """spark.readStream.format('dicom') — directory-tailing micro-batch
+    ingestion (the reference's unimplemented Pub/Sub roadmap item)."""
+
+    def test_incremental_microbatches(self, spark, tmp_path):
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.dicom import dcmwrite
+        from braintumor_data_pipeline_spark.sources.dicom_datasource import (
+            DicomDataSource,
+        )
+
+        spark.dataSource.register(DicomDataSource)
+        d = tmp_path / "landing"
+        d.mkdir()
+        rng = np.random.RandomState(3)
+
+        def land(i):
+            px = rng.randint(0, 500, size=(8, 8)).astype(np.int16)
+            (d / f"s_{i:03d}.dcm").write_bytes(
+                dcmwrite(
+                    px,
+                    patient_id=f"S{i}",
+                    study_uid=f"7.{i}",
+                    series_uid=f"7.{i}.1",
+                    sop_uid=f"7.{i}.1.0",
+                    modality="MR",
+                )
+            )
+
+        for i in range(3):
+            land(i)
+        q = (
+            spark.readStream.format("dicom")
+            .load(str(d))
+            .writeStream.format("memory")
+            .queryName("dicom_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table("dicom_stream").count() == 3
+            for i in range(3, 5):  # two more files land
+                land(i)
+            q.processAllAvailable()
+            got = spark.table("dicom_stream")
+            assert got.count() == 5  # incremental, no reprocessing
+            assert sorted(
+                r.patient_id for r in got.select("patient_id").collect()
+            ) == ["S0", "S1", "S2", "S3", "S4"]
+        finally:
+            q.stop()
