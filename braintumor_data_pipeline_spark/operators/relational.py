@@ -963,3 +963,116 @@ def fk_integrity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("fk_edge")
+
+
+@register(
+    "null_aware_not_in",
+    oracle="""
+    SELECT count(*) AS n_kept
+    FROM orders
+    WHERE o_orderkey NOT IN (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderkey END
+      FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+    tags=("join", "subquery", "null"),
+)
+def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery whose output CONTAINS NULLs — three-valued
+    logic: if the list has any NULL, `x NOT IN (list)` is never TRUE for
+    x values not in the list (it's UNKNOWN), so only rows whose key
+    matches nothing AND the list is null-free survive. Spark plans this
+    as a null-aware anti join (BroadcastNestedLoopJoin) — exactly why
+    production NOT IN should be on provably non-null keys (see Q16).
+    Expressed via spark.sql so the planner sees the raw NOT IN."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_nai")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_kept
+        FROM orders_nai
+        WHERE o_orderkey NOT IN (
+          SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderkey END
+          FROM orders_nai WHERE o_totalprice > 100000
+        )
+        """
+    )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 6) AS price
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         )
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey, price DESC, o_orderkey
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two priciest orders
+    — the per-group top-K expressed as a lateral join instead of a
+    window. Catalyst decorrelates it to the same shuffle+rank shape, so
+    the two formulations cost the same; this pins the SQL surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 6) AS price
+        FROM cust_lat c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM orders_lat o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             )
+        WHERE c_custkey <= 50
+        ORDER BY c_custkey, price DESC, o_orderkey
+        """
+    )
+
+
+@register(
+    "json_props_explode",
+    oracle="""
+    -- fixture props are single-key objects {"k": int} (TESTDATA), and
+    -- this DuckDB build lacks json_each, so the oracle enumerates the
+    -- known key; the Spark side stays fully generic over the map
+    SELECT 'k' AS prop_key,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+             AS avg_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY prop_key
+    ORDER BY prop_key
+    """,
+    tags=("json", "map", "agg"),
+)
+def json_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON object → MAP → exploded key/value rows, aggregated per key —
+    the semi-structured pivot-out every event pipeline needs. from_json
+    to MapType handles heterogeneous keys without a fixed schema; the
+    explode is a generator (no shuffle), the aggregate shuffles on the
+    tiny key domain."""
+    e = _t(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "prop_key", "prop_value"
+        )
+    )
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("prop_value"), 6).alias("avg_value"),
+        )
+        .orderBy("prop_key")
+    )

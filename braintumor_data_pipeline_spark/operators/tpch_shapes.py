@@ -810,3 +810,50 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 6) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "filter"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name LIKE family. The fixture lacks partsupp.supplycost, so
+    cost is proxied as 0.6·p_retailprice·quantity — the SHAPE is the
+    point: a contains-LIKE (not prefix — no pushdown to stats, it
+    evaluates in the scan), four joins with every dim broadcast, and a
+    two-key aggregate. The LIKE prunes part BEFORE its broadcast, so
+    the fact join fans out only matching parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 6).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
