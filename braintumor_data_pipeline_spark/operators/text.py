@@ -303,3 +303,137 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gh,
+             len(t) - 2 AS n_grams
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) AS g
+    ),
+    wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM wins WHERE pos <= n_grams - 3
+    """,
+    tags=("text", "dedup", "fingerprint", "window"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    token 3-gram, slide a window of 4 consecutive gram hashes, keep the
+    window minimum, dedup — guarantees any shared run of ≥6 tokens
+    between two documents shares a fingerprint, with ~2/(w+1) of the
+    grams retained. All windows partition by doc_id (uniform, bounded
+    by doc length), so the whole selection is shuffle-light; the
+    fingerprint → doc inverted index is the near-dup join key at scale."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.size("t") - 2).alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("gh"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min("gh").over(w).alias("fingerprint")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
+@register(
+    "bigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) AS g
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    ug AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT token) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logprob
+    FROM bigrams
+    JOIN bg USING (w1, w2)
+    JOIN ug USING (w1)
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "langmodel", "scoring", "agg"),
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model scoring (add-1 smoothed): each doc's
+    mean log P(w2|w1) under the corpus's own bigram statistics — the
+    perplexity-proxy quality signal LLM pipelines use to rank text
+    before training. Bigram/unigram stats aggregate once from the same
+    positional relation; vocab is a 1-row broadcast. Here the stats
+    tables broadcast; at 100 TB the bigram table is itself large, so
+    the join shuffles on (w1, w2) — uniform keys, standard plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ug = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    return (
+        bigrams.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(ug), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
