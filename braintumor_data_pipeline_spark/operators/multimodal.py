@@ -247,3 +247,43 @@ def image_resize_df(
     return images_as_binary_table(spark, sf_dir).mapInPandas(
         resize, schema=IMAGE_TABLE_SCHEMA
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,  # binary UDF stage; value-pinned by pytest instead
+    tags=("multimodal", "audio", "udf"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio consumer stage on the driver surface: documents' utf-8
+    bytes stand in as deterministic 'audio' payloads (the codec is the
+    clearly-marked fake — real codecs aren't in this container; the
+    Spark plumbing is the product). Per blob: sample count, RMS, peak.
+    Limited to 100 blobs: the point is the stage shape, not volume."""
+    from ..sources.fixtures import load_table as _t
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    payloads = d.selectExpr(
+        "CAST(doc_id AS INT) AS key", "CAST(text AS BINARY) AS payload"
+    )
+    return audio_features_df(payloads, codec=fake_audio_codec)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=None,  # binary UDF stage; value-pinned by pytest instead
+    tags=("multimodal", "video", "udf"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video consumer stage on the driver surface: every-10th-frame
+    sampling inside the executor (blob never moves), one output row per
+    sampled frame with per-frame stats. Fake 16-byte 4×4 'frames' from
+    document bytes; the fan-out shape (1 blob → n frame rows) is what a
+    real decoder produces."""
+    from ..sources.fixtures import load_table as _t
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    payloads = d.selectExpr(
+        "CAST(doc_id AS INT) AS key", "CAST(text AS BINARY) AS payload"
+    )
+    return video_frame_features_df(payloads, codec=fake_video_codec, every_nth=10)

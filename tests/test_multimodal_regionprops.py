@@ -152,3 +152,45 @@ def test_image_resize_stage(spark, sf_dir):
         # nearest-neighbor: each output pixel equals SOME source pixel
         src = orig[r.image_id]
         assert img[0, 0] == src[0, 0]
+
+
+def test_registered_audio_video_stages_value_pinned(spark, sf_dir):
+    """The registered audio/video queries produce the hand-computable
+    values of the fake codecs on a known payload."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.registry import all_queries
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id = 0")
+        .first()["text"]
+    )
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    samples = raw.astype(np.int64) * 257 - 32768
+
+    audio = {
+        r.key: r
+        for r in all_queries()["multimodal_audio_features"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert audio[0].n_samples == len(raw)
+    assert audio[0].peak == int(np.abs(samples).max())
+    assert audio[0].rms == pytest.approx(
+        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), abs=1e-6
+    )
+
+    video = [
+        r
+        for r in all_queries()["multimodal_video_frame_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+        if r.key == 0
+    ]
+    n_frames = len(raw) // 16
+    assert len(video) == len(range(0, n_frames, 10))
+    fr0 = raw[:16].reshape(4, 4)
+    assert video[0].frame_idx == 0
+    assert video[0].mean_v == pytest.approx(round(float(fr0.mean()), 6))
