@@ -415,7 +415,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     JOIN documents da ON da.doc_id = doc_a
     JOIN documents db ON db.doc_id = doc_b
-    WHERE 1.0 - levenshtein(da.text, db.text)
+    WHERE abs(length(da.text) - length(db.text))
+          <= 0.2 * greatest(length(da.text), length(db.text), 1) + 1e-9
+      AND 1.0 - levenshtein(da.text, db.text)
           / greatest(length(da.text), length(db.text), 1) >= 0.8
     """,
     tags=("dedup", "minhash", "verify"),
@@ -425,22 +427,44 @@ def lsh_pairs_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact edit-distance similarity (≥0.8 kept). LSH bounds the
     quadratic work; the expensive exact measure runs only on survivors —
     candidates × O(len²) instead of corpus². Joins back to text via the
-    doc_id key (broadcastable at fixture scale; bucketed at 100 TB)."""
+    doc_id key (broadcastable at fixture scale; bucketed at 100 TB).
+
+    Two result-preserving prunes keep the O(len²) work off most pairs:
+    (1) levenshtein ≥ |len_a − len_b|, so sim ≥ 0.8 REQUIRES the length
+    gap ≤ 0.2·max_len — a codegen-cheap prefilter (same predicate in the
+    oracle, provably implied by the final one); (2) Spark's bounded
+    levenshtein(a, b, t) abandons the DP once distance exceeds t, and
+    any distance above ~0.2·max_len fails the final filter anyway, so
+    the bound changes no output, only cost."""
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir)
     da = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta"))
     db = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb"))
-    sim = F.lit(1.0) - F.levenshtein("ta", "tb") / F.greatest(
-        F.length("ta"), F.length("tb"), F.lit(1)
+    la, lb = F.length("ta"), F.length("tb")
+    mx = F.greatest(la, lb, F.lit(1))
+    len_ok = F.abs(la - lb) <= 0.2 * mx + 1e-9
+    # bound safely above 0.2*mx: lev > bound ⟹ sim < 0.8 ⟹ row dropped
+    # (F.levenshtein only takes a literal threshold — expr() for a
+    # per-row bound)
+    lev = F.expr(
+        "levenshtein(ta, tb, cast(floor(0.2 * greatest(length(ta),"
+        " length(tb), 1)) + 2 as int))"
     )
     return (
         pairs.join(F.broadcast(da), pairs.doc_a == F.col("ida"))
         .join(F.broadcast(db), pairs.doc_b == F.col("idb"))
-        .filter(sim >= 0.8)
+        .filter(len_ok)
+        .select("doc_a", "doc_b", lev.alias("lev"), mx.alias("mx"))
+        .filter(
+            (F.col("lev") >= 0)
+            & (F.lit(1.0) - F.col("lev") / F.col("mx") >= 0.8)
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("ta", "tb").alias("edit_dist"),
-            F.round(sim, 6).alias("edit_sim"),
+            F.col("lev").alias("edit_dist"),
+            F.round(F.lit(1.0) - F.col("lev") / F.col("mx"), 6).alias(
+                "edit_sim"
+            ),
         )
     )
