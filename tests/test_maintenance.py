@@ -90,3 +90,47 @@ def test_clustered_scan_reads_fewer_files(spark, sf_dir, tmp_path):
     # range boundaries may split the band across one extra file, but the
     # predicate can never touch most of the 8 files
     assert hit <= 3  # of 8 — the layout localized the predicate
+
+
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering on (l_partkey, l_suppkey): selective
+    predicates on EITHER column touch a strict subset of files, while
+    single-column sort clustering only prunes its leading dimension —
+    the trailing column's predicate still touches every file."""
+    from braintumor_data_pipeline_spark.sources.maintenance import (
+        cluster_by_zorder,
+    )
+
+    # two HIGH-cardinality dimensions (suppkey at this sf has ~10
+    # distinct values — too coarse to quantize into z-bits)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pk_hi = li.agg(F.max("l_partkey")).first()[0]
+    sk_hi = li.agg(F.max("l_orderkey")).first()[0]
+    n_files = 16
+
+    zdir = str(tmp_path / "zorder")
+    cluster_by_zorder(li, zdir, n_files, "l_partkey", "l_orderkey")
+    ldir = str(tmp_path / "linear")
+    cluster_by(li, ldir, n_files, "l_partkey")
+
+    def files_touched(path, col, hi):
+        df = spark.read.parquet(path).filter(
+            (F.col(col) >= 0) & (F.col(col) <= hi * 0.05)
+        )
+        return df.select(F.input_file_name()).distinct().count()
+
+    z_total = len(_parquet_files(zdir))
+    assert z_total == n_files
+    # Z-order: both dimensions prune
+    assert files_touched(zdir, "l_partkey", pk_hi) < z_total * 0.75
+    assert files_touched(zdir, "l_orderkey", sk_hi) < z_total * 0.75
+    # linear clustering: leading prunes hard, trailing touches ~all
+    assert files_touched(ldir, "l_partkey", pk_hi) <= 3
+    assert files_touched(ldir, "l_orderkey", sk_hi) >= n_files - 1
+    # row preservation (integer checksum, order-free)
+    assert (
+        spark.read.parquet(zdir).agg(F.sum("l_orderkey")).first()[0]
+        == li.agg(F.sum("l_orderkey")).first()[0]
+    )
