@@ -4,6 +4,8 @@ X18 extensions — all N* engine-surface operators, pure built-ins)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -624,4 +626,48 @@ def try_arithmetic_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("string").try_cast("double").alias(
             "qty_roundtrip"
         ),
+    )
+
+
+@register(
+    "geomean_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 6) AS geo_mean_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "udf", "arrow"),
+)
+def geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2.12): a GROUPED_AGG pandas UDF —
+    geometric mean — running as AggregateInPandas (Arrow batches per
+    group, never row-at-a-time). The oracle is the exp(avg(ln)) algebraic
+    identity, proving the Arrow path agrees with pure SQL to 1e-6. Every
+    REFERENCE aggregation decomposes into built-ins (and built-ins win:
+    partial aggregation / map-side combine, which grouped-agg UDFs do
+    NOT get — they see whole groups after the shuffle), so this exists
+    to pin the escape hatch, not as the recommended path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg UDFs can't mix with built-in aggregates in one
+        # agg() — the count rides the same Arrow pass instead
+        return int(len(v))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(geo_mean("l_extendedprice"), 6).alias("geo_mean_price"),
+            n_rows("l_extendedprice").alias("n"),
+        )
+        .orderBy("l_returnflag")
     )

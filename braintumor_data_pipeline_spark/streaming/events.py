@@ -453,3 +453,55 @@ def run_streaming_dedup_counts(
     q.processAllAvailable()
     q.stop()
     return spark.table("dedup_counts")
+
+
+def run_stream_static_join(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (user_id → c_custkey), aggregated per segment.
+    The static side is re-read per micro-batch and broadcast — no state
+    store involvement at all, which is why stream-static is the FIRST
+    tool for dimension enrichment before reaching for stream-stream
+    state. Tests assert ≡ the batch join."""
+    import os as _os
+    import shutil
+
+    stage_dir = _os.path.join(checkpoint_dir + "_src")
+    _os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        _os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_seg")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_static_seg")

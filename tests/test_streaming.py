@@ -204,3 +204,35 @@ def test_streaming_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension enrichment ≡ the same batch join."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.streaming.events import (
+        run_stream_static_join,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    batch = {
+        r.c_mktsegment: (r.n, r.sum_value)
+        for r in e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .collect()
+    }
+    streamed = {
+        r.c_mktsegment: (r.n, r.sum_value)
+        for r in run_stream_static_join(
+            spark, sf_dir, str(tmp_path / "ckpt_ss")
+        ).collect()
+    }
+    assert streamed == batch
