@@ -255,3 +255,43 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 6).alias("revenue"),
         F.round(F.sum("rev").over(w), 6).alias("rolling_7d"),
     ).orderBy("day")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("timeseries", "window", "sequence", "agg"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events per user —
+    the sequence-analytics primitive under journey analysis and
+    next-event prediction features. One window (partitioned by user_id
+    — uniform keys, bounded partitions) + one small aggregate; ties on
+    ts break on event_id so both engines see the same ordering."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

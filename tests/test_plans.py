@@ -193,3 +193,46 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_same_key_aggregations_reuse_one_exchange(spark, sf_dir):
+    """Two aggregates consumed off the same shuffled child reuse ONE
+    exchange (ReusedExchange) — at 100 TB the second shuffle of the
+    fact table is the one you didn't pay."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    )
+    big = per_key.filter(F.col("q") > 100)
+    small = per_key.filter(F.col("q") <= 100)
+    both = big.join(small, "l_orderkey", "full_outer")
+    # AQE finalizes (and reuses) only during execution of THIS df's own
+    # query execution — count() would spawn a separate one
+    both.collect()
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_observe_metrics_ride_the_job(spark, sf_dir):
+    """df.observe: data-quality counters collected DURING the action —
+    no second scan. The pattern every production pipeline uses to emit
+    row counts / null counts / sums alongside the write."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+        F.count_if(F.col("l_discount") > 0.1).alias("big_discounts"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == li.count() == n
+    assert got["total_qty"] == li.agg(F.sum("l_quantity")).first()[0]
+    assert got["big_discounts"] == li.filter(F.col("l_discount") > 0.1).count()
