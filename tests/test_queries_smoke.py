@@ -23,7 +23,7 @@ def test_contract_shape():
     qs = m.queries()
     oracles = m.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 60
+    assert len(qs) >= 140
     assert "flagship_avg_by_group" in qs
 
 
