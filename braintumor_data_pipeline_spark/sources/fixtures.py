@@ -37,17 +37,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make ``events.parquet`` (TIMESTAMP(NANOS)) readable in THIS session.
+
+    Runtime-settable; needed for any raw ``spark.read.parquet`` of the
+    events fixture outside :func:`load_table` (e.g. the streaming
+    runners that stage the file for a file-source stream).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning for free.
 
     ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
     Spark's reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set by our session factory) it arrives as int64 nanos and is
-    converted here to a microsecond timestamp (floor division — the same
-    truncation DuckDB's ``epoch_us`` applies to TIMESTAMP_NS).
+    it arrives as int64 nanos and is converted here to a microsecond
+    timestamp (floor division — the same truncation DuckDB's ``epoch_us``
+    applies to TIMESTAMP_NS). The conf is runtime-settable, and sessions
+    not built by our factory (e.g. the driver harness's) won't have it,
+    so it is set defensively here before every read.
     """
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    # Defensive: works in any session, not just ones from session.get_spark().
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

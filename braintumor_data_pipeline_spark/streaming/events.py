@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.fixtures import load_table as _t
+from ..sources.fixtures import ensure_nanos_readable, load_table as _t
 
 _US_5M = 300_000_000
 _US_30M = 1_800_000_000
@@ -243,6 +243,7 @@ def run_streaming_tumbling_counts(
 
     Tests assert this equals ``events_tumbling_5m`` (batch ≡ stream).
     """
+    ensure_nanos_readable(spark)
     import shutil
 
     # file stream sources need a DIRECTORY; stage the single parquet file
@@ -341,6 +342,7 @@ def run_stream_stream_join(
     watermarks and the join's time band lets Spark expire state — the
     production pattern for event-correlation pipelines. Returns the
     joined rows after processing all available input."""
+    ensure_nanos_readable(spark)
     import shutil
 
     stage_dir = os.path.join(checkpoint_dir + "_src")
@@ -411,6 +413,7 @@ def run_streaming_dedup_counts(
     100 TB/day of events, unbounded dedup state is the difference between
     a running job and an OOM'd one.
     """
+    ensure_nanos_readable(spark)
     import os as _os
     import shutil
 
@@ -464,6 +467,7 @@ def run_stream_static_join(
     store involvement at all, which is why stream-static is the FIRST
     tool for dimension enrichment before reaching for stream-stream
     state. Tests assert ≡ the batch join."""
+    ensure_nanos_readable(spark)
     import os as _os
     import shutil
 

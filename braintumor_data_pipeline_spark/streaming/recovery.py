@@ -25,12 +25,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.fixtures import ensure_nanos_readable
+
 
 def stage_events_split(
     spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 3
 ) -> list[str]:
     """Split the events fixture into n parquet files so tests can feed
     the file source incrementally. Deterministic split on event_id."""
+    ensure_nanos_readable(spark)
     os.makedirs(stage_dir, exist_ok=True)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     paths = []
@@ -54,6 +57,7 @@ def run_recoverable_totals(
     """Process all currently-available files, then stop. Returns the
     number of input rows THIS run read (0 on a no-new-data restart).
     The result table at ``out_dir`` always holds the current totals."""
+    ensure_nanos_readable(spark)
     raw_schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(raw_schema)

@@ -21,6 +21,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..sources.fixtures import ensure_nanos_readable
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -63,6 +65,7 @@ def run_stateful_type_totals(
     """Run the stateful counter as a real Structured Streaming job over
     the events parquet; returns the last emitted totals per event_type.
     Tests assert they equal the batch group-by."""
+    ensure_nanos_readable(spark)
     stage_dir = checkpoint_dir + "_src"
     os.makedirs(stage_dir, exist_ok=True)
     shutil.copy(
