@@ -349,8 +349,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN w > 0
-               THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash60
+           CAST(sum(CASE WHEN w > 0
+               THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash60
     FROM bits
     GROUP BY doc_id
     """,

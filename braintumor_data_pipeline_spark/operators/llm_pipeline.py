@@ -49,7 +49,7 @@ def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "train_test_split_documents",
     oracle="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT CASE
                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

@@ -35,10 +35,10 @@ _MASKED_SQL = f"""
 
 _CONFUSION_SQL = f"""
       SELECT image_id,
-             sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp,
-             sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
-             sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn,
-             sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS tn
+             CAST(sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       FROM ({_MASKED_SQL})
       GROUP BY image_id
 """

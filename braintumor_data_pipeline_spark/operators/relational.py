@@ -781,7 +781,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT k, count(*) AS n,
            count(k) AS n_nonnull_k,
-           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
            coalesce(k, 'URGENTISH') AS k_filled
     FROM (
       SELECT nullif(o_orderpriority, '1-URGENT') AS k FROM orders
