@@ -53,6 +53,28 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 16
+BITS_PER_TABLE = 4
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
+    """Deterministic ±1 hyperplanes: sign of bit0 of md5('<p>#<d>').
+
+    Computed in Python (pure hashlib, no RNG) and inlined as array
+    literals — the planes are query constants, broadcast with the plan.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        coeffs = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}#{d}".encode()).hexdigest()
+            coeffs.append(1.0 if int(h[0], 16) % 2 else -1.0)
+        planes.append(coeffs)
+    return planes
+
+
 @register(
     "knn_bruteforce_cosine",
     oracle="""
@@ -152,24 +174,153 @@ def knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_signatures(vec: DataFrame) -> DataFrame:
+    """NARROW LSH signatures: one (vec_id, tbl, bucket) row per vector
+    per table — 16 tables × 4 sign bits, planes inlined as constants.
+    Signs are taken on round(dot, 6) so DuckDB replays them exactly.
+    Deliberately excludes the vector columns: candidate joins downstream
+    must move ids, not 64-dim arrays."""
+    planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
+
+    def _bucket(t: int):
+        bits = [
+            F.when(
+                F.round(
+                    _dot(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in planes[t * BITS_PER_TABLE + b]]),
+                    ),
+                    6,
+                )
+                > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(BITS_PER_TABLE)
+        ]
+        out = bits[0]
+        for bb in bits[1:]:
+            out = out + bb
+        return out
+
+    return vec.select(
+        "vec_id",
+        F.posexplode(F.array(*[_bucket(t) for t in range(N_TABLES)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+
+
+def _neardup_bucket_sql(table: int, planes: list) -> str:
+    """DuckDB expression replaying one LSH table's 4-bit sign bucket.
+
+    Must be arithmetic-identical to the Spark side: dot product in
+    float64 (same left-to-right accumulation), rounded to 6 decimals
+    before the sign test so both engines agree at the bit boundary.
+    """
+    bits = []
+    for b in range(BITS_PER_TABLE):
+        coeffs = ", ".join(
+            str(c) for c in planes[table * BITS_PER_TABLE + b]
+        )
+        bits.append(
+            f"(CASE WHEN round(list_dot_product("
+            f"CAST(embedding AS DOUBLE[]), [{coeffs}]), 6) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _neardup_oracle() -> str:
+    """Oracle for the LSH near-dup: identical deterministic banding
+    (16 tables × 4 sign bits from md5-derived ±1 hyperplanes), bucket
+    self-join for candidates, exact cosine re-check ≥ 0.3."""
+    planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
+    sigs = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl,\n"
+        f"             {_neardup_bucket_sql(t, planes)} AS bucket\n"
+        f"      FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH sigs AS (
+{sigs}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])),
+                 4) AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 4)
+          >= 0.3
+    """
+
+
 @register(
     "embedding_neardup_pairs",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])),
-                 4) AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4)
-          >= 0.3
-    """,
-    tags=("similarity", "dedup", "join"),
+    oracle=_neardup_oracle(),
+    tags=("similarity", "dedup", "lsh", "join"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all pairs ≥ threshold).
-    Brute-force here; the LSH variant below is the sub-quadratic path."""
+    """Embedding-cosine near-duplicate pairs ≥ 0.3 via LSH banding —
+    the sub-quadratic scale path, and still exactly oracle-checkable
+    because the hyperplanes are deterministic md5-derived constants the
+    oracle replays verbatim (signs taken on round(dot, 6) so both
+    engines agree at the boundary).
+
+    Candidates are pairs sharing ANY of 16 4-bit sign-buckets (~0.89
+    collision odds at cos 0.3), then exact-cosine re-checked. The
+    shuffle key is (table, bucket): disjoint buckets never meet, so
+    cost scales with bucket occupancy, not n². The all-pairs recall
+    reference lives in ``embedding_neardup_allpairs`` (test-tier only,
+    deliberately NOT registered).
+
+    Memory shape: candidate generation is NARROW — signatures carry only
+    (vec_id, tbl, bucket), so the bucket self-join and pair dedup move
+    three ints per row; the 64-dim vectors join back only for the
+    deduped pairs' exact re-rank. Never let the wide array ride the
+    pair explosion (doing so OOMs at 2k vectors / 1g heap; measured)."""
+    vec = _vectors(spark, sf_dir)
+    sigs = _sign_signatures(vec)
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    av = vec.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    bv = vec.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact near-dup — the RECALL REFERENCE for the LSH
+    variant above. O(n²): test-tier only, deliberately not registered;
+    tests measure ``embedding_neardup_pairs`` recall against it."""
     vec = _vectors(spark, sf_dir)
     a = vec.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("an")
@@ -186,28 +337,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
-    """Deterministic ±1 hyperplanes: sign of bit0 of md5('<p>#<d>').
-
-    Computed in Python (pure hashlib, no RNG) and inlined as array
-    literals — the planes are query constants, broadcast with the plan.
-    """
-    import hashlib
-
-    planes = []
-    for p in range(n_planes):
-        coeffs = []
-        for d in range(dim):
-            h = hashlib.md5(f"{p}#{d}".encode()).hexdigest()
-            coeffs.append(1.0 if int(h[0], 16) % 2 else -1.0)
-        planes.append(coeffs)
-    return planes
-
-
-N_TABLES = 16
-BITS_PER_TABLE = 4
-
-
 @register("ann_lsh_cosine", oracle=None, tags=("similarity", "lsh", "approx"))
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH:
@@ -220,64 +349,34 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates = union of same-(table, bucket) pairs -> exact cosine
     re-rank -> top-5. The shuffle key is (table, bucket); at scale, more
     bits per table shrink buckets and more tables raise recall - both
-    knobs scale linearly in cost. Rows-only driver check; tests gate
-    recall vs brute force."""
+    knobs scale linearly in cost. Candidate generation is NARROW (ids
+    only, via _sign_signatures); vectors join back after the pair
+    dedup. Rows-only driver check; tests gate recall vs brute force."""
     vec = _vectors(spark, sf_dir)
-    planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
-
-    def _bucket(t: int):
-        # bucket of table t = sum_{b<BITS} [v . plane_{t*BITS+b} > 0] * 2^b
-        bits = [
-            F.when(
-                _dot(
-                    F.col("v"),
-                    F.array(
-                        *[F.lit(c) for c in planes[t * BITS_PER_TABLE + b]]
-                    ),
-                )
-                > 0,
-                F.lit(1 << b),
-            ).otherwise(F.lit(0))
-            for b in range(BITS_PER_TABLE)
-        ]
-        out = bits[0]
-        for bb in bits[1:]:
-            out = out + bb
-        return out
-
-    table_buckets = F.array(*[_bucket(t) for t in range(N_TABLES)])
-    sigs = vec.select(
-        "vec_id", "v", "nrm",
-        F.posexplode(table_buckets).alias("table", "bucket"),
-    )
-    a = sigs.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "table",
-        "bucket",
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bn"),
-        F.col("table").alias("btable"),
-        F.col("bucket").alias("bbucket"),
-    )
+    sigs = _sign_signatures(vec)
     cand = (
-        a.join(
-            b,
-            (F.col("table") == F.col("btable"))
-            & (F.col("bucket") == F.col("bbucket"))
-            & (F.col("qid") != F.col("nid")),
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        .select("qid", "qv", "qn", "nid", "bv", "bn")
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
         .dropDuplicates(["qid", "nid"])
+    )
+    qv = vec.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    bv = vec.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
     )
     sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        cand.select("qid", "nid", sim.alias("sim"))
+        cand.join(qv, "qid")
+        .join(bv, "nid")
+        .select("qid", "nid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )

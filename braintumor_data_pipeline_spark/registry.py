@@ -35,6 +35,98 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: The driver hash-checks only the FIRST 50 entries of ``queries()``
+#: (registration order). This explicit window samples every operator
+#: family of SURVEY §2.4-§2.11 plus the LLM-pipeline families, is
+#: oracle-backed throughout (rows-only queries carry no hash signal and
+#: are ordered last), and contains every bench.py HEADLINE query so the
+#: perf and correctness gates cover the same surface.
+DRIVER_WINDOW = 50
+PRIORITY: tuple[str, ...] = (
+    # relational core (scan/filter/proj/agg/join/setop/window/topk)
+    "flagship_avg_by_group",
+    "latest_events",
+    "group_stats_pop",
+    "pricing_summary",
+    "star_join_revenue",
+    "semi_join_active_customers",
+    "setop_intersect_nations",
+    "setop_except_all_partkeys",
+    "window_rank_orders",
+    "rollup_lineitem",
+    "histogram_totalprice",
+    "argmax_per_group",
+    "null_semantics_groups",
+    "json_extract_props",
+    "proj_hash_null_scalars",
+    "proj_path_functions",
+    "top_revenue_orders",
+    # analytics (stats, pivot, scalar function surfaces, Arrow UDAF)
+    "agg_statistics",
+    "pivot_event_type_counts",
+    "string_functions",
+    "geomean_grouped_agg_udf",
+    # text analysis
+    "token_stats",
+    "bm25_search_topk",
+    "lang_id_heuristic",
+    # dedup
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "minhash_dedup_groups",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    # similarity / kNN
+    "knn_bruteforce_cosine",
+    "knn_within_label",
+    # pixel relation (imaging as SQL)
+    "pixel_windowing",
+    "pixel_minmax_normalize",
+    "pixel_argmax_seed",
+    # mask algebra / metrics
+    "mask_confusion",
+    "mask_metrics",
+    "mask_boundary_perimeter",
+    # iterative segmentation
+    "region_grow_component",
+    # skew handling + connected components
+    "salted_heavy_key_agg",
+    "dedup_connected_components",
+    # TPC-H shapes
+    "q12_priority_by_returnflag",
+    "q3_shipping_priority",
+    # LLM pipeline stages
+    "train_test_split_documents",
+    "corpus_prep_end_to_end",
+    # CDC
+    "scd2_user_type_history",
+    # timeseries
+    "rolling_7d_revenue",
+    "event_transition_matrix",
+    # streaming (batch-equivalent forms)
+    "events_tumbling_5m",
+    "events_session_30m",
+    "events_asof_last_view",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    """Registry in driver-facing order: PRIORITY window first, then the
+    remaining oracle-backed queries (registration order), then rows-only
+    queries (no hash signal — never let them occupy a checked slot)."""
+    missing = [n for n in PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
+    out: dict[str, QuerySpec] = {n: _REGISTRY[n] for n in PRIORITY}
+    rest = [n for n in _REGISTRY if n not in out]
+    for n in rest:
+        if _REGISTRY[n].oracle:
+            out[n] = _REGISTRY[n]
+    for n in rest:
+        if not _REGISTRY[n].oracle:
+            out[n] = _REGISTRY[n]
+    return out
+
 
 def register(
     name: str,
@@ -55,9 +147,11 @@ def register(
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """Name → spec for everything registered (imports the operator modules)."""
+    """Name → spec for everything registered (imports the operator
+    modules), ordered so the driver's checked prefix samples every
+    operator family (see PRIORITY)."""
     _load_all()
-    return dict(_REGISTRY)
+    return _ordered()
 
 
 def queries_dict() -> dict[str, QueryFn]:

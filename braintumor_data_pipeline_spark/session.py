@@ -36,6 +36,10 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # --- dims (region/nation/customer at small SF) broadcast freely ---
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local-mode JVM heap: the 1g default is thin for 32 executor
+    # threads; only applies when this factory launches the JVM (a real
+    # cluster sets executor/driver memory in its submit config)
+    "spark.driver.memory": "8g",
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",

@@ -27,6 +27,33 @@ def test_contract_shape():
     assert "flagship_avg_by_group" in qs
 
 
+def test_driver_window_samples_every_family():
+    """The driver hash-checks only the first DRIVER_WINDOW queries; that
+    prefix must be exactly PRIORITY: oracle-backed throughout, covering
+    every operator family, and containing every bench HEADLINE query so
+    perf and correctness gates cover the same surface."""
+    import bench
+
+    specs = registry.all_queries()
+    names = list(specs)
+    window = names[: registry.DRIVER_WINDOW]
+
+    assert len(registry.PRIORITY) == registry.DRIVER_WINDOW
+    assert window == list(registry.PRIORITY)
+    # every windowed query carries a hashable oracle
+    assert all(specs[n].oracle for n in window)
+    # every operator family (module) with any oracle-backed query has a
+    # representative inside the window
+    fam = lambda n: specs[n].fn.__module__.rsplit(".", 1)[-1]  # noqa: E731
+    oracle_fams = {fam(n) for n in specs if specs[n].oracle}
+    assert oracle_fams == {fam(n) for n in window}
+    # bench and driver check the same surface
+    assert set(bench.HEADLINE) <= set(window)
+    # rows-only queries never occupy a slot ahead of an oracle-backed one
+    kinds = [bool(specs[n].oracle) for n in names]
+    assert kinds == sorted(kinds, reverse=True)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as m
 

@@ -25,6 +25,26 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall too low: {recall:.2f}"
 
 
+def test_neardup_lsh_recall_vs_allpairs(spark, sf_dir):
+    """The registered near-dup query is LSH-bucketed (sub-quadratic);
+    its output must be a subset of the exact all-pairs result (the LSH
+    never invents pairs — exact re-check) with solid recall."""
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_allpairs,
+        embedding_neardup_pairs,
+    )
+
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(spark, sf_dir).collect()}
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_allpairs(spark, sf_dir).collect()
+    }
+    assert exact, "all-pairs reference returned nothing"
+    assert lsh <= exact, "LSH produced a pair the exact check rejects"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7, f"near-dup LSH recall too low: {recall:.2f}"
+
+
 def test_bruteforce_sims_sane(spark, sf_dir):
     rows = knn_bruteforce_cosine(spark, sf_dir).collect()
     assert all(-1.0 <= r.sim <= 1.0 for r in rows)

@@ -32,7 +32,6 @@ from braintumor_data_pipeline_spark.session import get_spark
 # detected structurally instead — see _all_nlj_are_scalar_broadcasts.
 CARTESIAN_OK = {
     "knn_bruteforce_cosine",   # broadcast query side (50 rows) by design
-    "embedding_neardup_pairs", # all-pairs tier; LSH/IVF are the scale path
     "null_aware_not_in",       # NAAJ demo: the NLJ IS the documented lesson
 }
 
