@@ -152,7 +152,8 @@ def run_etl(
 ) -> int:
     """Execute the full pipeline: PNG side-sink (S9) + stats append sink
     (S10, `WRITE_APPEND`/`CREATE_IF_NEEDED` ≈ parquet mode=append).
-    Returns the number of stats rows written."""
+    Returns the number of stats rows THIS run wrote (the parquet table
+    itself is append-mode and accumulates across runs)."""
     df = process_dicom_files(spark, input_glob, processed_dir).cache()
     try:
         df.select("file_name", "png").foreachPartition(
@@ -160,6 +161,6 @@ def run_etl(
         )
         stats = df.drop("png")
         stats.write.mode("append").parquet(stats_path)
-        return spark.read.parquet(stats_path).count()
+        return stats.count()  # served from the cache — this run only
     finally:
         df.unpersist()

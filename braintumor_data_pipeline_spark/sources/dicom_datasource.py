@@ -93,13 +93,25 @@ class DicomDataSourceReader(DataSourceReader):
 def _decode_one(fpath):
     import numpy as np
 
+    from ..functions.imaging import (
+        apply_windowing_pipeline,
+        clahe,
+        gaussian_blur,
+    )
     from .dicom import dcmread
 
     with open(fpath, "rb") as f:
         ds = dcmread(f.read())
-    img = ds.pixel_array.astype(np.float64)
-    wc = ds.window_center
-    ww = ds.window_width
+    img = ds.pixel_array
+    wc_vals = ds.window_center
+    ww_vals = ds.window_width
+    wc = wc_vals[0] if wc_vals else None
+    ww = ww_vals[0] if ww_vals else None
+    # stats are taken on the PROCESSED uint8 image (window → CLAHE →
+    # blur), exactly like the reference DoFn (dataflow_pipeline.py:75-88)
+    img_u8, wc, ww = apply_windowing_pipeline(img, wc, ww)
+    img_u8 = clahe(img_u8, clip_limit=2.0, tile_grid=(8, 8))
+    img_u8 = gaussian_blur(img_u8, 0.5)
     return (
         fpath,
         os.path.basename(fpath),
@@ -108,12 +120,12 @@ def _decode_one(fpath):
         ds.SeriesInstanceUID or None,
         ds.SOPInstanceUID or None,
         ds.Modality or None,
-        int(img.shape[0]),
-        int(img.shape[1]),
-        float(wc[0]) if wc else None,
-        float(ww[0]) if ww else None,
-        float(np.mean(img)),
-        float(np.std(img)),
+        int(img_u8.shape[0]),
+        int(img_u8.shape[1]),
+        float(wc) if wc is not None else None,
+        float(ww) if ww is not None else None,
+        float(np.mean(img_u8)),
+        float(np.std(img_u8)),  # population std (A2)
     )
 
 

@@ -84,9 +84,11 @@ def test_run_etl_sinks(spark, dicom_dir, tmp_path):
     assert len(pngs) == 12 and pngs[0] == "img_000.png"
     img = decode_png((tmp_path / "processed" / "img_000.png").read_bytes())
     assert img.shape == (64, 64) and img.dtype == np.uint8
-    # append semantics (S10 WRITE_APPEND)
+    # append semantics (S10 WRITE_APPEND): each run writes its own 12
+    # rows and reports only them; the table accumulates
     n2 = run_etl(spark, dicom_dir, processed, stats)
-    assert n2 == 24
+    assert n2 == 12
+    assert spark.read.parquet(stats).count() == 24
     # flagship A13 over the stats table (README.md:167-172 shape)
     stats_df = spark.read.parquet(stats)
     agg = (

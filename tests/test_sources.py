@@ -159,11 +159,22 @@ class TestDicomDataSource:
         assert by_name["f_01.dcm"].window_center == 800.0
         assert by_name["f_01.dcm"].window_width == 1600.0
         assert by_name["f_00.dcm"].window_center is None
-        # stats are np.mean / population np.std over raw pixels
+        # stats are np.mean / population np.std over the PROCESSED uint8
+        # image (window→CLAHE→blur), per the reference DoFn
+        # (dataflow_pipeline.py:75-88)
+        from braintumor_data_pipeline_spark.functions.imaging import (
+            apply_windowing_pipeline,
+            clahe,
+            gaussian_blur,
+        )
         from braintumor_data_pipeline_spark.sources.dicom import dcmread
 
         with open(f"{dicom_dir}/f_02.dcm", "rb") as f:
-            img = dcmread(f.read()).pixel_array.astype(np.float64)
+            ds = dcmread(f.read())
+        wc = ds.window_center[0] if ds.window_center else None
+        ww = ds.window_width[0] if ds.window_width else None
+        img, _, _ = apply_windowing_pipeline(ds.pixel_array, wc, ww)
+        img = gaussian_blur(clahe(img, clip_limit=2.0, tile_grid=(8, 8)), 0.5)
         assert by_name["f_02.dcm"].mean_intensity == pytest.approx(np.mean(img))
         assert by_name["f_02.dcm"].std_intensity == pytest.approx(np.std(img))
 
