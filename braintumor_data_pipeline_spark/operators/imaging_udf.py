@@ -35,6 +35,112 @@ def _grid_with_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_images_df(spark, sf_dir, with_gt=True)
 
 
+# DuckDB replay of grid_images_df(with_gt=True): dense row index over
+# orders, both value channels, complete 32×32 grids only.
+_GRID_GT_SQL = """
+      SELECT CAST(rn0 // 1024 AS INT) AS image_id,
+             CAST((rn0 % 1024) // 32 AS INT) AS y,
+             CAST(rn0 % 32 AS INT) AS x,
+             v, v2
+      FROM (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0,
+               CAST((o_orderkey * 2654435761) % 256 AS INT) AS v,
+               CAST((o_orderkey * 2246822519) % 256 AS INT) AS v2
+        FROM orders
+      )
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+"""
+
+
+@register(
+    "imaging_udf_stats",
+    oracle=f"""
+    SELECT image_id,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+           round(stddev_pop(CAST(v AS DOUBLE)), 6) AS std_v,
+           min(v) AS min_v,
+           max(v) AS max_v,
+           count(*) AS n_px
+    FROM ({_GRID_GT_SQL})
+    GROUP BY image_id
+    """,
+    tags=("imaging", "udf", "agg"),
+)
+def imaging_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image mean / population-std / min / max computed INSIDE the
+    applyInPandas numpy path (the reference DoFn's stats,
+    `dataflow_pipeline.py:87-88`) and hash-checked against the
+    pixel-relation SQL — driver-verifiable evidence that the Arrow
+    group→array reconstruction and the numpy reductions agree with the
+    relational semantics, not just that they return rows."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        arr = v.astype(np.float64)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "mean_v": round(float(arr.mean()), 6),
+                    "std_v": round(float(arr.std()), 6),  # population (A2)
+                    "min_v": int(arr.min()),
+                    "max_v": int(arr.max()),
+                    "n_px": int(arr.size),
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, mean_v double, std_v double, min_v int,"
+        " max_v int, n_px long",
+    )
+
+
+@register(
+    "imaging_udf_confusion",
+    oracle=f"""
+    SELECT image_id,
+           CAST(sum(CASE WHEN v >= 128 AND v2 >= 128 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN v >= 128 AND v2 < 128 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN v < 128 AND v2 >= 128 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN v < 128 AND v2 < 128 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM ({_GRID_GT_SQL})
+    GROUP BY image_id
+    """,
+    tags=("imaging", "udf", "masks", "agg"),
+)
+def imaging_udf_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP/FP/FN/TN per image (A8, `evaluation.py:148-151`) computed with
+    numpy logical ops inside applyInPandas — the UDF twin of the pure-SQL
+    ``mask_confusion``, so the driver hash-checks the imaging-UDF mask
+    path against relational semantics."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        v, v2 = _to_arrays(pdf, ("v", "v2"))
+        pred = v >= 128
+        gt = v2 >= 128
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "tp": int(np.sum(pred & gt)),
+                    "fp": int(np.sum(pred & ~gt)),
+                    "fn": int(np.sum(~pred & gt)),
+                    "tn": int(np.sum(~pred & ~gt)),
+                }
+            ]
+        )
+
+    return _grid_with_gt(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply, schema="image_id int, tp long, fp long, fn long, tn long"
+    )
+
+
 def _to_arrays(pdf: pd.DataFrame, cols=("v",)) -> list[np.ndarray]:
     out = []
     for c in cols:

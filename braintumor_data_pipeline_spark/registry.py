@@ -51,7 +51,6 @@ PRIORITY: tuple[str, ...] = (
     "star_join_revenue",
     "semi_join_active_customers",
     "setop_intersect_nations",
-    "setop_except_all_partkeys",
     "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
@@ -64,8 +63,10 @@ PRIORITY: tuple[str, ...] = (
     # analytics (stats, pivot, scalar function surfaces, Arrow UDAF)
     "agg_statistics",
     "pivot_event_type_counts",
-    "string_functions",
     "geomean_grouped_agg_udf",
+    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
+    "imaging_udf_stats",
+    "imaging_udf_confusion",
     # text analysis
     "token_stats",
     "bm25_search_topk",
