@@ -159,6 +159,101 @@ def region_grow_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Threshold for the capped variant — chosen so the seed component is
+#: LARGER than the 100-dequeue budget on every fixture image (measured:
+#: uncapped 780 px vs capped 133 px at sf0.01), i.e. the cap actually
+#: truncates and the quirk is exercised, not vacuously satisfied.
+CAP_THRESHOLD = 0.7
+
+# The reference's BFS neighbor order (functions/imaging.py _OFFSETS_8),
+# as a DuckDB struct-list literal — enqueue order must match exactly.
+_OFFSETS_8_SQL = (
+    "[{'dy': -1, 'dx': 0}, {'dy': -1, 'dx': 1}, {'dy': 0, 'dx': 1},"
+    " {'dy': 1, 'dx': 1}, {'dy': 1, 'dx': 0}, {'dy': 1, 'dx': -1},"
+    " {'dy': 0, 'dx': -1}, {'dy': -1, 'dx': -1}]"
+)
+
+
+def _capped_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    """FIFO BFS with the reference's 100-dequeue cap, no morphology —
+    isolates the truncation quirk for exact value parity."""
+    img = np.zeros((GRID, GRID), dtype=np.uint8)
+    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+    mask = region_growing_np(
+        img, SEED_YX, threshold=CAP_THRESHOLD, connectivity=8,
+        max_iterations=100, morphology=False,
+    )
+    ys, xs = np.nonzero(mask)
+    return pd.DataFrame(
+        {
+            "image_id": np.full(len(ys), int(pdf["image_id"].iloc[0]), dtype="int32"),
+            "y": ys.astype("int32"),
+            "x": xs.astype("int32"),
+        }
+    )
+
+
+@register(
+    "region_grow_capped",
+    oracle=f"""
+    WITH RECURSIVE grid AS ({_GRID_SQL}
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+    ),
+    seeds AS (SELECT image_id, v AS sv FROM grid WHERE y = 16 AND x = 16),
+    adm AS (
+      SELECT g.image_id, list(g.y * 32 + g.x ORDER BY g.y * 32 + g.x)
+               AS adm_list
+      FROM grid g JOIN seeds s USING (image_id)
+      WHERE abs(g.v / 255.0 - s.sv / 255.0) <= {CAP_THRESHOLD}
+      GROUP BY g.image_id
+    ),
+    bfs AS (
+      SELECT image_id, 0 AS step, [528] AS queue, [528] AS mask, adm_list
+      FROM adm
+      UNION ALL
+      SELECT image_id, step + 1,
+             list_concat(queue[2:], admitted) AS queue,
+             list_concat(mask, admitted) AS mask, adm_list
+      FROM (
+        SELECT image_id, step, queue, mask, adm_list,
+               [p FOR p IN
+                 [ (queue[1] // 32 + o['dy']) * 32
+                     + (queue[1] % 32 + o['dx'])
+                   FOR o IN {_OFFSETS_8_SQL}
+                   IF queue[1] // 32 + o['dy'] BETWEEN 0 AND 31
+                      AND queue[1] % 32 + o['dx'] BETWEEN 0 AND 31 ]
+                 IF list_contains(adm_list, p)
+                    AND NOT list_contains(mask, p)
+               ] AS admitted
+        FROM bfs WHERE len(queue) > 0 AND step < 100
+      )
+    )
+    SELECT image_id, CAST(p // 32 AS INT) AS y, CAST(p % 32 AS INT) AS x
+    FROM (SELECT image_id, mask,
+                 row_number() OVER (PARTITION BY image_id
+                                    ORDER BY step DESC) AS rn
+          FROM bfs), UNNEST(mask) AS t(p)
+    WHERE rn = 1
+    """,
+    tags=("segmentation", "iterative"),
+)
+def region_grow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's max_iterations DEQUEUE-CAP quirk
+    (`region_growing.py:67`: default 100, silently truncates large
+    regions) under exact value parity: Spark runs the FIFO BFS in numpy
+    per image; the oracle replays it ONE DEQUEUE PER RECURSION STEP in a
+    DuckDB recursive CTE whose state rows carry the queue and mask as
+    lists, with the identical 8-neighbor enqueue order. Threshold 0.7
+    makes every fixture image's component exceed the cap, so the
+    truncated mask (not the full component) is what both engines must
+    agree on. Morphology is off — that post-pass is covered by
+    ``region_grow_faithful`` goldens."""
+    g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _capped_apply, schema="image_id int, y int, x int"
+    )
+
+
 def _faithful_apply(pdf: pd.DataFrame) -> pd.DataFrame:
     """The reference-faithful variant: FIFO BFS with the max_iterations
     dequeue cap (default 100) and open(3×3)+close(5×5) morphology."""

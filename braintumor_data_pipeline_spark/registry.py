@@ -49,7 +49,6 @@ PRIORITY: tuple[str, ...] = (
     "group_stats_pop",
     "pricing_summary",
     "star_join_revenue",
-    "semi_join_active_customers",
     "setop_intersect_nations",
     "window_rank_orders",
     "rollup_lineitem",
@@ -88,8 +87,9 @@ PRIORITY: tuple[str, ...] = (
     "mask_confusion",
     "mask_metrics",
     "mask_boundary_perimeter",
-    # iterative segmentation
+    # iterative segmentation (uncapped component + the dequeue-cap quirk)
     "region_grow_component",
+    "region_grow_capped",
     # skew handling + connected components
     "salted_heavy_key_agg",
     "dedup_connected_components",

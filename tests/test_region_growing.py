@@ -110,3 +110,39 @@ def test_adaptive_shrinks_large_region():
         connectivity=4, max_iterations=100000,
     )
     assert t < 0.3  # threshold was decreased from the initial
+
+
+def test_capped_query_cap_actually_binds(spark, sf_dir):
+    """region_grow_capped exists to pin the reference's 100-dequeue
+    truncation quirk — so the cap must actually truncate: every image's
+    capped mask must be strictly smaller than the uncapped component at
+    the same threshold (otherwise the oracle parity is vacuous)."""
+    from collections import Counter
+
+    from braintumor_data_pipeline_spark.operators.segmentation import (
+        CAP_THRESHOLD,
+        GRID,
+        SEED_YX,
+        grid_images_df,
+        region_grow_capped,
+    )
+
+    capped = Counter(
+        r.image_id for r in region_grow_capped(spark, sf_dir).collect()
+    )
+    assert capped, "no images produced"
+    # replay uncapped at the same threshold per image
+    rows = grid_images_df(spark, sf_dir).collect()
+    imgs: dict[int, np.ndarray] = {}
+    for r in rows:
+        imgs.setdefault(r.image_id, np.zeros((GRID, GRID), dtype=np.uint8))[
+            r.y, r.x
+        ] = r.v
+    for image_id, img in imgs.items():
+        full = region_growing_np(
+            img, SEED_YX, threshold=CAP_THRESHOLD, connectivity=8,
+            max_iterations=None, morphology=False,
+        )
+        assert capped[image_id] < int(full.sum()), (
+            f"cap did not bind on image {image_id}"
+        )
