@@ -28,8 +28,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..functions.imaging import sobel_magnitude
-from ..sources.png import decode_png, encode_png
+from ..functions.imaging import sobel_magnitude, to_grayscale
+from ..sources.image_io import decode_image
+from ..sources.png import encode_png
 from .segmentation import grid_images_df, GRID
 
 IMAGE_TABLE_SCHEMA = (
@@ -65,18 +66,22 @@ def images_as_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_features", oracle=None, tags=("multimodal", "udf"))
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage 2: decode the binary column and extract features (mean, std,
-    Sobel edge energy, downsampled 2×2 thumbnail means) — one fused Arrow
-    stage per batch of blobs, mirroring the ETL DoFn fusion."""
+def image_features_df(df: DataFrame) -> DataFrame:
+    """Feature stage over any (image_id, payload binary) table: decode
+    (magic-byte dispatch — PNG/BMP/JPEG/TIFF all work), grayscale if
+    needed, then mean/std/edge-energy/thumbnail features. One fused
+    Arrow stage per batch of blobs, mirroring the ETL DoFn fusion."""
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                img = decode_png(bytes(r["payload"]))
-                th = img.reshape(2, GRID // 2, 2, GRID // 2).mean(axis=(1, 3))
+                # magic-byte dispatch: PNG/BMP/JPEG/TIFF payloads all work
+                img = decode_image(bytes(r["payload"]))
+                if img.ndim == 3:
+                    img = to_grayscale(img)
+                g = img.shape[0]
+                th = img.reshape(2, g // 2, 2, g // 2).mean(axis=(1, 3))
                 rows.append(
                     {
                         "image_id": int(r["image_id"]),
@@ -97,11 +102,18 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return images_as_binary_table(spark, sf_dir).mapInPandas(
+    return df.mapInPandas(
         features,
         schema="image_id int, mean_v double, std_v double, edge_energy double,"
         " thumb_tl double, thumb_br double",
     )
+
+
+@register("multimodal_image_features", oracle=None, tags=("multimodal", "udf"))
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2: decode the binary column and extract features — the
+    registered composition of the two stages."""
+    return image_features_df(images_as_binary_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +235,9 @@ def image_resize_df(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                img = decode_png(bytes(r["payload"]))
+                img = decode_image(bytes(r["payload"]))
+                if img.ndim == 3:
+                    img = to_grayscale(img)
                 small = _resize_nearest(img, (out_size, out_size))
                 png = encode_png(small.astype(np.uint8))
                 rows.append(

@@ -3,10 +3,11 @@
 (`/root/reference/app.py:85`, `preprocessor.py:68-71`,
 `gcp_utils.py:34-36`).
 
-Formats are detected by magic bytes: PNG and BMP decode natively (pure
-Python, public specs); DICOM and NIfTI route to their readers. JPEG/TIFF
-need codec libraries absent from this container → NotImplementedError
-with a clear message (STUB; the dispatch/plumbing is the real part).
+Formats are detected by magic bytes: PNG, BMP, baseline JPEG (SOF0,
+any ≤2× chroma subsampling, restart markers — sources/jpeg.py) and
+uncompressed TIFF (sources/tiff.py) decode natively in pure
+numpy/Python from the public specs; DICOM and NIfTI route to their
+readers. Progressive JPEG and compressed TIFF raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -89,13 +90,11 @@ def decode_image(data: bytes) -> np.ndarray:
     ):
         return middle_slice(read_nifti(data))
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires codec libraries unavailable in this "
-            "environment (STUB — dispatch plumbing is real)"
-        )
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
-        raise NotImplementedError(
-            "TIFF decode requires codec libraries unavailable in this "
-            "environment (STUB — dispatch plumbing is real)"
-        )
+        from .tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError("unrecognized image format")

@@ -61,3 +61,179 @@ def test_dicom_without_preamble_like_force_true():
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     blob = dcmwrite(px)
     assert dcmread(blob[132:]).pixel_array.shape == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (sources/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+class TestJpeg:
+    def _gradient(self, h=37, w=53):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+
+    def test_flat_image_roundtrips_exactly(self):
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((24, 24), 128, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, 95)), img)
+
+    def test_gray_gradient_tight_error_odd_size(self):
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient()
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_444_and_420_roundtrip(self):
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        yy, xx = np.mgrid[0:37, 0:53]
+        img = np.stack(
+            [
+                np.clip(yy * 2 + 40, 0, 255),
+                np.clip(xx * 2 + 30, 0, 255),
+                np.clip(120 + yy - xx, 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        full = decode_jpeg(encode_jpeg(img, 90, subsample=False))
+        sub = decode_jpeg(encode_jpeg(img, 90, subsample=True))
+        assert full.shape == sub.shape == img.shape
+        assert np.abs(full.astype(int) - img.astype(int)).max() <= 6
+        assert np.abs(sub.astype(int) - img.astype(int)).max() <= 12
+
+    def test_encoder_is_deterministic_pinned(self):
+        """Golden: encoder bytes and decoded pixels are pinned, so any
+        codec change that alters output is caught."""
+        import hashlib
+
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(16, 16)
+        enc = encode_jpeg(img, 90)
+        assert enc == encode_jpeg(img, 90)
+        dec = decode_jpeg(enc)
+        # pinned hashes (regenerate deliberately if the codec changes)
+        assert hashlib.md5(enc).hexdigest() == ENC_MD5
+        assert hashlib.md5(dec.tobytes()).hexdigest() == DEC_MD5
+
+    def test_progressive_rejected(self):
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        enc = bytearray(encode_jpeg(self._gradient(16, 16), 90))
+        idx = enc.find(b"\xff\xc0")
+        enc[idx + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="coding process"):
+            decode_jpeg(bytes(enc))
+
+    def test_restart_markers_and_independent_files(self):
+        """Decode real JPEGs not produced by our encoder when present
+        (4:2:0 and DRI/RSTn files from system test data)."""
+        import os
+
+        from braintumor_data_pipeline_spark.sources.jpeg import decode_jpeg
+
+        candidates = [
+            # CPython test data (4:2:0), rust docs asset (DRI+RSTn)
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/test_email/data/python.jpg",
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/verify.jpeg",
+        ]
+        found = [p for p in candidates if os.path.exists(p)]
+        if not found:
+            pytest.skip("no independent JPEG files on this system")
+        for p in found:
+            img = decode_jpeg(open(p, "rb").read())
+            assert img.ndim in (2, 3) and img.size > 0
+
+
+ENC_MD5 = "f5714e5335c1b6d6e13f4b5b4bf8e970"
+DEC_MD5 = "e36ec303412db9a8684999b6881e86d6"
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed TIFF (sources/tiff.py)
+# ---------------------------------------------------------------------------
+
+
+class TestTiff:
+    def test_gray_roundtrip(self):
+        from braintumor_data_pipeline_spark.sources.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, size=(11, 7), dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(img)), img)
+
+    def test_rgb_roundtrip(self):
+        from braintumor_data_pipeline_spark.sources.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.RandomState(10)
+        img = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(img)), img)
+
+    def test_big_endian_and_white_is_zero(self):
+        """Hand-built MM (big-endian) file with PhotometricInterpretation
+        WhiteIsZero → values invert."""
+        import struct as st
+
+        from braintumor_data_pipeline_spark.sources.tiff import decode_tiff
+
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        body = img.tobytes()
+        entries = []
+
+        def entry(tag, typ, count, value):
+            entries.append(st.pack(">HHII", tag, typ, count, value))
+
+        entry(256, 4, 1, 4)
+        entry(257, 4, 1, 3)
+        entry(258, 3, 1, 8 << 16)  # SHORT value packed in upper bytes (BE)
+        entry(259, 3, 1, 1 << 16)
+        entry(262, 3, 1, 0)  # WhiteIsZero
+        entry(273, 4, 1, 8)
+        entry(277, 3, 1, 1 << 16)
+        entry(278, 4, 1, 3)
+        entry(279, 4, 1, len(body))
+        ifd = st.pack(">H", len(entries)) + b"".join(entries) + b"\0" * 4
+        data = b"MM\x00*" + st.pack(">I", 8 + len(body)) + body + ifd
+        assert np.array_equal(decode_tiff(data), 255 - img)
+
+    def test_compressed_rejected(self):
+        import struct as st
+
+        from braintumor_data_pipeline_spark.sources.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        data = bytearray(encode_tiff(np.zeros((2, 2), dtype=np.uint8)))
+        # find the Compression entry (tag 259) in the little-endian IFD
+        idx = data.find(st.pack("<HH", 259, 3))
+        data[idx + 8] = 5  # LZW
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_tiff(bytes(data))

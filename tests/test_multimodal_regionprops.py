@@ -194,3 +194,31 @@ def test_registered_audio_video_stages_value_pinned(spark, sf_dir):
     fr0 = raw[:16].reshape(4, 4)
     assert video[0].frame_idx == 0
     assert video[0].mean_v == pytest.approx(round(float(fr0.mean()), 6))
+
+
+def test_image_features_accept_jpeg_payloads(spark):
+    """The multimodal consumer dispatches on magic bytes - a JPEG
+    payload (S5 via sources/jpeg.py) flows through the same feature
+    stage as PNG, with features matching the pre-encode pixels."""
+    import pandas as pd
+
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        image_features_df,
+    )
+    from braintumor_data_pipeline_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    jpg = encode_jpeg(img, quality=95)
+    pdf = pd.DataFrame(
+        [{"image_id": 7, "format": "jpeg", "width": 32, "height": 32,
+          "n_bytes": len(jpg), "payload": jpg}]
+    )
+    rows = image_features_df(spark.createDataFrame(pdf)).collect()
+    assert len(rows) == 1 and rows[0].image_id == 7
+    dec = decode_jpeg(jpg)  # lossy: compare features to DECODED pixels
+    assert rows[0].mean_v == round(float(dec.mean()), 6)
+    assert rows[0].std_v == round(float(dec.std()), 6)

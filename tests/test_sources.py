@@ -59,8 +59,14 @@ def test_decode_image_dispatch():
     vol = np.zeros((3, 4, 4), dtype=np.int16)
     vol[1] = 7
     assert (decode_image(write_nifti(vol)) == 7).all()
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
+    from braintumor_data_pipeline_spark.sources.jpeg import encode_jpeg
+    from braintumor_data_pipeline_spark.sources.tiff import encode_tiff
+
+    jpg = decode_image(encode_jpeg(gray, quality=95))
+    assert jpg.shape == gray.shape and np.abs(
+        jpg.astype(int) - gray.astype(int)
+    ).max() <= 8
+    assert np.array_equal(decode_image(encode_tiff(rgb)), rgb)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"garbage")
 
