@@ -9,6 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col, dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -326,7 +327,7 @@ def union_all_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'large' END AS bucket,
            o_orderstatus,
            count(*) AS n,
-           round(avg(o_totalprice), 6) AS avg_total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_total
     FROM orders
     GROUP BY bucket, o_orderstatus
     """,
@@ -343,7 +344,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+            F.round(F.sum(dec_col("o_totalprice")).cast("double") / F.count("*"), 6).alias("avg_total"),
         )
     )
 
@@ -445,7 +446,7 @@ def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+           count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -458,7 +459,7 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+               count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -501,7 +502,7 @@ def priority_delayed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_revenue_by_customer",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS lost_revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -523,9 +524,9 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("lost_revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("lost_revenue")
         )
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -367,7 +368,7 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample_orders",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_sampled,
-           round(sum(o_totalprice), 6) AS sampled_value
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sampled_value
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
           < CASE WHEN c_mktsegment = 'BUILDING' THEN '33' ELSE '0d' END
@@ -395,7 +396,7 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.round(F.sum("o_totalprice"), 6).alias("sampled_value"),
+            dec_sum("o_totalprice").alias("sampled_value"),
         )
         .orderBy("c_mktsegment")
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col, dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -34,7 +35,7 @@ from ..sources.fixtures import load_table as _t
     "flagship_avg_by_group",
     oracle="""
     SELECT o_custkey,
-           round(avg(o_totalprice), 6) AS avg_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_total,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -50,7 +51,7 @@ def flagship_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+            F.round(F.sum(dec_col("o_totalprice")).cast("double") / F.count("*"), 6).alias("avg_total"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("avg_total"), "o_custkey")
@@ -97,8 +98,9 @@ def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           round(avg(l_extendedprice), 6) AS mean_price,
-           round(stddev_pop(l_extendedprice), 6) AS std_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_price,
+           round(sqrt(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*))), 6) AS std_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -106,15 +108,22 @@ def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mean/std of intensity per group. The reference uses np.std which is
-    POPULATION std (ddof=0, `dataflow_pipeline.py:88`) → stddev_pop, not
-    stddev (sample)."""
+    POPULATION std (ddof=0, `dataflow_pipeline.py:88`) → population
+    variance, not the sample (n-1) one. Both moments are computed from
+    exact DECIMAL(38,6) sums (functions/money.py) so the large-magnitude
+    mean/std cannot drift across accumulation orders; the remaining ops
+    (div, mul, sub, sqrt) are correctly-rounded IEEE on both engines."""
+    x = F.col("l_extendedprice")
+    n = F.count("*")
+    s1 = F.sum(dec_col(x)).cast("double")
+    s2 = F.sum(dec_col(x * x)).cast("double")
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
-            F.round(F.stddev_pop("l_extendedprice"), 6).alias("std_price"),
+            n.alias("n"),
+            F.round(s1 / n, 6).alias("mean_price"),
+            F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 6).alias("std_price"),
         )
     )
 
@@ -127,10 +136,10 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -149,10 +158,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec_col(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec_col(disc_price * (1 + F.col("l_tax")))).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -167,7 +176,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -194,9 +203,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -209,7 +216,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -228,9 +235,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -372,11 +377,11 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_custkey,
            round(lag(o_totalprice) OVER w, 6) AS prev_total,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 6) AS run_total
+           ) AS DOUBLE) AS run_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -391,7 +396,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.round(F.lag("o_totalprice").over(w), 6).alias("prev_total"),
-        F.round(F.sum("o_totalprice").over(wsum), 6).alias("run_total"),
+        F.sum(dec_col("o_totalprice")).over(wsum).cast("double").alias("run_total"),
     )
 
 
@@ -402,7 +407,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 6) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -414,7 +419,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            dec_sum("l_quantity").alias("sum_qty"),
             F.count("*").alias("n"),
         )
     )
@@ -425,7 +430,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice), 6) AS sum_total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -437,7 +442,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+            dec_sum("o_totalprice").alias("sum_total"),
         )
     )
 
@@ -560,7 +565,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT) AS y,
            CAST(month(o_orderdate) AS INT) AS m,
            count(*) AS n,
-           round(sum(o_totalprice), 6) AS sum_total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY y, m
     """,
@@ -574,7 +579,7 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+            dec_sum("o_totalprice").alias("sum_total"),
         )
     )
 
@@ -618,7 +623,7 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -649,9 +654,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -665,7 +668,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_supplier_volume",
     oracle="""
     SELECT p_brand, s_nationkey,
-           round(sum(l_quantity), 6) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -683,7 +686,7 @@ def brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_nationkey")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            dec_sum("l_quantity").alias("sum_qty"),
             F.count("*").alias("n"),
         )
     )

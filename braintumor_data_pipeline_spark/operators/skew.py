@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col, dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -31,8 +32,8 @@ N_SALTS = 16
     "salted_heavy_key_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -45,19 +46,23 @@ def salted_heavy_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Salt = deterministic hash of a high-cardinality column % 16 (not
     rand(): keeps the query replayable). Phase 1 shuffles on (key,
-    salt) → 48 partial groups; phase 2 combines 48 rows."""
+    salt) → 48 partial groups; phase 2 combines 48 rows.
+
+    Money sums go through DECIMAL(38,6) so the two-phase accumulation
+    order cannot perturb the result vs the oracle's single-phase sum
+    (see functions/money.py)."""
     li = _t(spark, sf_dir, "lineitem")
     salted = li.withColumn(
         "_salt", (F.abs(F.hash("l_orderkey")) % N_SALTS)
     )
     partial = salted.groupBy("l_returnflag", "_salt").agg(
-        F.sum("l_quantity").alias("p_qty"),
-        F.sum("l_extendedprice").alias("p_price"),
+        F.sum(dec_col("l_quantity")).alias("p_qty"),
+        F.sum(dec_col("l_extendedprice")).alias("p_price"),
         F.count("*").alias("p_n"),
     )
     return partial.groupBy("l_returnflag").agg(
-        F.round(F.sum("p_qty"), 6).alias("sum_qty"),
-        F.round(F.sum("p_price"), 6).alias("sum_price"),
+        F.sum("p_qty").cast("double").alias("sum_qty"),
+        F.sum("p_price").cast("double").alias("sum_price"),
         F.sum("p_n").alias("n"),
     )
 
@@ -67,7 +72,7 @@ def salted_heavy_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, n_name,
            count(*) AS n,
-           round(sum(l_quantity), 6) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -91,6 +96,6 @@ def salted_join_heavy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "n_name")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            dec_sum("l_quantity").alias("sum_qty"),
         )
     )

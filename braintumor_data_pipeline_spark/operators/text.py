@@ -248,12 +248,12 @@ _BM25_B = 0.75
     ),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
     SELECT doc_id,
-           round(sum(
+           CAST(sum(CAST(
              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
              * tf * ({_BM25_K1} + 1.0)
              / (tf + {_BM25_K1}
                 * (1.0 - {_BM25_B} + {_BM25_B} * doc_len / avgdl))
-           ), 6) AS bm25
+           AS DECIMAL(38,6))) AS DOUBLE) AS bm25
     FROM tf
     JOIN dl USING (doc_id)
     JOIN df USING (term)
@@ -296,9 +296,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
-            ).alias("bm25")
+            F.sum(
+                (idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
+                .cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("bm25")
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)

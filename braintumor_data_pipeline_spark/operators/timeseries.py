@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col, dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -35,7 +36,7 @@ from ..sources.fixtures import load_table as _t
       FROM bounds
     ),
     daily AS (
-      SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS revenue,
+      SELECT CAST(ts AS DATE) AS day, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
              count(*) AS n_events
       FROM events WHERE event_type = 'purchase'
       GROUP BY day
@@ -62,7 +63,7 @@ def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
-            F.round(F.sum("value"), 6).alias("revenue"),
+            dec_sum("value").alias("revenue"),
             F.count("*").alias("n_events"),
         )
     )
@@ -218,16 +219,17 @@ def ohlc_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_7d_revenue",
     oracle="""
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS rev
       FROM events WHERE event_type = 'purchase'
       GROUP BY day
     )
     SELECT day,
-           round(rev, 6) AS revenue,
-           round(sum(rev) OVER (
+           rev AS revenue,
+           CAST(sum(CAST(rev AS DECIMAL(38,6))) OVER (
              ORDER BY day
              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ), 6) AS rolling_7d
+           ) AS DOUBLE) AS rolling_7d
     FROM daily
     ORDER BY day
     """,
@@ -244,7 +246,7 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum("value").alias("rev")
+        F.sum(dec_col("value")).cast("double").alias("rev")
     )
     w = (
         Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
@@ -252,8 +254,8 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "day",
-        F.round("rev", 6).alias("revenue"),
-        F.round(F.sum("rev").over(w), 6).alias("rolling_7d"),
+        F.col("rev").alias("revenue"),
+        F.sum(dec_col("rev")).over(w).cast("double").alias("rolling_7d"),
     ).orderBy("day")
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col, dec_sum
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -63,7 +64,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            round(o_totalprice, 6) AS total,
-           round(sum(l_quantity), 6) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -95,7 +96,7 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
@@ -153,10 +154,8 @@ def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS y,
-           round(sum(CASE WHEN r_name = 'AMERICA'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS america_share
+           round(CAST(sum(CAST(CASE WHEN r_name = 'AMERICA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS america_share
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -186,8 +185,8 @@ def q8_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("y"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("r_name") == "AMERICA", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(dec_col(F.when(F.col("r_name") == "AMERICA", rev).otherwise(0.0))).cast("double")
+                / F.sum(dec_col(rev)).cast("double"),
                 6,
             ).alias("america_share")
         )
@@ -295,10 +294,8 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle="""
     SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+             100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1995-06-01'
       AND l_shipdate < DATE '1995-07-01'
@@ -319,8 +316,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(dec_col(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))).cast("double")
+                / F.sum(dec_col(rev)).cast("double"),
                 6,
             ).alias("promo_share")
         )
@@ -330,7 +327,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -358,9 +355,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 50))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-        ).alias("revenue")
+        F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
     )
 
 
@@ -368,7 +363,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS numcust,
-           round(sum(c_acctbal), 6) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c_acctbal > (
         SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -405,7 +400,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+            dec_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -415,7 +410,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -446,9 +441,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -465,7 +458,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -506,9 +499,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"))
     )
@@ -517,7 +508,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate < DATE '1997-01-01'
@@ -541,9 +532,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * F.col("l_discount"))).cast("double").alias("revenue")
         )
     )
 
@@ -553,7 +542,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -606,9 +595,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
         )
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
@@ -618,12 +605,12 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_supplier_value",
     oracle="""
     WITH supp_value AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS value
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey, round(value, 6) AS value
     FROM supp_value
-    WHERE value > (SELECT sum(value) * 0.012 FROM supp_value)
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.012 FROM supp_value)
     ORDER BY value DESC, l_suppkey
     """,
     tags=("agg", "subquery"),
@@ -637,9 +624,11 @@ def q11_important_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     value stands in for stock value.)"""
     li = _t(spark, sf_dir, "lineitem")
     sv = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+        F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("v")
     )
-    total = sv.agg((F.sum("v") * 0.012).alias("threshold"))
+    total = sv.agg((F.sum(dec_col("v")).cast("double") * 0.012).alias("threshold"))
     return (
         sv.crossJoin(F.broadcast(total))
         .filter(F.col("v") > F.col("threshold"))
@@ -730,7 +719,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#13'
@@ -760,7 +749,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+            F.round(dec_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
         )
     )
 
@@ -816,8 +805,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_type_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 6) AS profit
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -854,6 +842,6 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 6).alias("profit"))
+        .agg(F.sum(dec_col(profit)).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )

@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col
 from ..registry import register
 from ..sources.fixtures import ensure_nanos_readable, load_table as _t
 
@@ -37,7 +38,7 @@ _US_30M = 1_800_000_000
     SELECT (epoch_us(ts) // {_US_5M}) * {_US_5M} AS bucket_us,
            event_type,
            count(*) AS n,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY bucket_us, event_type
     """,
@@ -50,7 +51,7 @@ def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(dec_col("value")).cast("double").alias("sum_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("bucket_us"),
             "event_type",
@@ -65,7 +66,7 @@ def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT (epoch_us(ts) // {_US_5M}) * {_US_5M} - d AS window_start_us,
            count(*) AS n,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events, (VALUES (0), ({_US_5M})) AS offs(d)
     GROUP BY window_start_us
     """,
@@ -78,7 +79,7 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(dec_col("value")).cast("double").alias("sum_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n",
@@ -110,7 +111,7 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            epoch_us(min(ts)) AS session_start_us,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -124,7 +125,7 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec_col("value")).cast("double").alias("sum_value"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
@@ -267,7 +268,7 @@ def run_streaming_tumbling_counts(
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(dec_col("value")).cast("double").alias("sum_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("bucket_us"),
             "event_type",
@@ -496,7 +497,7 @@ def run_stream_static_join(
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(dec_col("value")).cast("double").alias("sum_value"),
         )
     )
     q = (

@@ -25,6 +25,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import dec_col
+
 from ..sources.fixtures import ensure_nanos_readable
 
 
@@ -67,7 +69,7 @@ def run_recoverable_totals(
     )
     totals = stream.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(dec_col("value")).cast("double").alias("sum_value"),
     )
 
     def _overwrite(batch_df: DataFrame, batch_id: int) -> None:

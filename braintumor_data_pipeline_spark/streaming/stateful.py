@@ -18,6 +18,7 @@ import shutil
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,7 +41,7 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("s", DoubleType())]
+    [StructField("n", LongType()), StructField("s_micros", LongType())]
 )
 
 
@@ -49,13 +50,19 @@ def _update_totals(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    (n, s) = state.get if state.exists else (0, 0.0)
+    # State keeps the sum as integer MICRO-units (value quantized to 6
+    # decimals), so accumulation is exact and order-independent — the
+    # emitted total is bit-identical to the batch DECIMAL(38,6) sum
+    # (functions/money.py) no matter how micro-batches split the input.
+    (n, s_micros) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
+        s_micros += int(
+            np.rint(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum()
+        )
+    state.update((n, s_micros))
     yield pd.DataFrame(
-        [{"event_type": key[0], "n_events": n, "sum_value": round(s, 6)}]
+        [{"event_type": key[0], "n_events": n, "sum_value": s_micros / 1e6}]
     )
 
 

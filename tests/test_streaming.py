@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from braintumor_data_pipeline_spark.functions.money import dec_col
+
 from braintumor_data_pipeline_spark.streaming.events import (
     events_tumbling_5m,
     run_streaming_tumbling_counts,
@@ -25,10 +27,13 @@ def test_stateful_totals_equal_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     batch = {
-        r.event_type: (r.n, round(r.s, 6))
+        r.event_type: (r.n, r.s)
         for r in load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec_col("value")).cast("double").alias("s"),
+        )
         .collect()
     }
     assert final == batch and len(final) == 5
@@ -92,7 +97,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(dec_col("value")).cast("double").alias("sum_value"),
         )
     )
     got = {
@@ -225,7 +230,7 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(dec_col("value")).cast("double").alias("sum_value"),
         )
         .collect()
     }
