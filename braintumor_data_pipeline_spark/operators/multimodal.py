@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..functions.imaging import sobel_magnitude, to_grayscale
 from ..sources.image_io import decode_image
+from ..sources.mjpeg import decode_mjpeg_frames, encode_mjpeg
 from ..sources.png import encode_png
+from ..sources.wav import decode_wav, encode_wav
 from .segmentation import grid_images_df, GRID
 
 IMAGE_TABLE_SCHEMA = (
@@ -117,98 +119,95 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio / video: real plumbing, STUBBED codecs
+# Audio / video: REAL codecs — RIFF/WAV PCM and MJPEG (concatenated
+# baseline JPEG), both owned by this repo (sources/wav.py, sources/
+# mjpeg.py). The former stubs are gone; ``codec=`` stays injectable for
+# plumbing tests.
 # ---------------------------------------------------------------------------
 
 
-def fake_audio_codec(payload: bytes) -> np.ndarray:
-    """Deterministic FAKE decoder for tests: bytes → int16 'samples'
-    (byte b → b·257 − 32768, the exact uint8→int16 range expansion)."""
-    wide = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) * 257 - 32768
-    return wide.astype(np.int16)
+def decode_audio(payload: bytes, codec=None) -> tuple[np.ndarray, int]:
+    """Audio blob → (int16 samples shaped (n, channels), sample_rate).
 
-
-def decode_audio(payload: bytes, codec=None) -> np.ndarray:
-    """STUB (SURVEY multimodal contract): audio decoding requires codec
-    libraries not present in this container. The Spark-side plumbing
-    (binary column in, feature columns out via ``audio_features``) is
-    real; pass ``codec=fake_audio_codec`` in tests."""
+    Default codec is the repo's own RIFF/WAV PCM parser
+    (`sources/wav.py` — u8/s16/s24/float32). A custom ``codec`` may be
+    injected and must follow the same return contract."""
     if codec is None:
-        raise NotImplementedError(
-            "audio codec libraries unavailable in this environment; "
-            "inject a codec callable (see fake_audio_codec)"
-        )
+        return decode_wav(payload)
     return codec(payload)
 
 
 def decode_video_frames(payload: bytes, every_nth: int = 10, codec=None):
-    """STUB: frame sampling for video blobs; same contract as audio."""
+    """Video blob → list of (frame_idx, 2-D/3-D pixel array) for every
+    Nth frame. Default codec is the repo's MJPEG container over its own
+    baseline JPEG decoder (`sources/mjpeg.py`): boundaries are found by
+    marker scan, so only SAMPLED frames pay entropy decode."""
     if codec is None:
-        raise NotImplementedError(
-            "video codec libraries unavailable in this environment; "
-            "inject a codec callable"
-        )
+        return list(decode_mjpeg_frames(payload, every_nth=every_nth))
     frames = codec(payload)
-    return frames[::every_nth]
+    return [(i * every_nth, f) for i, f in enumerate(frames[::every_nth])]
 
 
-def audio_features_df(df: DataFrame, codec=fake_audio_codec) -> DataFrame:
+def audio_features_df(df: DataFrame, codec=None) -> DataFrame:
     """(key, payload binary) → per-blob audio features via mapInPandas —
-    the multimodal consumer stage with the codec injected."""
+    the multimodal consumer stage. Real WAV path by default."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                samples = decode_audio(bytes(r["payload"]), codec=codec).astype(
-                    np.int64
-                )  # widen before abs: |int16 -32768| overflows int16
-                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                samples, rate = decode_audio(bytes(r["payload"]), codec=codec)
+                flat = samples.astype(np.int64).reshape(-1)
+                # widen before abs: |int16 -32768| overflows int16
+                rms = float(np.sqrt(np.mean(flat.astype(np.float64) ** 2)))
                 rows.append(
                     {
                         "key": int(r["key"]),
-                        "n_samples": int(len(samples)),
+                        "n_samples": int(samples.shape[0]),
+                        "n_channels": int(samples.shape[1]),
+                        "sample_rate": int(rate),
+                        "duration_ms": round(
+                            1000.0 * samples.shape[0] / rate, 6
+                        ),
                         "rms": round(rms, 6),
-                        "peak": int(np.abs(samples).max()) if len(samples) else 0,
+                        "peak": int(np.abs(flat).max()) if len(flat) else 0,
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["key", "n_samples", "rms", "peak"]
+                rows,
+                columns=[
+                    "key", "n_samples", "n_channels", "sample_rate",
+                    "duration_ms", "rms", "peak",
+                ],
             )
 
     return df.mapInPandas(
-        feats, schema="key int, n_samples long, rms double, peak int"
+        feats,
+        schema="key int, n_samples long, n_channels int, sample_rate int,"
+        " duration_ms double, rms double, peak int",
     )
 
 
-def fake_video_codec(payload: bytes, frame: int = 4) -> np.ndarray:
-    """Deterministic FAKE video decoder for tests: bytes → (n, f, f)
-    uint8 'frames' (truncating to whole frames)."""
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    n = len(buf) // (frame * frame)
-    return buf[: n * frame * frame].reshape(n, frame, frame)
-
-
 def video_frame_features_df(
-    df: DataFrame, codec=fake_video_codec, every_nth: int = 10
+    df: DataFrame, codec=None, every_nth: int = 10
 ) -> DataFrame:
     """(key, payload binary) → one row per SAMPLED frame (every_nth),
     with per-frame mean/std — the video consumer stage: frame sampling
     happens inside the executor (the blob never moves), and the fan-out
-    to frames is a mapInPandas yielding multiple rows per blob."""
+    to frames is a mapInPandas yielding multiple rows per blob. Real
+    MJPEG path by default."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                frames = decode_video_frames(
+                for idx, fr in decode_video_frames(
                     bytes(r["payload"]), every_nth=every_nth, codec=codec
-                )
-                for i, fr in enumerate(frames):
+                ):
                     rows.append(
                         {
                             "key": int(r["key"]),
-                            "frame_idx": i * every_nth,
+                            "frame_idx": idx,
                             "mean_v": round(float(fr.mean()), 6),
                             "std_v": round(float(fr.std()), 6),
                         }
@@ -263,24 +262,92 @@ def image_resize_df(
     )
 
 
+def _doc_samples(text: bytes, cap: int = 2048) -> np.ndarray:
+    """Deterministic int16 'waveform' from document bytes: the exact
+    uint8→int16 range expansion (b·257 − 32768), capped for bound cost."""
+    buf = np.frombuffer(text[:cap], dtype=np.uint8).astype(np.int32)
+    return (buf * 257 - 32768).astype(np.int16)
+
+
+def documents_as_wav_table(
+    spark: SparkSession, sf_dir: str, limit: int = 100
+) -> DataFrame:
+    """Stage 1 of the audio surface: real RIFF/WAV PCM payloads in a
+    binary column. Waveform bytes derive deterministically from document
+    text; the sample rate cycles 8/12/16 kHz by doc_id so the decoder's
+    rate handling is exercised, not just echoed."""
+    from ..sources.fixtures import load_table as _t
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                key = int(r["doc_id"])
+                rate = 8000 + 4000 * (key % 3)
+                wav = encode_wav(
+                    _doc_samples(str(r["text"]).encode("utf-8")), rate
+                )
+                rows.append(
+                    {"key": key, "n_bytes": len(wav), "payload": wav}
+                )
+            yield pd.DataFrame(rows, columns=["key", "n_bytes", "payload"])
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {limit}")
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema="key int, n_bytes long, payload binary")
+    )
+
+
 @register(
     "multimodal_audio_features",
     oracle=None,  # binary UDF stage; value-pinned by pytest instead
     tags=("multimodal", "audio", "udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio consumer stage on the driver surface: documents' utf-8
-    bytes stand in as deterministic 'audio' payloads (the codec is the
-    clearly-marked fake — real codecs aren't in this container; the
-    Spark plumbing is the product). Per blob: sample count, RMS, peak.
-    Limited to 100 blobs: the point is the stage shape, not volume."""
+    """Audio surface end-to-end, REAL codec both directions: stage 1
+    wraps deterministic PCM in genuine RIFF/WAV containers
+    (sources/wav.py), stage 2 parses them back and computes sample
+    count/channels/rate/duration/RMS/peak. Limited to 100 blobs: the
+    point is the stage shape, not volume."""
+    return audio_features_df(documents_as_wav_table(spark, sf_dir))
+
+
+def documents_as_mjpeg_table(
+    spark: SparkSession, sf_dir: str, limit: int = 25,
+    n_frames: int = 12, side: int = 16,
+) -> DataFrame:
+    """Stage 1 of the video surface: real MJPEG payloads — ``n_frames``
+    baseline JPEGs (encoded by sources/jpeg.py) concatenated per
+    document. Frame f is a ``side``×``side`` gradient + text-byte
+    texture, so per-frame stats differ and sampling is observable."""
     from ..sources.fixtures import load_table as _t
 
-    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
-    payloads = d.selectExpr(
-        "CAST(doc_id AS INT) AS key", "CAST(text AS BINARY) AS payload"
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                key = int(r["doc_id"])
+                text = str(r["text"]).encode("utf-8")[: side * side]
+                tex = np.zeros(side * side, dtype=np.float64)
+                tex[: len(text)] = np.frombuffer(text, dtype=np.uint8)
+                tex = tex.reshape(side, side)
+                ramp = np.linspace(0, 128, side)[None, :] + np.zeros((side, 1))
+                frames = [
+                    np.clip(ramp + tex * 0.5 + 8.0 * f, 0, 255).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                mj = encode_mjpeg(frames, quality=90)
+                rows.append({"key": key, "n_bytes": len(mj), "payload": mj})
+            yield pd.DataFrame(rows, columns=["key", "n_bytes", "payload"])
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {limit}")
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema="key int, n_bytes long, payload binary")
     )
-    return audio_features_df(payloads, codec=fake_audio_codec)
 
 
 @register(
@@ -289,15 +356,12 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "video", "udf"),
 )
 def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video consumer stage on the driver surface: every-10th-frame
-    sampling inside the executor (blob never moves), one output row per
-    sampled frame with per-frame stats. Fake 16-byte 4×4 'frames' from
-    document bytes; the fan-out shape (1 blob → n frame rows) is what a
-    real decoder produces."""
-    from ..sources.fixtures import load_table as _t
-
-    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
-    payloads = d.selectExpr(
-        "CAST(doc_id AS INT) AS key", "CAST(text AS BINARY) AS payload"
+    """Video surface end-to-end, REAL codec both directions: stage 1
+    builds 12-frame MJPEG payloads (the repo's baseline JPEG encoder),
+    stage 2 marker-splits and entropy-decodes every 4th frame only —
+    one output row per sampled frame with per-frame stats. The fan-out
+    (1 blob → n frame rows) and decode-only-sampled-frames cost model
+    are the 100 TB-relevant properties."""
+    return video_frame_features_df(
+        documents_as_mjpeg_table(spark, sf_dir), every_nth=4
     )
-    return video_frame_features_df(payloads, codec=fake_video_codec, every_nth=10)

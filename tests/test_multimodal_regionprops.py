@@ -10,10 +10,15 @@ from braintumor_data_pipeline_spark.operators.multimodal import (
     audio_features_df,
     decode_audio,
     decode_video_frames,
-    fake_audio_codec,
     images_as_binary_table,
     multimodal_image_features,
 )
+from braintumor_data_pipeline_spark.sources.mjpeg import (
+    decode_mjpeg_frames,
+    encode_mjpeg,
+    split_mjpeg,
+)
+from braintumor_data_pipeline_spark.sources.wav import decode_wav, encode_wav
 
 
 # --- regionprops (pure numpy) ---
@@ -77,58 +82,158 @@ def test_image_binary_table_and_features(spark, sf_dir):
         assert 0 <= f.mean_v <= 255 and f.edge_energy > 0
 
 
-def test_audio_stub_raises_without_codec():
-    with pytest.raises(NotImplementedError, match="codec"):
+def test_decoders_reject_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
         decode_audio(b"\x00\x01")
-    with pytest.raises(NotImplementedError, match="codec"):
+    with pytest.raises(ValueError, match="frames"):
         decode_video_frames(b"\x00\x01")
 
 
-def test_audio_features_with_fake_codec(spark):
+def test_wav_s16_roundtrip_bit_exact():
+    s = np.array([-32768, -1, 0, 1, 32767, 12345], dtype=np.int16)
+    dec, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100
+    assert dec.shape == (6, 1)
+    assert np.array_equal(dec.reshape(-1), s)
+
+
+def test_wav_stereo_and_odd_data_padding():
+    s = np.arange(10, dtype=np.int16).reshape(5, 2)
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert dec.shape == (5, 2) and np.array_equal(dec, s)
+    # odd byte count in a chunk forces the pad-byte path
+    mono = np.array([7], dtype=np.int16)
+    payload = encode_wav(mono, 8000)
+    dec2, _ = decode_wav(payload)
+    assert dec2.reshape(-1).tolist() == [7]
+
+
+def test_wav_skips_foreign_chunks():
+    """LIST/fact chunks between fmt and data must be walked over."""
+    import struct
+
+    s = np.array([100, -100], dtype=np.int16)
+    canonical = encode_wav(s, 16000)
+    # splice a LIST chunk in front of 'data'
+    di = canonical.find(b"data")
+    listed = (
+        canonical[:di]
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + canonical[di:]
+    )
+    listed = listed[:4] + struct.pack("<I", len(listed) - 8) + listed[8:]
+    dec, rate = decode_wav(listed)
+    assert rate == 16000 and dec.reshape(-1).tolist() == [100, -100]
+
+
+def test_wav_u8_and_float32_variants():
+    import struct
+
+    def wav(fmt_code, bits, data, rate=8000, ch=1):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    u8, _ = decode_wav(wav(1, 8, bytes([0, 128, 255])))
+    assert u8.reshape(-1).tolist() == [-32768, 0, 32512]
+    f32, _ = decode_wav(wav(3, 32, np.array([0.0, 0.5, -1.0], "<f4").tobytes()))
+    assert f32.reshape(-1).tolist() == [0, 16384, -32767]
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(wav(1, 12, b"\x00\x00"))
+
+
+def test_audio_features_real_wav_in_spark(spark):
+    """audio_features_df over genuine WAV payloads: a full-scale square
+    wave (RMS = peak = 32767) and a half-second of silence."""
     import pandas as pd
 
+    square = np.tile(np.array([32767, -32767], dtype=np.int16), 100)
+    silence = np.zeros(4000, dtype=np.int16)
     pdf = pd.DataFrame(
-        {"key": [1, 2], "payload": [bytes(range(100)), b"\x80" * 50]}
+        {
+            "key": [1, 2],
+            "payload": [encode_wav(square, 16000), encode_wav(silence, 8000)],
+        }
     )
-    df = spark.createDataFrame(pdf)
-    out = {r.key: r for r in audio_features_df(df).collect()}
-    assert out[1].n_samples == 100 and out[2].n_samples == 50
-    # fake codec maps 0x80 → 0x80·257−32768 = 128
-    assert out[2].rms == pytest.approx(128.0, abs=1e-9)
-    assert out[1].peak == abs(0 * 257 - 32768)
+    out = {r.key: r for r in audio_features_df(spark.createDataFrame(pdf)).collect()}
+    assert out[1].n_samples == 200 and out[1].sample_rate == 16000
+    assert out[1].rms == pytest.approx(32767.0) and out[1].peak == 32767
+    assert out[2].n_samples == 4000 and out[2].duration_ms == 500.0
+    assert out[2].rms == 0.0 and out[2].peak == 0
 
 
-def test_fake_codec_deterministic():
-    a = fake_audio_codec(b"\x00\xff\x10")
-    assert a.tolist() == [-32768, 32767, 0x10 * 257 - 32768]
+def test_mjpeg_split_and_sampling():
+    """8 constant frames → marker split finds all 8; every-2nd sampling
+    decodes frames 0/2/4/6 with near-exact constant values."""
+    frames = [
+        np.full((16, 16), 20 * (f + 1), dtype=np.uint8) for f in range(8)
+    ]
+    mj = encode_mjpeg(frames, quality=90)
+    assert len(split_mjpeg(mj)) == 8
+    out = list(decode_mjpeg_frames(mj, every_nth=2))
+    assert [i for i, _ in out] == [0, 2, 4, 6]
+    for i, fr in out:
+        assert fr.shape == (16, 16)
+        assert abs(float(fr.mean()) - 20 * (i + 1)) < 2.0
 
 
-def test_video_frame_sampling_with_fake_codec(spark):
-    """Video plumbing: frame-sample fan-out (every 2nd of 8 frames) with
-    per-frame features, codec injected."""
+def test_video_frame_features_real_mjpeg_in_spark(spark):
     from braintumor_data_pipeline_spark.operators.multimodal import (
-        fake_video_codec,
         video_frame_features_df,
     )
 
-    payload = bytes(range(128))  # 8 frames of 4x4
-    df = spark.createDataFrame([(1, bytearray(payload))], "key int, payload binary")
-    rows = video_frame_features_df(df, every_nth=2).orderBy("frame_idx").collect()
-    assert [r.frame_idx for r in rows] == [0, 2, 4, 6]
-    frames = fake_video_codec(payload)
-    assert rows[0].mean_v == round(float(frames[0].mean()), 6)
-    assert rows[-1].mean_v == round(float(frames[6].mean()), 6)
+    frames = [np.full((8, 8), 50 + 30 * f, dtype=np.uint8) for f in range(6)]
+    payload = encode_mjpeg(frames, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "key int, payload binary"
+    )
+    rows = video_frame_features_df(df, every_nth=3).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 3]
+    assert abs(rows[0].mean_v - 50.0) < 2.0
+    assert abs(rows[1].mean_v - 140.0) < 2.0
 
 
-def test_video_stub_raises_without_codec():
-    import pytest as _pytest
-
+def test_registered_audio_query_pinned_goldens(spark, sf_dir):
+    """multimodal_audio_features on the fixture docs — exact pinned
+    values for the first three documents (deterministic text → PCM →
+    WAV → decode → features)."""
     from braintumor_data_pipeline_spark.operators.multimodal import (
-        decode_video_frames,
+        multimodal_audio_features,
     )
 
-    with _pytest.raises(NotImplementedError):
-        decode_video_frames(b"xx")
+    out = {r.key: r for r in multimodal_audio_features(spark, sf_dir).collect()}
+    assert len(out) == 100
+    g0, g1, g2 = out[0], out[1], out[2]
+    assert (g0.n_samples, g0.sample_rate, g0.duration_ms, g0.rms, g0.peak) == (
+        128, 8000, 16.0, 11328.616693, 24544
+    )
+    assert (g1.n_samples, g1.sample_rate, g1.rms) == (441, 12000, 11330.205552)
+    assert (g2.n_samples, g2.sample_rate, g2.duration_ms) == (348, 16000, 21.75)
+    assert all(r.n_channels == 1 for r in out.values())
+
+
+def test_registered_video_query_pinned_goldens(spark, sf_dir):
+    """multimodal_video_frame_sample — every 4th of 12 frames per doc,
+    pinned per-frame stats for doc 0."""
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        multimodal_video_frame_sample,
+    )
+
+    rows = multimodal_video_frame_sample(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    assert len(by_key) == 25
+    d0 = sorted(by_key[0], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in d0] == [0, 4, 8]
+    assert [(r.mean_v, r.std_v) for r in d0] == [
+        (87.128906, 46.765821),
+        (119.195312, 46.761038),
+        (151.300781, 46.784322),
+    ]
 
 
 def test_image_resize_stage(spark, sf_dir):
@@ -154,9 +259,10 @@ def test_image_resize_stage(spark, sf_dir):
         assert img[0, 0] == src[0, 0]
 
 
-def test_registered_audio_video_stages_value_pinned(spark, sf_dir):
-    """The registered audio/video queries produce the hand-computable
-    values of the fake codecs on a known payload."""
+def test_registered_audio_stage_matches_recomputation(spark, sf_dir):
+    """The registered audio query's features equal an independent
+    numpy recomputation from the document bytes (text → PCM expansion →
+    real WAV round-trip)."""
     import numpy as np
 
     from braintumor_data_pipeline_spark.registry import all_queries
@@ -167,7 +273,7 @@ def test_registered_audio_video_stages_value_pinned(spark, sf_dir):
         .filter("doc_id = 0")
         .first()["text"]
     )
-    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    raw = np.frombuffer(text.encode("utf-8")[:2048], dtype=np.uint8)
     samples = raw.astype(np.int64) * 257 - 32768
 
     audio = {
@@ -177,23 +283,11 @@ def test_registered_audio_video_stages_value_pinned(spark, sf_dir):
         .collect()
     }
     assert audio[0].n_samples == len(raw)
+    assert audio[0].sample_rate == 8000
     assert audio[0].peak == int(np.abs(samples).max())
     assert audio[0].rms == pytest.approx(
         float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), abs=1e-6
     )
-
-    video = [
-        r
-        for r in all_queries()["multimodal_video_frame_sample"]
-        .fn(spark, sf_dir)
-        .collect()
-        if r.key == 0
-    ]
-    n_frames = len(raw) // 16
-    assert len(video) == len(range(0, n_frames, 10))
-    fr0 = raw[:16].reshape(4, 4)
-    assert video[0].frame_idx == 0
-    assert video[0].mean_v == pytest.approx(round(float(fr0.mean()), 6))
 
 
 def test_image_features_accept_jpeg_payloads(spark):
