@@ -1,0 +1,112 @@
+"""Bucketed co-located fact join (SURVEY J4 scale path; VERDICT r2 item 8).
+
+At 100 TB the dominant cost of a repeated fact⋈fact join is the shuffle
+of both sides on the join key. Pre-bucketing the tables on that key
+(`bucketBy(n, key).sortBy(key)`) is the build-once/join-many layout:
+Spark's scan exposes the bucketing as an output partitioning, so the
+sort-merge join needs NO Exchange on either side — the join cost drops
+to a local per-bucket merge, and stays dropped for every subsequent
+query that joins on the same key.
+
+This module registers ``bucketed_star_join``: it (idempotently)
+materializes ``lineitem``/``orders`` bucketed by orderkey into a
+sf-keyed warehouse under the system temp dir, then runs a star-shaped
+aggregation over the co-located join plus a broadcast ``customer`` dim.
+``tests/test_bucketing.py`` asserts the executed plan has no join-side
+Exchange (`SelectedBucketsCount: 8 out of 8`, ≤1 Exchange total); the
+DuckDB oracle checks the values over the raw parquet — together they
+prove the layout changes the plan, not the answer.
+
+Reference parity note: the reference has no joins at all (its relational
+layer is delegated to BigQuery, `/root/reference/README.md:165-178`);
+this is the engine-owned layout optimization BigQuery performs behind
+its storage layer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_col, oracle_dec_sum
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+N_BUCKETS = 8
+_BUCKET_SPECS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the bucketed warehouse for ``sf_dir`` (idempotent);
+    returns the database name holding ``lineitem``/``orders``.
+
+    The write is the amortized one-time cost of the layout; a rerun in
+    the same session (or a later session over an intact temp dir) reuses
+    the files. Bucket count is fixed so the two tables' partitionings
+    are co-located — at 100 TB you size this to cluster parallelism
+    (e.g. 4096) once, at layout time, not per query.
+    """
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    db = f"bucketed_wh_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "braintumor_bucketed", tag)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, key in _BUCKET_SPECS:
+        full = f"{db}.{name}"
+        path = os.path.join(base, name)
+        if spark.catalog.tableExists(full) and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        (
+            _t(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(full)
+        )
+    return db
+
+
+@register(
+    "bucketed_star_join",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           {oracle_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    """,
+    tags=("join", "bucketing", "agg"),
+)
+def bucketed_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star aggregation over the bucketed co-located fact join: the
+    lineitem⋈orders leg is a zero-shuffle sort-merge join (both sides
+    bucket-partitioned on orderkey; the ``merge`` hint pins the SMJ
+    strategy that a 100 TB plan would pick on its own), the customer
+    dim broadcasts. The only Exchange in the whole plan is the final
+    aggregation's. Oracle runs on the raw tables — same values, proving
+    the layout is plan-only."""
+    db = ensure_bucketed_tables(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem")
+    o = spark.table(f"{db}.orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -43,9 +43,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: consecutive driver rounds vacates its slot for a never-driver-checked
 #: oracle-backed query, amortizing hash coverage across the catalog
 #: (round 3 rotated out setop_intersect_nations, proj_path_functions,
-#: proj_hash_null_scalars, agg_statistics, histogram_totalprice,
-#: window_rank_orders, rollup_lineitem, top_revenue_orders — all
-#: twice-green — for the eight first-time entries below). Queries whose
+#: proj_hash_null_scalars, agg_statistics — twice-green — plus
+#: group_stats_pop (twice-green), argmax_per_group, json_extract_props,
+#: pivot_event_type_counts and knn_within_label (once-green, formulation
+#: unchanged) for the eight first-time entries below plus the new
+#: bucketed_star_join). Two invariants constrain the
+#: rotation: every bench HEADLINE query stays in-window so the perf and
+#: correctness gates cover the same surface, and queries whose
 #: formulation changed this round (decimal money sums) stay in-window so
 #: the new formulation gets driver confirmation.
 DRIVER_WINDOW = 50
@@ -53,12 +57,13 @@ PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
     "flagship_avg_by_group",
     "latest_events",
-    "group_stats_pop",
     "pricing_summary",
     "star_join_revenue",
-    "argmax_per_group",
+    "top_revenue_orders",
+    "window_rank_orders",
+    "rollup_lineitem",
+    "histogram_totalprice",
     "null_semantics_groups",
-    "json_extract_props",
     # first-time driver checks (round-3 rotation)
     "lateral_top2_orders_per_customer",
     "merge_upsert_orders",
@@ -68,8 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints",
     "q6_forecast_revenue",
     "q21_sole_returning_supplier",
-    # analytics (stats, pivot, scalar function surfaces, Arrow UDAF)
-    "pivot_event_type_counts",
+    # analytics (scalar function surfaces, Arrow UDAF)
     "geomean_grouped_agg_udf",
     # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
     "imaging_udf_stats",
@@ -86,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "simhash_signatures",
     # similarity / kNN
     "knn_bruteforce_cosine",
-    "knn_within_label",
     # pixel relation (imaging as SQL)
     "pixel_windowing",
     "pixel_minmax_normalize",
@@ -101,9 +104,10 @@ PRIORITY: tuple[str, ...] = (
     # skew handling + connected components
     "salted_heavy_key_agg",
     "dedup_connected_components",
-    # TPC-H shapes
+    # TPC-H shapes + bucketed co-located join (zero-shuffle layout)
     "q12_priority_by_returnflag",
     "q3_shipping_priority",
+    "bucketed_star_join",
     # LLM pipeline stages
     "train_test_split_documents",
     "corpus_prep_end_to_end",
@@ -185,6 +189,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         relational,
         analytics,
+        bucketed,
         text,
         dedup,
         similarity,

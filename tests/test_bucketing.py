@@ -59,3 +59,42 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse):
     }
     got = {(r.o_orderpriority, r["count"]) for r in joined.collect()}
     assert got == expect
+
+
+def test_registered_bucketed_star_join_plan_and_values(spark, sf_dir):
+    """The REGISTERED query (VERDICT r2 item 8): its executed plan must
+    show the bucketed zero-shuffle join (SelectedBucketsCount, SMJ, no
+    join-side Exchange) and its values must match the raw-table join."""
+    from braintumor_data_pipeline_spark.operators.bucketed import (
+        N_BUCKETS,
+        bucketed_star_join,
+    )
+
+    df = bucketed_star_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert f"SelectedBucketsCount: {N_BUCKETS} out of {N_BUCKETS}" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"bucketed join still shuffles:\n{plan[:2000]}"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.functions.money import dec_col
+
+    expect = {
+        tuple(r)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in df.collect()} == expect
