@@ -300,12 +300,164 @@ def _adaptive_apply(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("region_grow_adaptive", oracle=None, tags=("segmentation", "iterative"))
+def _adaptive_schedule() -> tuple[list[float], list[float]]:
+    """The exact float threshold sequences the adaptive loop walks
+    (`region_growing.py:100-147` semantics): += 0.05 drift included —
+    the oracle must test the SAME doubles the UDF tests."""
+    t = 0.05
+    ups = [t]
+    while t < 0.3:
+        t += 0.05
+        ups.append(t)
+    t = 0.05
+    downs = []
+    while t > 0.01:
+        t -= 0.01
+        downs.append(t)
+    return ups, downs
+
+
+_UPS, _DOWNS = _adaptive_schedule()
+#: CAST-to-DOUBLE matters: a bare 0.15000000000000002 literal parses as
+#: DECIMAL in DuckDB, which would both change the admissibility compare
+#: and leak a DECIMAL into the output schema.
+_THR_VALUES = ", ".join(
+    [f"('up', {i + 1}, CAST({t!r} AS DOUBLE))" for i, t in enumerate(_UPS)]
+    + [f"('down', {j + 1}, CAST({t!r} AS DOUBLE))" for j, t in enumerate(_DOWNS)]
+)
+
+# The UDF admits a pixel iff |f32(v)/f32(255) − f32(f64(sv)/255)| ≤ f32(t)
+# (the reference normalizes in float32, `region_growing.py:47`, while the
+# seed value is a float64 scalar, `:44-48`). At t=0.2 the f32 and f64
+# predicates genuinely disagree (188 of 65536 (sv,v) pairs sit on the
+# |Δ|=51 boundary), so the oracle replays the float32 arithmetic with
+# DuckDB REAL casts — verified bit-exact against numpy over all pairs ×
+# all scheduled thresholds.
+_ADM_F32_SQL = (
+    "abs(CAST(CAST(g.v AS REAL) / CAST(255 AS REAL) AS REAL)"
+    " - CAST(CAST(s.sv AS DOUBLE) / 255.0 AS REAL)) <= CAST(t.t AS REAL)"
+)
+
+# Integer forms of the size-band predicates: min_size = 1024·0.005 = 5.12
+# → "area < min" ⟺ sz ≤ 5; max_size = 1024·0.3 ≈ 307.2 → "area > max"
+# ⟺ sz ≥ 308. Exact (no float compare needed on counts).
+_ADAPTIVE_ORACLE = f"""
+    WITH RECURSIVE grid AS ({_GRID_SQL}
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+    ),
+    seeds AS (SELECT image_id, v AS sv FROM grid WHERE y = 16 AND x = 16),
+    thr(phase, ti, t) AS (VALUES {_THR_VALUES}),
+    adm AS (
+      SELECT t.phase, t.ti, g.image_id, g.y, g.x
+      FROM grid g JOIN seeds s USING (image_id) CROSS JOIN thr t
+      WHERE {_ADM_F32_SQL}
+    ),
+    comp AS (
+      SELECT phase, ti, image_id, y, x FROM adm WHERE y = 16 AND x = 16
+      UNION
+      SELECT a.phase, a.ti, a.image_id, a.y, a.x
+      FROM comp c
+      JOIN adm a ON a.image_id = c.image_id AND a.phase = c.phase
+                AND a.ti = c.ti AND abs(a.y - c.y) + abs(a.x - c.x) = 1
+    ),
+    -- each grow's size check uses the POST-morphology mask (the
+    -- reference's region_growing applies open(3×3)+close(5×5) before
+    -- returning, `region_growing.py:94-96`). Dense per-threshold masks,
+    -- then erosion = min over in-bounds neighbors (constant-1 border)
+    -- and dilation = max (constant-0 border) — matching _erode/_dilate.
+    combos AS (
+      SELECT t.phase, t.ti, s.image_id, t.t FROM thr t, seeds s
+    ),
+    m0 AS (
+      SELECT c.phase, c.ti, c.image_id,
+             CAST(ys.y AS INT) AS y, CAST(xs.x AS INT) AS x,
+             CASE WHEN p.y IS NULL THEN 0 ELSE 1 END AS b
+      FROM combos c
+      CROSS JOIN range(32) ys(y) CROSS JOIN range(32) xs(x)
+      LEFT JOIN comp p ON p.phase = c.phase AND p.ti = c.ti
+                      AND p.image_id = c.image_id
+                      AND p.y = ys.y AND p.x = xs.x
+    ),
+    e3 AS (
+      SELECT a.phase, a.ti, a.image_id, a.y, a.x, min(n.b) AS b
+      FROM m0 a JOIN m0 n ON n.phase = a.phase AND n.ti = a.ti
+                         AND n.image_id = a.image_id
+                         AND abs(n.y - a.y) <= 1 AND abs(n.x - a.x) <= 1
+      GROUP BY a.phase, a.ti, a.image_id, a.y, a.x
+    ),
+    o3 AS (
+      SELECT a.phase, a.ti, a.image_id, a.y, a.x, max(n.b) AS b
+      FROM e3 a JOIN e3 n ON n.phase = a.phase AND n.ti = a.ti
+                         AND n.image_id = a.image_id
+                         AND abs(n.y - a.y) <= 1 AND abs(n.x - a.x) <= 1
+      GROUP BY a.phase, a.ti, a.image_id, a.y, a.x
+    ),
+    d5 AS (
+      SELECT a.phase, a.ti, a.image_id, a.y, a.x, max(n.b) AS b
+      FROM o3 a JOIN o3 n ON n.phase = a.phase AND n.ti = a.ti
+                         AND n.image_id = a.image_id
+                         AND abs(n.y - a.y) <= 2 AND abs(n.x - a.x) <= 2
+      GROUP BY a.phase, a.ti, a.image_id, a.y, a.x
+    ),
+    c5 AS (
+      SELECT a.phase, a.ti, a.image_id, a.y, a.x, min(n.b) AS b
+      FROM d5 a JOIN d5 n ON n.phase = a.phase AND n.ti = a.ti
+                         AND n.image_id = a.image_id
+                         AND abs(n.y - a.y) <= 2 AND abs(n.x - a.x) <= 2
+      GROUP BY a.phase, a.ti, a.image_id, a.y, a.x
+    ),
+    sizes AS (
+      SELECT phase, ti, image_id, CAST(sum(b) AS BIGINT) AS sz
+      FROM c5 GROUP BY phase, ti, image_id
+    ),
+    chosen_up AS (
+      SELECT image_id,
+             coalesce(min(ti) FILTER (WHERE sz >= 6), {len(_UPS)}) AS ci
+      FROM sizes WHERE phase = 'up' GROUP BY image_id
+    ),
+    upres AS (
+      SELECT s.image_id, s.sz, t.t
+      FROM sizes s
+      JOIN chosen_up c ON s.image_id = c.image_id AND s.ti = c.ci
+      JOIN thr t ON t.phase = 'up' AND t.ti = s.ti
+      WHERE s.phase = 'up'
+    ),
+    chosen_down AS (
+      SELECT image_id,
+             coalesce(min(ti) FILTER (WHERE sz <= 307), {len(_DOWNS)}) AS cj
+      FROM sizes WHERE phase = 'down' GROUP BY image_id
+    ),
+    downres AS (
+      SELECT s.image_id, s.sz, t.t
+      FROM sizes s
+      JOIN chosen_down c ON s.image_id = c.image_id AND s.ti = c.cj
+      JOIN thr t ON t.phase = 'down' AND t.ti = s.ti
+      WHERE s.phase = 'down'
+    )
+    SELECT u.image_id,
+           CAST(CASE WHEN u.sz >= 308 THEN d.sz ELSE u.sz END AS BIGINT)
+             AS area,
+           round(CASE WHEN u.sz >= 308 THEN d.t ELSE u.t END, 6)
+             AS threshold_used
+    FROM upres u LEFT JOIN downres d USING (image_id)
+"""
+
+
+@register(
+    "region_grow_adaptive",
+    oracle=_ADAPTIVE_ORACLE,
+    tags=("segmentation", "iterative"),
+)
 def region_grow_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 adaptive wrapper (`region_growing.py:100-147`): grow threshold
     by +0.05 while region < 0.5% of pixels; shrink by −0.01 while > 30%.
     The loop runs per-image inside the UDF (the reference loops in Python
-    on the driver — same semantics, but ours parallelizes across images)."""
+    on the driver — same semantics, but ours parallelizes across images).
+    Oracle: since max_iterations never binds here, each grow is exactly
+    the seed-connected component of the float32-admissible set — the
+    DuckDB recursive CTE computes every scheduled threshold's component
+    size and replays the up/down schedule in SQL (integer size-band
+    predicates; float32 admissibility via REAL casts)."""
     g = grid_images_df(spark, sf_dir)
     return g.groupBy("image_id").applyInPandas(
         _adaptive_apply, schema="image_id int, area long, threshold_used double"

@@ -93,14 +93,15 @@ PRIORITY: tuple[str, ...] = (
     # pixel relation (imaging as SQL)
     "pixel_windowing",
     "pixel_minmax_normalize",
-    "pixel_argmax_seed",
     # mask algebra / metrics
     "mask_confusion",
     "mask_metrics",
     "mask_boundary_perimeter",
-    # iterative segmentation (uncapped component + the dequeue-cap quirk)
+    # iterative segmentation (uncapped component, the dequeue-cap quirk,
+    # and the adaptive-threshold schedule — all hash-checked)
     "region_grow_component",
     "region_grow_capped",
+    "region_grow_adaptive",
     # skew handling + connected components
     "salted_heavy_key_agg",
     "dedup_connected_components",
