@@ -273,6 +273,18 @@ def ssim(image1: np.ndarray, image2: np.ndarray) -> float:
     if image2.dtype != np.uint8:
         imax = max(float(image2.max()), 1e-6)
         image2 = (image2 / imax * 255).astype(np.uint8)
+    return float(ssim_map(image1, image2).mean())
+
+
+def ssim_map(image1: np.ndarray, image2: np.ndarray) -> np.ndarray:
+    """The per-window SSIM map behind :func:`ssim` (uint8 inputs, same
+    shape): one value per valid 7×7 window position, border-cropped.
+
+    All window sums are integer-valued (inputs ≤255, 49 terms) so the
+    float64 cumsums are EXACT — every map value is a deterministic
+    scalar expression of exact integers, reproducible bit-for-bit by
+    any engine that evaluates the same double-precision DAG (the basis
+    of the ``ssim_window_map`` DuckDB oracle)."""
     win = 7
     x = image1.astype(np.float64)
     y = image2.astype(np.float64)
@@ -296,10 +308,9 @@ def ssim(image1: np.ndarray, image2: np.ndarray) -> float:
     vxy = cov_norm * (uxy - ux * uy)
     c1 = (0.01 * 255) ** 2
     c2 = (0.03 * 255) ** 2
-    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+    return ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
         (ux * ux + uy * uy + c1) * (vx + vy + c2)
     )
-    return float(s.mean())
 
 
 def _resize_nearest(img: np.ndarray, shape: tuple[int, int]) -> np.ndarray:

@@ -178,6 +178,88 @@ def mask_regionprops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SSIM constants as the exact doubles the numpy code computes; repr
+# round-trips, so DuckDB parses the identical binary values.
+_SSIM_C1 = repr((0.01 * 255) ** 2)
+_SSIM_C2 = repr((0.03 * 255) ** 2)
+_SSIM_COV = repr(49 / 48.0)
+
+_SSIM_MAP_ORACLE = f"""
+    SELECT image_id, wy, wx,
+           CAST(floor(((2 * ux * uy + {_SSIM_C1}) * (2 * vxy + {_SSIM_C2}))
+                      / ((ux * ux + uy * uy + {_SSIM_C1})
+                         * (vx + vy + {_SSIM_C2}))
+                      * 1000000.0) AS BIGINT) AS ssim_micro
+    FROM (
+      SELECT image_id, wy, wx, ux, uy,
+             {_SSIM_COV} * (uxx - ux * ux) AS vx,
+             {_SSIM_COV} * (uyy - uy * uy) AS vy,
+             {_SSIM_COV} * (uxy - ux * uy) AS vxy
+      FROM (
+        SELECT image_id, wy, wx,
+               CAST(sx  AS DOUBLE) / 49.0 AS ux,
+               CAST(sy  AS DOUBLE) / 49.0 AS uy,
+               CAST(sxx AS DOUBLE) / 49.0 AS uxx,
+               CAST(syy AS DOUBLE) / 49.0 AS uyy,
+               CAST(sxy AS DOUBLE) / 49.0 AS uxy
+        FROM (
+          SELECT g.image_id, CAST(w.wy AS INT) AS wy, CAST(w.wx AS INT) AS wx,
+                 sum(g.v) AS sx, sum(g.v2) AS sy,
+                 sum(g.v * g.v) AS sxx, sum(g.v2 * g.v2) AS syy,
+                 sum(g.v * g.v2) AS sxy
+          FROM ({_GRID_GT_SQL}) g
+          JOIN (SELECT ys.wy, xs.wx
+                FROM range(26) ys(wy), range(26) xs(wx)) w
+            ON g.y BETWEEN w.wy AND w.wy + 6
+           AND g.x BETWEEN w.wx AND w.wx + 6
+          GROUP BY g.image_id, w.wy, w.wx
+        )
+      )
+    )
+"""
+
+
+@register(
+    "ssim_window_map",
+    oracle=_SSIM_MAP_ORACLE,
+    tags=("imaging", "udf", "join"),
+)
+def ssim_window_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 SSIM under exact value parity (VERDICT r2 item 7): the
+    per-window SSIM map between the two value channels of each grid
+    image. The UDF runs the numpy windowed-SSIM algebra; the oracle
+    recomputes it relationally from integer 7×7 window sums (exact in
+    both engines), so each map value is the same double bit-for-bit.
+
+    The compared value is ``floor(ssim·1e6)`` as BIGINT, NOT
+    ``round(x, 6)``: Spark rounds doubles via their shortest decimal
+    repr (BigDecimal.valueOf) while DuckDB rounds the exact binary
+    value, and the two disagree when the shortest repr ties at the
+    7th digit — floor of an identical double is identical, with no
+    decimal-string semantics in the loop (the ADVICE tie-safety fix)."""
+    from ..functions.imaging import ssim_map
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        v, v2 = _to_arrays(pdf, ("v", "v2"))
+        smap = ssim_map(v, v2)
+        micro = np.floor(smap * 1e6).astype(np.int64)
+        wy, wx = np.indices(smap.shape)
+        return pd.DataFrame(
+            {
+                "image_id": np.full(
+                    micro.size, int(pdf["image_id"].iloc[0]), dtype="int32"
+                ),
+                "wy": wy.ravel().astype("int32"),
+                "wx": wx.ravel().astype("int32"),
+                "ssim_micro": micro.ravel(),
+            }
+        )
+
+    return _grid_with_gt(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply, schema="image_id int, wy int, wx int, ssim_micro long"
+    )
+
+
 @register("image_pair_metrics", oracle=None, tags=("imaging", "udf", "join"))
 def image_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise image comparison (J2): SSIM, BF-score (with GT), and the

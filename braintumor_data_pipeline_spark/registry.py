@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
     "imaging_udf_stats",
     "imaging_udf_confusion",
+    "ssim_window_map",
     # text analysis
     "token_stats",
     "bm25_search_topk",
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     # mask algebra / metrics
     "mask_confusion",
     "mask_metrics",
-    "mask_boundary_perimeter",
     # iterative segmentation (uncapped component, the dequeue-cap quirk,
     # and the adaptive-threshold schedule — all hash-checked)
     "region_grow_component",
