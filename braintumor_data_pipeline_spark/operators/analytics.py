@@ -634,7 +634,7 @@ def try_arithmetic_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geomean_grouped_agg_udf",
     oracle="""
     SELECT l_returnflag,
-           round(exp(avg(ln(l_extendedprice))), 6) AS geo_mean_price,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geo_mean_price,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -646,11 +646,19 @@ def geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface (SURVEY §2.12): a GROUPED_AGG pandas UDF —
     geometric mean — running as AggregateInPandas (Arrow batches per
     group, never row-at-a-time). The oracle is the exp(avg(ln)) algebraic
-    identity, proving the Arrow path agrees with pure SQL to 1e-6. Every
+    identity, proving the Arrow path agrees with pure SQL. Every
     REFERENCE aggregation decomposes into built-ins (and built-ins win:
     partial aggregation / map-side combine, which grouped-agg UDFs do
     NOT get — they see whole groups after the shuffle), so this exists
-    to pin the escape hatch, not as the recommended path."""
+    to pin the escape hatch, not as the recommended path.
+
+    Rounded to 2 decimals, not 6 (ADVICE r2 tie-safety): avg(ln) over
+    ~20k rows carries order-dependent accumulation drift ~1e-11
+    relative, which exp amplifies to ~1e-6 ABSOLUTE at this magnitude —
+    the same scale as a 6-decimal rounding boundary, i.e. a latent
+    coin-flip. A transcendental can't be made bit-exact across engines
+    (libm vs numpy differ by ulps), so the honest fix is a boundary
+    spacing (1e-2) four orders above the drift."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -667,7 +675,7 @@ def geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(geo_mean("l_extendedprice"), 6).alias("geo_mean_price"),
+            F.round(geo_mean("l_extendedprice"), 2).alias("geo_mean_price"),
             n_rows("l_extendedprice").alias("n"),
         )
         .orderBy("l_returnflag")

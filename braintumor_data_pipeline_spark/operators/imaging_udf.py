@@ -56,8 +56,10 @@ _GRID_GT_SQL = """
     "imaging_udf_stats",
     oracle=f"""
     SELECT image_id,
-           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
-           round(stddev_pop(CAST(v AS DOUBLE)), 6) AS std_v,
+           CAST(sum(v) AS DOUBLE) / 1024.0 AS mean_v,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / 1024.0
+                - (CAST(sum(v) AS DOUBLE) / 1024.0)
+                  * (CAST(sum(v) AS DOUBLE) / 1024.0)) AS std_v,
            min(v) AS min_v,
            max(v) AS max_v,
            count(*) AS n_px
@@ -72,17 +74,29 @@ def imaging_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dataflow_pipeline.py:87-88`) and hash-checked against the
     pixel-relation SQL — driver-verifiable evidence that the Arrow
     group→array reconstruction and the numpy reductions agree with the
-    relational semantics, not just that they return rows."""
+    relational semantics, not just that they return rows.
+
+    Tie-safe formulation (ADVICE r2): both sides derive mean and
+    population std from EXACT integer sums (Σv, Σv² of uint8 pixels fit
+    float64 losslessly) through the identical double DAG — the outputs
+    are bit-equal with no round() in the loop, so no half-even vs
+    half-away decimal tie can ever flip the hash. The earlier
+    ``round(np.mean(), 6)`` vs ``round(avg(), 6)`` pairing was green
+    only while no fixture value landed on a rounding boundary."""
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         (v,) = _to_arrays(pdf)
-        arr = v.astype(np.float64)
+        arr = v.astype(np.int64)
+        sx = int(arr.sum())
+        sxx = int((arr * arr).sum())
+        mean = sx / 1024.0
+        std = np.sqrt(sxx / 1024.0 - mean * mean)
         return pd.DataFrame(
             [
                 {
                     "image_id": int(pdf["image_id"].iloc[0]),
-                    "mean_v": round(float(arr.mean()), 6),
-                    "std_v": round(float(arr.std()), 6),  # population (A2)
+                    "mean_v": mean,
+                    "std_v": float(std),  # population (A2)
                     "min_v": int(arr.min()),
                     "max_v": int(arr.max()),
                     "n_px": int(arr.size),

@@ -177,7 +177,11 @@ def knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sign_signatures(vec: DataFrame) -> DataFrame:
     """NARROW LSH signatures: one (vec_id, tbl, bucket) row per vector
     per table — 16 tables × 4 sign bits, planes inlined as constants.
-    Signs are taken on round(dot, 6) so DuckDB replays them exactly.
+    Signs are the RAW ``dot > 0`` (ADVICE r2 tie-safety): with ±1
+    coefficients every product term is an exact double, so the dot is a
+    plain sum both engines accumulate identically; the earlier
+    ``round(dot, 6) > 0`` only added Spark's shortest-decimal-repr
+    rounding semantics to the comparison without protecting anything.
     Deliberately excludes the vector columns: candidate joins downstream
     must move ids, not 64-dim arrays."""
     planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
@@ -185,12 +189,9 @@ def _sign_signatures(vec: DataFrame) -> DataFrame:
     def _bucket(t: int):
         bits = [
             F.when(
-                F.round(
-                    _dot(
-                        F.col("v"),
-                        F.array(*[F.lit(c) for c in planes[t * BITS_PER_TABLE + b]]),
-                    ),
-                    6,
+                _dot(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in planes[t * BITS_PER_TABLE + b]]),
                 )
                 > 0,
                 F.lit(1 << b),
@@ -223,8 +224,8 @@ def _neardup_bucket_sql(table: int, planes: list) -> str:
             str(c) for c in planes[table * BITS_PER_TABLE + b]
         )
         bits.append(
-            f"(CASE WHEN round(list_dot_product("
-            f"CAST(embedding AS DOUBLE[]), [{coeffs}]), 6) > 0 "
+            f"(CASE WHEN list_dot_product("
+            f"CAST(embedding AS DOUBLE[]), [{coeffs}]) > 0 "
             f"THEN {1 << b} ELSE 0 END)"
         )
     return " + ".join(bits)
@@ -273,8 +274,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ 0.3 via LSH banding —
     the sub-quadratic scale path, and still exactly oracle-checkable
     because the hyperplanes are deterministic md5-derived constants the
-    oracle replays verbatim (signs taken on round(dot, 6) so both
-    engines agree at the boundary).
+    oracle replays verbatim (raw ``dot > 0`` signs — exact ±1-coefficient
+    products, see ``_sign_signatures``).
 
     Candidates are pairs sharing ANY of 16 4-bit sign-buckets (~0.89
     collision odds at cos 0.3), then exact-cosine re-checked. The
