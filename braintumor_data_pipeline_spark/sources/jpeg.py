@@ -242,13 +242,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
+        # spec-legal 0xFF fill bytes may pad between segments (B.1.1.2)
+        while pos < n and data[pos] == 0xFF and pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
         if marker == 0xD9:  # EOI
             break
-        if 0xD0 <= marker <= 0xD7:  # RSTn outside scan — ignore
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            # RSTn outside scan / standalone TEM — payload-less, skip
             continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -317,9 +321,19 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff, restart_interval):
             "normally single-scan interleaved)"
         )
     by_id = {c["id"]: c for c in comps}
+    for cs, _, _ in scan_sel:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component id {cs}")
     order = [by_id[cs] for cs, _, _ in scan_sel]
     for (cs, td, ta), c in zip(scan_sel, order):
         c["td"], c["ta"] = td, ta
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError(
+                f"missing Huffman table (dc {c['td']} / ac {c['ta']})"
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
@@ -517,13 +531,18 @@ def _write_block(writer, zz, pred, dc_enc, ac_enc) -> int:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsample: bool = False
+    img: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG bytes.
 
     ``subsample=True`` emits 4:2:0 (Y at full resolution, box-averaged
     half-resolution chroma — the common camera/export layout, ~2×
-    smaller); default is 4:4:4."""
+    smaller); default is 4:4:4. ``restart_interval=N`` emits a DRI
+    segment and an RSTn marker every N MCUs (DC predictors reset,
+    bitstream byte-aligned) — the error-resilience layout cameras
+    write; also gives the decoder's DRI/RSTn path self-contained test
+    coverage with no dependence on system-provided JPEG files."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -584,6 +603,9 @@ def encode_jpeg(
     for tc_th, bits, vals in tables:
         payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([nc])
     for i in range(nc):
@@ -610,8 +632,18 @@ def encode_jpeg(
     mcus_y = dims[0][0] // samps[0][1]
     mcus_x = dims[0][1] // samps[0][0]
     preds = [0] * nc
+    mcu_no = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu_no // restart_interval - 1) % 8]
+                )
+                writer = _BitWriter()
+                preds = [0] * nc
+            mcu_no += 1
             for ci in range(nc):
                 sh, sv = samps[ci]
                 br, bc = dims[ci]

@@ -144,26 +144,79 @@ class TestJpeg:
         with pytest.raises(ValueError, match="coding process"):
             decode_jpeg(bytes(enc))
 
-    def test_restart_markers_and_independent_files(self):
-        """Decode real JPEGs not produced by our encoder when present
-        (4:2:0 and DRI/RSTn files from system test data)."""
-        import os
+    def test_restart_markers_roundtrip(self):
+        """DRI/RSTn decode path, self-contained (ADVICE r2): the encoder
+        now emits restart markers; restarted and plain bitstreams must
+        decode to the identical pixels (DC predictor resets and byte
+        alignment cancel out)."""
+        import numpy as np
 
-        from braintumor_data_pipeline_spark.sources.jpeg import decode_jpeg
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
 
-        candidates = [
-            # CPython test data (4:2:0), rust docs asset (DRI+RSTn)
-            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-            "python3.11/test/test_email/data/python.jpg",
-            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
-            "share/doc/rust/html/embedded-book/assets/verify.jpeg",
-        ]
-        found = [p for p in candidates if os.path.exists(p)]
-        if not found:
-            pytest.skip("no independent JPEG files on this system")
-        for p in found:
-            img = decode_jpeg(open(p, "rb").read())
-            assert img.ndim in (2, 3) and img.size > 0
+        rng = np.random.RandomState(21)
+        for img in (
+            self._gradient(24, 40),                                   # gray
+            rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8),    # RGB
+        ):
+            plain = decode_jpeg(encode_jpeg(img, 90))
+            restarted_bytes = encode_jpeg(img, 90, restart_interval=2)
+            assert b"\xff\xdd" in restarted_bytes  # DRI present
+            assert any(
+                bytes([0xFF, 0xD0 + i]) in restarted_bytes for i in range(8)
+            )
+            assert np.array_equal(decode_jpeg(restarted_bytes), plain)
+
+    def test_restart_markers_with_420_subsampling(self):
+        """4:2:0 + DRI/RSTn together — the common camera layout."""
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(22)
+        img = rng.randint(0, 256, size=(33, 49, 3), dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, 85, subsample=True))
+        restarted = decode_jpeg(
+            encode_jpeg(img, 85, subsample=True, restart_interval=1)
+        )
+        assert np.array_equal(restarted, plain)
+
+    def test_fill_bytes_and_tem_markers_skipped(self):
+        """Spec-legal 0xFF fill bytes between segments and standalone
+        TEM (0xFF01) markers must not abort the marker loop."""
+        import numpy as np
+
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(16, 16)
+        enc = encode_jpeg(img, 90)
+        plain = decode_jpeg(enc)
+        # insert fill bytes + TEM right after SOI
+        patched = enc[:2] + b"\xff\xff\xff" + b"\xff\x01" + enc[2:]
+        assert np.array_equal(decode_jpeg(patched), plain)
+
+    def test_missing_quantization_table_is_value_error(self):
+        """A stream whose scan references an undefined qtable must fail
+        with ValueError, not a KeyError from deep inside the decoder."""
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        enc = encode_jpeg(self._gradient(16, 16), 90)
+        # strip the DQT segment (FF DB, length 67)
+        idx = enc.find(b"\xff\xdb")
+        stripped = enc[:idx] + enc[idx + 2 + 67 :]
+        with pytest.raises(ValueError, match="quantization table"):
+            decode_jpeg(stripped)
 
 
 ENC_MD5 = "f5714e5335c1b6d6e13f4b5b4bf8e970"
