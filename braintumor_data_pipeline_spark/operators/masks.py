@@ -130,7 +130,7 @@ def mask_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT image_id, pred AS mask_bit,
            count(*) AS n_pixels,
-           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v
+           CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
     FROM ({_MASKED_SQL})
     GROUP BY image_id, pred
     """,
@@ -138,13 +138,15 @@ def mask_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mask_region_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region vs non-region mean intensity (`utils.py:133-140`) + area
-    (A3: np.sum(mask) = count of 1-pixels)."""
+    (A3: np.sum(mask) = count of 1-pixels). Exact integer sum ÷ count —
+    bit-identical both engines, no rounding boundary in the hash."""
     m = masked_df(spark, sf_dir)
     return (
         m.groupBy("image_id", F.col("pred").alias("mask_bit"))
         .agg(
             F.count("*").alias("n_pixels"),
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            (F.sum(F.col("v").cast("long")).cast("double") / F.count("*"))
+            .alias("mean_v"),
         )
     )
 

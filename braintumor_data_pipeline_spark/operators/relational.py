@@ -98,9 +98,9 @@ def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_price,
-           round(sqrt(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)
-                 - (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*))), 6) AS std_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_price,
+           sqrt(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*))) AS std_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -112,7 +112,10 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance, not the sample (n-1) one. Both moments are computed from
     exact DECIMAL(38,6) sums (functions/money.py) so the large-magnitude
     mean/std cannot drift across accumulation orders; the remaining ops
-    (div, mul, sub, sqrt) are correctly-rounded IEEE on both engines."""
+    (div, mul, sub, sqrt) are correctly-rounded IEEE on both engines —
+    the outputs are bit-identical doubles, so no final round() is
+    applied at all (a round would only re-introduce Spark's
+    shortest-repr vs DuckDB binary-value rounding divergence)."""
     x = F.col("l_extendedprice")
     n = F.count("*")
     s1 = F.sum(dec_col(x)).cast("double")
@@ -122,8 +125,8 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             n.alias("n"),
-            F.round(s1 / n, 6).alias("mean_price"),
-            F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 6).alias("std_price"),
+            (s1 / n).alias("mean_price"),
+            F.sqrt(s2 / n - (s1 / n) * (s1 / n)).alias("std_price"),
         )
     )
 
@@ -140,8 +143,10 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -151,7 +156,11 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-filter-aggregate; the shipdate predicate must reach the parquet
-    scan (PushedFilters) and only 6 columns must be read (ReadSchema)."""
+    scan (PushedFilters) and only 6 columns must be read (ReadSchema).
+
+    The averages are exact-decimal-sum ÷ count (one deterministic double
+    division both engines perform identically) rather than
+    ``round(avg(), 6)`` — same tie-safety rationale as the money sums."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -162,8 +171,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice").alias("sum_base_price"),
             F.sum(dec_col(disc_price)).cast("double").alias("sum_disc_price"),
             F.sum(dec_col(disc_price * (1 + F.col("l_tax")))).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(dec_col("l_quantity")).cast("double") / F.count("*"))
+            .alias("avg_qty"),
+            (F.sum(dec_col("l_discount")).cast("double") / F.count("*"))
+            .alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1050,8 +1061,8 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
     -- known key; the Spark side stays fully generic over the map
     SELECT 'k' AS prop_key,
            count(*) AS n,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
-             AS avg_value
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS DOUBLE) / count(*) AS avg_value
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
     GROUP BY prop_key
@@ -1075,7 +1086,8 @@ def json_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv.groupBy("prop_key")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("prop_value"), 6).alias("avg_value"),
+            (F.sum("prop_value").cast("double") / F.count("*"))
+            .alias("avg_value"),
         )
         .orderBy("prop_key")
     )

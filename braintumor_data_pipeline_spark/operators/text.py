@@ -85,19 +85,23 @@ def word_freq_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(n_chars), 6) AS avg_chars,
-           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+             AS avg_tokens
     FROM documents
     GROUP BY lang
     """,
     tags=("text", "agg"),
 )
 def lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc stats; averages are exact integer sums ÷ count
+    (bit-identical both engines — no rounding boundary in the hash)."""
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.avg(F.size(_tokens())), 6).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.size(_tokens())).cast("double") / F.count("*"))
+        .alias("avg_tokens"),
     )
 
 
