@@ -38,35 +38,74 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def ensure_nanos_readable(spark: SparkSession) -> None:
-    """Make ``events.parquet`` (TIMESTAMP(NANOS)) readable in THIS session.
+    """Make legacy TIMESTAMP(NANOS) parquet readable in THIS session.
 
-    Runtime-settable; needed for any raw ``spark.read.parquet`` of the
-    events fixture outside :func:`load_table` (e.g. the streaming
-    runners that stage the file for a file-source stream).
+    Earlier driver datasets wrote ``events.ts`` as TIMESTAMP(NANOS), which
+    Spark's reader rejects without ``spark.sql.legacy.parquet.nanosAsLong``.
+    Current datasets write plain micros, but the conf is runtime-settable
+    and harmless, so it stays as a defensive setting for any raw
+    ``spark.read.parquet`` of the events fixture outside :func:`load_table`
+    (e.g. the streaming runners that stage the file for a file-source
+    stream).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp semantics engine-wide are "instants, session tz UTC" — the
+    # same view DuckDB has of the naive micros values in the parquet.
+    # Runtime-settable, so set defensively for foreign sessions too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize a raw events frame's ``ts`` to TIMESTAMP (UTC instants).
+
+    Handles both on-disk encodings the driver has shipped: int64 nanos
+    (legacy TIMESTAMP(NANOS) read via ``nanosAsLong``) and naive micros
+    (TIMESTAMP_NTZ under Spark 4's inference). Works on batch and
+    streaming frames alike.
+    """
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning for free.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
-    Spark's reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as int64 nanos and is converted here to a microsecond
-    timestamp (floor division — the same truncation DuckDB's ``epoch_us``
-    applies to TIMESTAMP_NS). The conf is runtime-settable, and sessions
-    not built by our factory (e.g. the driver harness's) won't have it,
-    so it is set defensively here before every read.
+    Timestamp normalization: the driver's parquet stores naive
+    microsecond timestamps (no tz), which Spark 4 infers as
+    TIMESTAMP_NTZ. The whole query catalog (and ``unix_micros`` in
+    particular) is written against regular TIMESTAMP (instant/LTZ)
+    semantics with a UTC session, which is also exactly how the DuckDB
+    oracle reads the same files. So: pin the session tz to UTC and cast
+    every NTZ column to TIMESTAMP — a wall-clock reinterpretation, not a
+    shift, hence bit-identical instants to the oracle. Older datasets
+    wrote TIMESTAMP(NANOS); that arrives as int64 nanos (via
+    ``nanosAsLong``) and is floor-divided to micros — the same
+    truncation DuckDB's ``epoch_us`` applies to TIMESTAMP_NS.
     """
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     # Defensive: works in any session, not just ones from session.get_spark().
     ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtypes = dict(df.dtypes)
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from ..functions.money import dec_col
 from ..registry import register
-from ..sources.fixtures import ensure_nanos_readable, load_table as _t
+from ..sources.fixtures import (
+    ensure_nanos_readable,
+    load_table as _t,
+    normalize_event_ts,
+)
 
 _US_5M = 300_000_000
 _US_30M = 1_800_000_000
@@ -254,7 +258,6 @@ def run_streaming_tumbling_counts(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stage_dir, "events.parquet"),
     )
-    # schema as stored: ts is int64 nanos (see sources/fixtures.py)
     raw_schema = spark.read.parquet(
         os.path.join(stage_dir, "events.parquet")
     ).schema
@@ -263,8 +266,7 @@ def run_streaming_tumbling_counts(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -360,8 +362,7 @@ def run_stream_stream_join(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     v = (
         stream.filter(F.col("event_type") == "view")
         .select("user_id", F.col("ts").alias("v_ts"))
@@ -432,8 +433,7 @@ def run_streaming_dedup_counts(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .select(
@@ -486,8 +486,7 @@ def run_stream_static_join(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
