@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import dec_col, dec_sum
+from ..functions.money import (
+    dec_col,
+    dec_sum,
+    oracle_split_sum,
+    split_sum_aggs,
+    split_sum_value,
+)
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -33,9 +39,9 @@ from ..sources.fixtures import load_table as _t
 # ---------------------------------------------------------------------------
 @register(
     "flagship_avg_by_group",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_total,
+           round({oracle_split_sum('o_totalprice')} / count(*), 6) AS avg_total,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -46,13 +52,21 @@ from ..sources.fixtures import load_table as _t
 )
 def flagship_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVG per group, ORDER BY avg DESC, LIMIT — the reference's flagship
-    analytics query shape (`dataflow_pipeline` stats table → README SQL)."""
+    analytics query shape (`dataflow_pipeline` stats table → README SQL).
+    Split-sum fast path for the money total (functions/money.py)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(dec_col("o_totalprice")).cast("double") / F.count("*"), 6).alias("avg_total"),
+            *split_sum_aggs("o_totalprice", "tot"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            F.round(split_sum_value("tot") / F.col("n_orders"), 6).alias(
+                "avg_total"
+            ),
+            "n_orders",
         )
         .orderBy(F.desc("avg_total"), "o_custkey")
         .limit(50)
@@ -136,17 +150,15 @@ def group_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             / count(*) AS avg_qty,
-           CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
-             / count(*) AS avg_disc,
+           {oracle_split_sum('l_quantity')} AS sum_qty,
+           {oracle_split_sum('l_extendedprice')} AS sum_base_price,
+           {oracle_split_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_split_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_split_sum('l_quantity')} / count(*) AS avg_qty,
+           {oracle_split_sum('l_discount')} / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -158,25 +170,35 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-filter-aggregate; the shipdate predicate must reach the parquet
     scan (PushedFilters) and only 6 columns must be read (ReadSchema).
 
-    The averages are exact-decimal-sum ÷ count (one deterministic double
-    division both engines perform identically) rather than
-    ``round(avg(), 6)`` — same tie-safety rationale as the money sums."""
+    Money sums use the split-sum fast path (functions/money.py): exact
+    long-path aggregation in codegen, ~3× faster than DECIMAL(38,6)
+    buffers, hash-stable vs the oracle's HUGEINT sum of the same
+    quantized micros. Averages are exact-sum ÷ count (one deterministic
+    double division both engines perform identically)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
-            dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec_col(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(dec_col(disc_price * (1 + F.col("l_tax")))).cast("double").alias("sum_charge"),
-            (F.sum(dec_col("l_quantity")).cast("double") / F.count("*"))
-            .alias("avg_qty"),
-            (F.sum(dec_col("l_discount")).cast("double") / F.count("*"))
-            .alias("avg_disc"),
+            *split_sum_aggs("l_quantity", "qty"),
+            *split_sum_aggs("l_extendedprice", "base"),
+            *split_sum_aggs(disc_price, "disc"),
+            *split_sum_aggs(disc_price * (1 + F.col("l_tax")), "charge"),
+            *split_sum_aggs("l_discount", "dsc"),
             F.count("*").alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        split_sum_value("qty").alias("sum_qty"),
+        split_sum_value("base").alias("sum_base_price"),
+        split_sum_value("disc").alias("sum_disc_price"),
+        split_sum_value("charge").alias("sum_charge"),
+        (split_sum_value("qty") / F.col("count_order")).alias("avg_qty"),
+        (split_sum_value("dsc") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -185,9 +207,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "star_join_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           {oracle_split_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -201,21 +223,26 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. customer/nation/
     region are broadcast (no fact shuffle for dims); lineitem ⋈ orders is
-    the one key shuffle, AQE-managed."""
+    the one key shuffle, AQE-managed. Revenue uses the split-sum fast
+    path (functions/money.py) — exact, long-path, hash-stable."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(
-            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+        .agg(*split_sum_aggs(rev, "rev"), F.count("*").alias("n_items"))
+        .select(
+            "r_name",
+            "n_name",
+            split_sum_value("rev").alias("revenue"),
+            "n_items",
         )
     )
 
@@ -416,9 +443,9 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "rollup_lineitem",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           {oracle_split_sum('l_quantity')} AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -426,12 +453,20 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "grouping"),
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets over the split-sum partials: the lo/hi longs are
+    themselves sums, so they roll up exactly across grouping levels."""
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
+            *split_sum_aggs("l_quantity", "qty"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            split_sum_value("qty").alias("sum_qty"),
+            "n",
         )
     )
 
@@ -632,9 +667,9 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "top_revenue_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_orderpriority,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           {oracle_split_sum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -651,6 +686,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
         .join(
@@ -664,8 +700,11 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(
-            F.sum(dec_col(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
+        .agg(*split_sum_aggs(rev, "rev"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            split_sum_value("rev").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)

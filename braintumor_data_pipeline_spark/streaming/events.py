@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dec_col
+from ..functions.money import dec_col, split_sum_aggs, split_sum_value
 from ..registry import register
 from ..sources.fixtures import (
     ensure_nanos_readable,
@@ -115,7 +115,7 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            epoch_us(min(ts)) AS session_start_us,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           (CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS sum_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -129,12 +129,12 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum(dec_col("value")).cast("double").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), *split_sum_aggs("value", "val"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
             "n_events",
-            "sum_value",
+            split_sum_value("val").alias("sum_value"),
         )
     )
 
