@@ -159,6 +159,11 @@ def audio_features_df(df: DataFrame, codec=None) -> DataFrame:
                 samples, rate = decode_audio(bytes(r["payload"]), codec=codec)
                 flat = samples.astype(np.int64).reshape(-1)
                 # widen before abs: |int16 -32768| overflows int16
+                # No rounding on rms/duration: every intermediate sum is
+                # an exact integer < 2^53 in float64, so mean+sqrt are
+                # single correctly-rounded IEEE ops — bit-identical to
+                # the oracle's recompute regardless of accumulation
+                # order, with no decimal-tie exposure.
                 rms = float(np.sqrt(np.mean(flat.astype(np.float64) ** 2)))
                 rows.append(
                     {
@@ -166,10 +171,8 @@ def audio_features_df(df: DataFrame, codec=None) -> DataFrame:
                         "n_samples": int(samples.shape[0]),
                         "n_channels": int(samples.shape[1]),
                         "sample_rate": int(rate),
-                        "duration_ms": round(
-                            1000.0 * samples.shape[0] / rate, 6
-                        ),
-                        "rms": round(rms, 6),
+                        "duration_ms": 1000.0 * samples.shape[0] / rate,
+                        "rms": rms,
                         "peak": int(np.abs(flat).max()) if len(flat) else 0,
                     }
                 )
@@ -302,7 +305,40 @@ def documents_as_wav_table(
 
 @register(
     "multimodal_audio_features",
-    oracle=None,  # binary UDF stage; value-pinned by pytest instead
+    # The oracle recomputes every feature from the document BYTES in
+    # DuckDB (hex expansion → per-byte PCM values), which proves the
+    # WAV encode→decode round trip preserved the samples exactly: the
+    # Spark side goes text → PCM → RIFF container → parse → features,
+    # the oracle goes text → features directly. Hash-exact because all
+    # sums are integers < 2^53 (see audio_features_df).
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             substr(hex(encode(text)), 1, 4096) AS hx,
+             8000 + 4000 * (doc_id % 3) AS rate
+      FROM documents WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT doc_id, rate, strlen(hx) // 2 AS n,
+             unnest(range(strlen(hx) // 2)) AS i, hx
+      FROM raw
+    ),
+    v AS (
+      SELECT doc_id, rate, n,
+             ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+               * 257 - 32768 AS s
+      FROM b
+    )
+    SELECT CAST(doc_id AS INT) AS key,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS n_channels,
+           CAST(rate AS INT) AS sample_rate,
+           1000.0 * n / rate AS duration_ms,
+           sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM v
+    GROUP BY doc_id, n, rate
+    """,
     tags=("multimodal", "audio", "udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,7 +346,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraps deterministic PCM in genuine RIFF/WAV containers
     (sources/wav.py), stage 2 parses them back and computes sample
     count/channels/rate/duration/RMS/peak. Limited to 100 blobs: the
-    point is the stage shape, not volume."""
+    point is the stage shape, not volume. The DuckDB oracle recomputes
+    the features from the raw text bytes, so a hash match certifies the
+    whole PCM round trip sample-exactly."""
     return audio_features_df(documents_as_wav_table(spark, sf_dir))
 
 

@@ -60,7 +60,6 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "star_join_revenue",
     "top_revenue_orders",
-    "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
     "null_semantics_groups",
@@ -112,6 +111,10 @@ PRIORITY: tuple[str, ...] = (
     # LLM pipeline stages
     "train_test_split_documents",
     "corpus_prep_end_to_end",
+    # multimodal audio (oracle recomputes features from raw bytes; a
+    # hash match certifies the WAV round trip — swapped in for the
+    # twice-green window_rank_orders per the rotation policy)
+    "multimodal_audio_features",
     # CDC
     "scd2_user_type_history",
     # timeseries

@@ -207,10 +207,14 @@ def test_registered_audio_query_pinned_goldens(spark, sf_dir):
     out = {r.key: r for r in multimodal_audio_features(spark, sf_dir).collect()}
     assert len(out) == 100
     g0, g1, g2 = out[0], out[1], out[2]
+    # Exact unrounded doubles: recomputed independently from the raw
+    # document bytes (DuckDB hex expansion), not from this code path.
     assert (g0.n_samples, g0.sample_rate, g0.duration_ms, g0.rms, g0.peak) == (
-        128, 8000, 16.0, 11328.616693, 24544
+        128, 8000, 16.0, 11328.61669277741, 24544
     )
-    assert (g1.n_samples, g1.sample_rate, g1.rms) == (441, 12000, 11330.205552)
+    assert (g1.n_samples, g1.sample_rate, g1.rms) == (
+        441, 12000, 11330.205552089852
+    )
     assert (g2.n_samples, g2.sample_rate, g2.duration_ms) == (348, 16000, 21.75)
     assert all(r.n_channels == 1 for r in out.values())
 
