@@ -34,6 +34,20 @@ def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
     assert "l_partkey" not in read_schema, read_schema
 
 
+def test_split_sum_stays_on_long_path(spark, sf_dir):
+    """The money split sum must aggregate LONGs, not DECIMAL(38,6):
+    a decimal(38,6) buffer exceeds Spark's 18-digit long-backed Decimal
+    and silently reverts the ~3× BigDecimal slowdown the split sum
+    exists to avoid. The only decimal in the plan is the O(groups)
+    post-agg recombine (decimal(38,0))."""
+    for name in ("pricing_summary", "star_join_revenue", "rollup_lineitem"):
+        plan = _plan(spark, sf_dir, name)
+        i = plan.index("HashAggregate")
+        agg_section = plan[i : plan.index("Scan ", i)]
+        assert "sum(__" in agg_section or "sum" in agg_section
+        assert "decimal(38,6)" not in agg_section, (name, agg_section[:400])
+
+
 def test_flagship_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "flagship_avg_by_group")
     # partial agg → one exchange → final agg (+ top-K, no global sort)
