@@ -240,16 +240,48 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 128  # tokens per training sequence
 
 
-@register("chunk_packing_greedy", oracle=None, tags=("text", "packing", "udf"))
+@register(
+    "chunk_packing_greedy",
+    # The greedy fill is a linear recurrence in (fill, pack_id) over
+    # docs ordered by doc_id within source — the DuckDB oracle replays
+    # it step-by-step with a recursive CTE (the region_grow_capped
+    # list-state technique), one recursion level per document.
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(n_tokens AS BIGINT) AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET}
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > {PACK_BUDGET}
+                  THEN CAST(d.n_tokens AS BIGINT)
+                  ELSE w.fill + d.n_tokens END
+      FROM walk w
+      JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, pack_id, doc_id, n_tokens FROM walk
+    """,
+    tags=("text", "packing", "udf"),
+)
 def chunk_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedily fill 128-token training sequences with
     whole documents, never splitting one (oversize docs get a pack of
-    their own). Greedy fill is inherently sequential-stateful, so it is
-    NOT SQL-expressible — the distributed axis is the ``source`` key
-    (packs never cross sources), the per-group fill runs in
-    applyInPandas ordered by doc_id (deterministic). Rows-only driver
-    check; invariants (budget respected, order preserved, determinism)
-    are pinned in tests.
+    their own). Greedy fill is inherently sequential-stateful — the
+    distributed axis is the ``source`` key (packs never cross sources),
+    the per-group fill runs in applyInPandas ordered by doc_id
+    (deterministic); the oracle replays the same recurrence as a
+    recursive CTE, upgrading this from rows-only to hash-checked.
+    Invariants (budget respected, order preserved, determinism) are
+    additionally pinned in tests.
 
     At scale: grouping key count ≈ corpora/shards, so parallelism comes
     from sharding the corpus (e.g. pack per (source, doc_id div N));

@@ -56,10 +56,10 @@ DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
     "flagship_avg_by_group",
-    "latest_events",
     "pricing_summary",
     "star_join_revenue",
     "top_revenue_orders",
+    "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
     "null_semantics_groups",
@@ -112,8 +112,10 @@ PRIORITY: tuple[str, ...] = (
     "train_test_split_documents",
     "corpus_prep_end_to_end",
     # multimodal audio (oracle recomputes features from raw bytes; a
-    # hash match certifies the WAV round trip — swapped in for the
-    # twice-green window_rank_orders per the rotation policy)
+    # hash match certifies the WAV round trip — takes the slot vacated
+    # by latest_events, the lowest-information once-green relational
+    # query, since bench HEADLINE queries may not leave the window and
+    # no twice-green slot remained after this round's rotation)
     "multimodal_audio_features",
     # CDC
     "scd2_user_type_history",

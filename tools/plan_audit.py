@@ -31,7 +31,8 @@ from braintumor_data_pipeline_spark.session import get_spark
 # Scalar-subquery broadcasts (1-row aggregate crossed into every row) are
 # detected structurally instead — see _all_nlj_are_scalar_broadcasts.
 CARTESIAN_OK = {
-    "knn_bruteforce_cosine",   # broadcast query side (50 rows) by design
+    # knn_bruteforce_cosine no longer joins at all (Arrow-batched
+    # distributed top-k); entry kept out — see similarity.py.
     "null_aware_not_in",       # NAAJ demo: the NLJ IS the documented lesson
 }
 
