@@ -72,7 +72,16 @@ def image_features_df(df: DataFrame) -> DataFrame:
     """Feature stage over any (image_id, payload binary) table: decode
     (magic-byte dispatch — PNG/BMP/JPEG/TIFF all work), grayscale if
     needed, then mean/std/edge-energy/thumbnail features. One fused
-    Arrow stage per batch of blobs, mirroring the ETL DoFn fusion."""
+    Arrow stage per batch of blobs, mirroring the ETL DoFn fusion.
+
+    Deterministic formulations (the imaging_udf_stats tie-safety
+    doctrine): mean/std/thumbnails come from EXACT integer pixel sums
+    (< 2^53, lossless in float64) through a fixed double DAG, and edge
+    energy is Σ floor(|∇|·1e6) per pixel as a BIGINT — integer Sobel
+    gradients (reflect-101 borders, same as functions/imaging
+    sobel_magnitude), one sqrt and one multiply per pixel, then an
+    order-independent integer sum. Every output is bit-reproducible on
+    any engine that replays the same algebra."""
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,39 +91,121 @@ def image_features_df(df: DataFrame) -> DataFrame:
                 img = decode_image(bytes(r["payload"]))
                 if img.ndim == 3:
                     img = to_grayscale(img)
-                g = img.shape[0]
-                th = img.reshape(2, g // 2, 2, g // 2).mean(axis=(1, 3))
+                a = img.astype(np.int64)
+                n = float(a.size)
+                sx = int(a.sum())
+                sxx = int((a * a).sum())
+                mean = sx / n
+                std = float(np.sqrt(sxx / n - mean * mean))
+                ap = np.pad(a, 1, mode="reflect")
+                gx = (
+                    ap[0:-2, 2:] + 2 * ap[1:-1, 2:] + ap[2:, 2:]
+                    - ap[0:-2, 0:-2] - 2 * ap[1:-1, 0:-2] - ap[2:, 0:-2]
+                )
+                gy = (
+                    ap[2:, 0:-2] + 2 * ap[2:, 1:-1] + ap[2:, 2:]
+                    - ap[0:-2, 0:-2] - 2 * ap[0:-2, 1:-1] - ap[0:-2, 2:]
+                )
+                mag = np.sqrt((gx * gx + gy * gy).astype(np.float64))
+                em = int(np.floor(mag * 1e6).astype(np.int64).sum())
+                h = a.shape[0] // 2
                 rows.append(
                     {
                         "image_id": int(r["image_id"]),
-                        "mean_v": round(float(img.mean()), 6),
-                        "std_v": round(float(img.std()), 6),
-                        "edge_energy": round(
-                            float(sobel_magnitude(img).mean()), 6
-                        ),
-                        "thumb_tl": round(float(th[0, 0]), 6),
-                        "thumb_br": round(float(th[1, 1]), 6),
+                        "mean_v": mean,
+                        "std_v": std,
+                        "edge_energy_micro": em,
+                        "thumb_tl": a[:h, :h].sum() / float(h * h),
+                        "thumb_br": a[h:, h:].sum() / float(h * h),
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "image_id", "mean_v", "std_v", "edge_energy",
+                    "image_id", "mean_v", "std_v", "edge_energy_micro",
                     "thumb_tl", "thumb_br",
                 ],
             )
 
     return df.mapInPandas(
         features,
-        schema="image_id int, mean_v double, std_v double, edge_energy double,"
-        " thumb_tl double, thumb_br double",
+        schema="image_id int, mean_v double, std_v double,"
+        " edge_energy_micro long, thumb_tl double, thumb_br double",
     )
 
 
-@register("multimodal_image_features", oracle=None, tags=("multimodal", "udf"))
+# Sobel contribution weights per neighbor offset (dy, dx) → (wx, wy);
+# wx = SOBEL_X[dy+1][dx+1], wy is the transpose — mirrors
+# functions/imaging.sobel_magnitude exactly, reflect-101 borders.
+_IMG_FEATURES_ORACLE = """
+    WITH g AS (
+      SELECT CAST(rn0 // 1024 AS INT) AS image_id,
+             CAST((rn0 % 1024) // 32 AS INT) AS y,
+             CAST(rn0 % 32 AS INT) AS x,
+             v
+      FROM (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0,
+               CAST((o_orderkey * 2654435761) % 256 AS INT) AS v
+        FROM orders
+      )
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+    ),
+    off(dy, dx, wx, wy) AS (VALUES
+      (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+      ( 0,-1,-2, 0), ( 0,0,0, 0), ( 0,1,2, 0),
+      ( 1,-1,-1, 1), ( 1,0,0, 2), ( 1,1,1, 1)),
+    grad AS (
+      SELECT t.image_id, t.y, t.x,
+             sum(s.v * o.wx) AS gx, sum(s.v * o.wy) AS gy
+      FROM g t
+      CROSS JOIN off o
+      JOIN g s ON s.image_id = t.image_id
+        AND s.y = CASE WHEN t.y + o.dy = -1 THEN 1
+                       WHEN t.y + o.dy = 32 THEN 30
+                       ELSE t.y + o.dy END
+        AND s.x = CASE WHEN t.x + o.dx = -1 THEN 1
+                       WHEN t.x + o.dx = 32 THEN 30
+                       ELSE t.x + o.dx END
+      GROUP BY t.image_id, t.y, t.x
+    ),
+    edge AS (
+      SELECT image_id,
+             sum(CAST(floor(sqrt(CAST(gx*gx + gy*gy AS DOUBLE)) * 1e6)
+                      AS BIGINT)) AS edge_energy_micro
+      FROM grad GROUP BY image_id
+    ),
+    stats AS (
+      SELECT image_id,
+             CAST(sum(v) AS DOUBLE) / 1024.0 AS mean_v,
+             sqrt(CAST(sum(v*v) AS DOUBLE) / 1024.0
+                  - (CAST(sum(v) AS DOUBLE) / 1024.0)
+                    * (CAST(sum(v) AS DOUBLE) / 1024.0)) AS std_v,
+             CAST(sum(CASE WHEN y < 16 AND x < 16 THEN v ELSE 0 END)
+                  AS DOUBLE) / 256.0 AS thumb_tl,
+             CAST(sum(CASE WHEN y >= 16 AND x >= 16 THEN v ELSE 0 END)
+                  AS DOUBLE) / 256.0 AS thumb_br
+      FROM g GROUP BY image_id
+    )
+    SELECT s.image_id, s.mean_v, s.std_v, e.edge_energy_micro,
+           s.thumb_tl, s.thumb_br
+    FROM stats s JOIN edge e ON e.image_id = s.image_id
+"""
+
+
+@register(
+    "multimodal_image_features",
+    # The oracle rebuilds the pixels relationally (never touching PNG)
+    # and recomputes all five features, Sobel included, via a 9-neighbor
+    # self-join — a hash match certifies the PNG encode→decode round
+    # trip AND the numpy gradient algebra bit-for-bit (the image
+    # counterpart of the audio byte-recompute oracle).
+    oracle=_IMG_FEATURES_ORACLE,
+    tags=("multimodal", "udf"),
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 2: decode the binary column and extract features — the
-    registered composition of the two stages."""
+    registered composition of the two stages, hash-checked against a
+    relational recompute of every feature from the pixel relation."""
     return image_features_df(images_as_binary_table(spark, sf_dir))
 
 

@@ -79,7 +79,7 @@ def test_image_binary_table_and_features(spark, sf_dir):
     feats = {f.image_id: f for f in multimodal_image_features(spark, sf_dir).collect()}
     assert set(feats) == {r.image_id for r in rows}
     for f in feats.values():
-        assert 0 <= f.mean_v <= 255 and f.edge_energy > 0
+        assert 0 <= f.mean_v <= 255 and f.edge_energy_micro > 0
 
 
 def test_decoders_reject_garbage():
@@ -318,5 +318,9 @@ def test_image_features_accept_jpeg_payloads(spark):
     rows = image_features_df(spark.createDataFrame(pdf)).collect()
     assert len(rows) == 1 and rows[0].image_id == 7
     dec = decode_jpeg(jpg)  # lossy: compare features to DECODED pixels
-    assert rows[0].mean_v == round(float(dec.mean()), 6)
-    assert rows[0].std_v == round(float(dec.std()), 6)
+    a = dec.astype(np.int64)
+    assert rows[0].mean_v == a.sum() / float(a.size)
+    mean = a.sum() / float(a.size)
+    assert rows[0].std_v == float(
+        np.sqrt(int((a * a).sum()) / float(a.size) - mean * mean)
+    )
