@@ -432,3 +432,112 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+SEG_TOKENS = 16  # fixed segment width (stand-in for newline lines)
+
+
+@register(
+    "line_dedup_documents",
+    # The oracle replays the identical pipeline relationally: segment,
+    # hash, corpus df + canonical keeper, filter, reassemble in order.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    seg0 AS (
+      SELECT doc_id, toks,
+             unnest(range((len(toks) + {SEG_TOKENS - 1}) // {SEG_TOKENS}))
+               AS i
+      FROM t
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(
+               toks[(i * {SEG_TOKENS} + 1):(i * {SEG_TOKENS} + {SEG_TOKENS})],
+               ' ') AS seg
+      FROM seg0
+    ),
+    hs AS (
+      SELECT doc_id, pos, seg,
+             ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+      FROM seg
+    ),
+    stats AS (SELECT h, count(*) AS df, min(doc_id) AS keeper
+              FROM hs GROUP BY h),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg
+      FROM hs s JOIN stats st USING (h)
+      WHERE st.df = 1 OR s.doc_id = st.keeper
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_segments FROM seg
+               GROUP BY doc_id),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segments,
+           t.n_segments - coalesce(ka.n_kept, 0) AS n_removed,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN ka USING (doc_id)
+    """,
+    tags=("text", "dedup", "corpus"),
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style cross-corpus line dedup: drop every repeated line
+    except ONE canonical survivor (the min-doc_id occurrence), then
+    reassemble each document preserving line order. The fixture corpus
+    has no newlines, so the "line" here is a fixed 16-token segment —
+    the plumbing (segment with position, corpus-wide df on a 60-bit
+    segment hash, keeper join, ordered reassembly) is exactly the
+    newline-line pipeline a 100 TB corpus runs.
+
+    Scale shape: both shuffles key on the content hash (uniform, 8-byte
+    keys); the doc-order reassembly groups by doc_id once; the wide text
+    column only travels exploded as its segments, never joined whole.
+    A doc whose every line is dropped still yields a row (empty
+    clean_text), so downstream counts stay honest.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_seg = F.expr(f"(size(t) + {SEG_TOKENS - 1}) div {SEG_TOKENS}")
+    segs = F.transform(
+        F.sequence(F.lit(0), (n_seg - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), i * SEG_TOKENS + 1, SEG_TOKENS)
+        ),
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast("bigint"),
+    )
+    stats = exploded.groupBy("h").agg(
+        F.count("*").alias("df"), F.min("doc_id").alias("keeper")
+    )
+    kept = exploded.join(stats, "h").filter(
+        (F.col("df") == 1) | (F.col("doc_id") == F.col("keeper"))
+    )
+    totals = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments")
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
