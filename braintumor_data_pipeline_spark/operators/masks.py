@@ -196,6 +196,7 @@ def mask_boundary_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked_df(spark, sf_dir)
         .filter(F.col("pred") == 1)
         .select("image_id", "y", "x")
+        .persist()  # feeds both self-join sides; build the grid once
     )
     a = m.alias("a")
     b = m.alias("b")

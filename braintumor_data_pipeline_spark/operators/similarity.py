@@ -2,9 +2,9 @@
 
 Three tiers:
 
-1. **Brute-force cosine top-k** — the correctness baseline: pruned cross
-   join + JVM-side higher-order functions (``zip_with``/``aggregate``)
-   for the dot product — no Python UDF, stays in codegen.
+1. **Brute-force cosine top-k** — the correctness baseline: Arrow-
+   batched distributed top-k (query block in the task closure, one
+   numpy matmul per batch, batch-local top-5 → tiny global resolve).
 2. **Partition-pruned top-k** (`knn_within_label`) — search restricted
    to a coarse partition key (label ≈ IVF cell): the at-scale pattern
    where candidates shuffle only within their cell.
@@ -329,7 +329,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped pairs' exact re-rank. Never let the wide array ride the
     pair explosion (doing so OOMs at 2k vectors / 1g heap; measured)."""
     vec = _vectors(spark, sf_dir)
-    sigs = _sign_signatures(vec)
+    # sigs feeds both bucket-join sides (and vec three branches): persist
+    # the narrow signature relation so it materializes once.
+    sigs = _sign_signatures(vec).persist()
     cand = (
         sigs.alias("a")
         .join(
@@ -393,7 +395,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, via _sign_signatures); vectors join back after the pair
     dedup. Rows-only driver check; tests gate recall vs brute force."""
     vec = _vectors(spark, sf_dir)
-    sigs = _sign_signatures(vec)
+    # sigs feeds both bucket-join sides (and vec three branches): persist
+    # the narrow signature relation so it materializes once.
+    sigs = _sign_signatures(vec).persist()
     cand = (
         sigs.alias("a")
         .join(
