@@ -188,28 +188,46 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 within the same label — the IVF/cell-pruned search shape:
-    the join key (label) partitions the candidate space, so at scale each
-    cell's candidates co-locate in one shuffle partition."""
+    one shuffle co-locates each label cell, then the whole cell's
+    pairwise cosine matrix is ONE numpy matmul inside applyInPandas and
+    only each vector's top-3 leaves the executor. At scale the cell is
+    the IVF sizing unit (m×m floats per cell must fit an executor —
+    the same bound IVF training enforces); ranking matches the oracle:
+    round(sim, 4) DESC, then neighbor id."""
+    import numpy as np
+    import pandas as pd
+
     vec = _vectors(spark, sf_dir)
-    a = vec.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("ql"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    b = vec.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("bl"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bn"),
-    )
-    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    return (
-        a.join(b, (F.col("ql") == F.col("bl")) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"qid": [], "nid": [], "sim": [], "rn": []}
+            ).astype({"qid": "int64", "nid": "int64", "sim": "float64",
+                      "rn": "int32"})
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy()
+        sims = np.round((mat @ mat.T) / np.outer(nr, nr), 4)
+        out = []
+        for i in range(m):
+            keep = ids != ids[i]
+            order = np.lexsort((ids[keep], -sims[i][keep]))[:3]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(len(order), ids[i]),
+                        "nid": ids[keep][order],
+                        "sim": sims[i][keep][order],
+                        "rn": np.arange(1, len(order) + 1, dtype=np.int32),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return vec.groupBy("label").applyInPandas(
+        cell, schema="qid long, nid long, sim double, rn int"
     )
 
 
