@@ -541,3 +541,94 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+@register(
+    "decontamination_scan",
+    # Same hash split rule as train_test_split_documents; segment
+    # machinery shared with line_dedup_documents. Oracle replays both.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_train
+      FROM documents
+    ),
+    seg0 AS (
+      SELECT doc_id, is_train, toks,
+             unnest(range((len(toks) + {SEG_TOKENS - 1}) // {SEG_TOKENS}))
+               AS i
+      FROM d
+    ),
+    seg AS (
+      SELECT doc_id, is_train,
+             ('0x' || substr(md5(array_to_string(
+                toks[(i * {SEG_TOKENS} + 1):(i * {SEG_TOKENS} + {SEG_TOKENS})],
+                ' ')), 1, 15))::BIGINT AS h
+      FROM seg0
+    ),
+    train_h AS (SELECT DISTINCT h FROM seg WHERE is_train),
+    test_seg AS (SELECT doc_id, h FROM seg WHERE NOT is_train)
+    SELECT t.doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated,
+           sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS contamination_rate
+    FROM test_seg t LEFT JOIN train_h tr ON tr.h = t.h
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "dedup", "corpus"),
+)
+def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: for every TEST-split document
+    (same md5 hash rule as ``train_test_split_documents``), how many of
+    its 16-token segments also occur anywhere in the TRAIN split — the
+    pre-release leakage check every training corpus runs against its
+    eval sets. The segment unit and 60-bit hashing are shared with
+    ``line_dedup_documents``.
+
+    Scale shape: the train side reduces to DISTINCT segment hashes
+    (8-byte keys) before the join, the join keys on the content hash
+    (uniform), and the test side aggregates per doc — text never joins
+    whole. At real scale the train-hash relation is the big side and
+    the eval sets are small: the same plan broadcast-joins the eval
+    segments instead, unchanged semantics.
+    """
+    d = _t(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d"
+    )
+    toks = d.select(
+        "doc_id", is_train.alias("is_train"), F.split("text", " ").alias("t")
+    )
+    n_seg = F.expr(f"(size(t) + {SEG_TOKENS - 1}) div {SEG_TOKENS}")
+    segs = F.transform(
+        F.sequence(F.lit(0), (n_seg - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), i * SEG_TOKENS + 1, SEG_TOKENS)
+        ),
+    )
+    seg = toks.select(
+        "doc_id",
+        "is_train",
+        F.explode(segs).alias("seg"),
+    ).select(
+        "doc_id",
+        "is_train",
+        F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    train_h = seg.filter("is_train").select("h").distinct()
+    test_seg = seg.filter(~F.col("is_train")).select("doc_id", "h")
+    joined = test_seg.join(
+        train_h.withColumn("hit", F.lit(1)), "h", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(1.0)
+            / F.count("*")
+        ).alias("contamination_rate"),
+    )
