@@ -444,3 +444,68 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    tags=("text", "topk", "agg"),
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (sklearn-style smoothed idf:
+    ln((N+1)/(df+1)) + 1) — the classic keyword-extraction /
+    vectorization stage. All counts are exact integers; the one ln()
+    matches DuckDB bit-for-bit (the same parity bm25_search_topk relies
+    on), and ranking breaks ties by term so both engines cut the same
+    top-3.
+
+    Scale shape: tf aggregates shuffle on (doc_id, term), df on term —
+    both content-keyed and uniform; the corpus size joins in as a
+    1-row broadcast scalar, never a driver round trip."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + 1) * F.lit(1.0) / (F.col("df") + 1)
+                )
+                + 1
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
