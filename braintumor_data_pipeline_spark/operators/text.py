@@ -509,3 +509,104 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tok, i
+      FROM (SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)
+    ),
+    tok_stats AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             max(cnt) AS max_tok
+      FROM (SELECT doc_id, tok, count(*) AS cnt FROM tok
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    big AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    big_stats AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             count(DISTINCT bg) AS n_distinct_bigrams
+      FROM big GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           s.n_tokens,
+           s.max_tok * 1.0 / s.n_tokens AS max_token_frac,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN b.n_bigrams > 0
+                THEN 1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM (SELECT DISTINCT doc_id FROM tok) t
+    JOIN tok_stats s USING (doc_id)
+    LEFT JOIN big_stats b USING (doc_id)
+    """,
+    tags=("text", "quality", "agg"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    tokens taken by the most frequent token, and the duplicate-bigram
+    fraction (1 − distinct/total) — the repetition filters a corpus
+    quality pass applies next to length/punct/stopword scores
+    (text_quality_score). All counts are exact integers; the fractions
+    are single double divisions, identical on both engines.
+
+    Scale shape: bigrams come from a shuffle-free array self-zip (the
+    oracle uses a positional self-join instead — two independent
+    constructions), and both aggregates shuffle on doc_id once."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_tok = (
+        toks.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("max_tok"),
+        )
+    )
+    per_big = (
+        toks.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count_distinct("bg").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        per_tok.join(per_big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("max_tok") * F.lit(1.0) / F.col("n_tokens")).alias(
+                "max_token_frac"
+            ),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams")
+                * F.lit(1.0)
+                / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
