@@ -397,7 +397,51 @@ def embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_cosine", oracle=None, tags=("similarity", "lsh", "approx"))
+def _ann_lsh_oracle() -> str:
+    """Oracle for the LSH ANN top-5: identical 16×4-bit deterministic
+    signatures, directed candidate pairs from any-table bucket
+    collision, exact-cosine re-rank with the same round(4) + nid
+    tie-break — the whole approximate query is deterministic, so it
+    hash-checks like an exact one."""
+    planes = _hyperplanes(n_planes=N_TABLES * BITS_PER_TABLE)
+    sigs = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl,\n"
+        f"             {_neardup_bucket_sql(t, planes)} AS bucket\n"
+        f"      FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    cos = (
+        "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 4)"
+    )
+    return f"""
+    WITH sigs AS (
+{sigs}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, sim, rn
+    FROM (
+      SELECT c.qid, c.nid, {cos} AS sim,
+             row_number() OVER (
+               PARTITION BY c.qid ORDER BY {cos} DESC, c.nid) AS rn
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.qid
+      JOIN embeddings eb ON eb.vec_id = c.nid
+    )
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "ann_lsh_cosine",
+    oracle=_ann_lsh_oracle(),
+    tags=("similarity", "lsh", "approx"),
+)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH:
     16 tables x 4 sign bits. A pair becomes a candidate when ANY table's
@@ -411,7 +455,10 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits per table shrink buckets and more tables raise recall - both
     knobs scale linearly in cost. Candidate generation is NARROW (ids
     only, via _sign_signatures); vectors join back after the pair
-    dedup. Rows-only driver check; tests gate recall vs brute force."""
+    dedup. Hash-checked: every stage (md5-derived planes, sign
+    buckets, round(4) re-rank, nid tie-break) is deterministic, so
+    the DuckDB oracle replays the whole approximate query exactly;
+    tests additionally gate recall vs brute force."""
     vec = _vectors(spark, sf_dir)
     # sigs feeds both bucket-join sides (and vec three branches): persist
     # the narrow signature relation so it materializes once.
