@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .dedup import minhash_lsh_pairs
+from .dedup import bands_df
 
 # the oracle rebuilds the same candidate-pair graph via the registered
 # minhash_lsh_pairs SQL, then closes it recursively
@@ -32,11 +32,30 @@ _PAIRS_SQL_IMPORT = None  # resolved lazily to avoid circular text
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected candidate edges (both directions) + self loops."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    """Undirected edges with the SAME connected components as the
+    candidate-pair graph, star-reduced: the pair graph connects every
+    two docs sharing an LSH bucket (a clique per bucket), and a clique
+    has identical connectivity to a star through its min-doc_id hub —
+    so emit only (hub, member) per bucket. Edge count drops from
+    Σ m²/2 (20M at sf0.1 — quadratic inside dup clusters) to Σ m
+    (≈ docs × bands), which is what the propagation loop then joins
+    per iteration. This is the bucket-local form of the large-star/
+    small-star CC optimization; the oracle still closes the full pair
+    graph, and closures agree because star and clique connect the same
+    vertex sets."""
+    bands = bands_df(spark, sf_dir)
+    hubs = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("m")
+    )
+    star = (
+        bands.join(hubs.filter(F.col("m") > 1), ["band", "band_sig"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select("hub", "doc_id")
+        .distinct()
+    )
+    fwd = star.select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
     return fwd.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        star.select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
     )
 
 

@@ -168,6 +168,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_df(spark, sf_dir)
 
 
+def bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): the banded LSH bucket assignment shared
+    by pair enumeration and the connected-components star reduction."""
+    sigs = minhash_signature_df(spark, sf_dir)
+    return (
+        sigs.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.minhash.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
@@ -194,23 +215,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs appear only when a full band collides, which is the standard
     sub-quadratic near-dup candidate generation. The band relation feeds
     both self-join sides, so it persists (built once, not twice)."""
-    sigs = minhash_signature_df(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s.minhash.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_sig")
-        )
-        .persist()
-    )
+    bands = bands_df(spark, sf_dir).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
