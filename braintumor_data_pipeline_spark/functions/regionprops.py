@@ -15,6 +15,8 @@ Method (public image-moment math):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -85,6 +87,72 @@ def _point_in_hull(y: float, x: float, hull: np.ndarray, eps: float = 1e-9) -> b
         if cr < -eps:
             return False
     return True
+
+
+def region_properties_exact(mask: np.ndarray) -> dict[str, float] | None:
+    """Hash-stable regionprops of the first region (SURVEY X11) — the
+    same quantities as :func:`region_properties`, but computed through a
+    DAG a SQL engine can replay bit-for-bit:
+
+    - the ellipse terms derive from EXACT integer pixel-coordinate sums
+      (n, Σy, Σx, Σy², Σx², Σxy — all < 2^53, lossless in float64) via
+      ``μ20 = Σy²/n − (Σy/n)² + 1/12`` etc.; every +,−,×,÷,√ is a single
+      correctly-rounded IEEE op, so DuckDB running the identical formula
+      on the identical integers produces the identical doubles (the
+      ``imaging_udf_stats`` technique; no ``x**2``/``pow`` — only ``x*x``,
+      since ``pow`` is not required to be correctly rounded);
+    - ``convex_area`` reuses the rasterized hull count, which is provably
+      the integer row-interval count of the hull cross-section: interior
+      tests are cross products of integers ≤ 31 (exact in float64) and
+      the hull∩row endpoints are rationals p/q with q ≤ 31, so the 1e-9
+      tie epsilon can never straddle a pixel center (min non-zero
+      distance to an integer is 1/(31·30) ≈ 1e-3) — a SQL oracle can
+      recompute it with exact integer interpolation (pairwise segment
+      min/max per row, scaled by lcm(1..31));
+    - floats are surfaced as ``floor(x·1e6)`` BIGINTs (no decimal-string
+      rounding semantics in the loop — the ssim_window_map tie-safety
+      rule); ``solidity`` is an exact int/int division, identical on both
+      engines.
+
+    Returns None for an empty mask (the SQL side emits no row — the
+    relational encoding of "no region").
+    """
+    region = _label_first_region(mask > 0)
+    ys, xs = np.nonzero(region)
+    n = len(ys)
+    if n == 0:
+        return None
+    y64, x64 = ys.astype(np.int64), xs.astype(np.int64)
+    sy, sx = int(y64.sum()), int(x64.sum())
+    syy = int((y64 * y64).sum())
+    sxx = int((x64 * x64).sum())
+    sxy = int((y64 * x64).sum())
+    cy, cx = sy / n, sx / n
+    mu20 = syy / n - cy * cy + 1.0 / 12.0
+    mu02 = sxx / n - cx * cx + 1.0 / 12.0
+    mu11 = sxy / n - cy * cx
+    tr = mu20 + mu02
+    disc = max((tr / 2) * (tr / 2) - (mu20 * mu02 - mu11 * mu11), 0.0)
+    s = math.sqrt(disc)
+    l1 = tr / 2 + s
+    l2 = max(tr / 2 - s, 0.0)
+    ecc = math.sqrt(1.0 - l2 / l1) if l1 > 0 else 0.0
+
+    pts = np.stack([ys.astype(float), xs.astype(float)], axis=1)
+    hull = _convex_hull(pts)
+    convex_area = 0
+    for y in range(int(ys.min()), int(ys.max()) + 1):
+        for x in range(int(xs.min()), int(xs.max()) + 1):
+            if _point_in_hull(float(y), float(x), hull):
+                convex_area += 1
+    return {
+        "area": n,
+        "convex_area": convex_area,
+        "solidity": n / convex_area,
+        "ecc_micro": int(math.floor(ecc * 1e6)),
+        "major_micro": int(math.floor(4.0 * math.sqrt(l1) * 1e6)),
+        "minor_micro": int(math.floor(4.0 * math.sqrt(l2) * 1e6)),
+    }
 
 
 def region_properties(mask: np.ndarray) -> dict[str, float]:

@@ -192,6 +192,134 @@ def mask_regionprops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lcm(1..31): common denominator for exact integer hull-edge
+# interpolation (all segment slopes between 32×32 pixel coords have
+# dy ∈ 1..31). Max |scaled x| = 961·LCM ≈ 6.9e16 < 2^63.
+_HULL_LCM = 72201776446800
+
+_REGIONPROPS_ORACLE = f"""
+    WITH RECURSIVE grid AS ({_GRID_GT_SQL}),
+    m AS (SELECT image_id, y, x FROM grid WHERE v >= 128),
+    seed AS (SELECT image_id, min(y*32 + x) AS s FROM m GROUP BY image_id),
+    region AS (
+      SELECT m.image_id, m.y, m.x
+      FROM m JOIN seed ON m.image_id = seed.image_id AND m.y*32 + m.x = seed.s
+      UNION
+      SELECT p.image_id, p.y, p.x
+      FROM region r
+      JOIN m p ON p.image_id = r.image_id
+              AND greatest(abs(p.y - r.y), abs(p.x - r.x)) = 1
+    ),
+    mom AS (
+      SELECT image_id, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+             sum(CAST(y AS BIGINT)*y) AS syy,
+             sum(CAST(x AS BIGINT)*x) AS sxx,
+             sum(CAST(y AS BIGINT)*x) AS sxy
+      FROM region GROUP BY image_id
+    ),
+    pairs AS (
+      SELECT a.image_id, a.y AS ay, a.x AS ax, b.y AS by_, b.x AS bx_
+      FROM region a JOIN region b
+        ON a.image_id = b.image_id AND a.y <= b.y
+    ),
+    rowspan AS (
+      SELECT p.image_id, ys.y,
+             CASE WHEN p.by_ = p.ay
+                  THEN CAST(least(p.ax, p.bx_) AS BIGINT) * {_HULL_LCM}
+                  ELSE (CAST(p.ax AS BIGINT)*(p.by_ - ys.y)
+                        + CAST(p.bx_ AS BIGINT)*(ys.y - p.ay))
+                       * ({_HULL_LCM} // (p.by_ - p.ay)) END AS lo_scaled,
+             CASE WHEN p.by_ = p.ay
+                  THEN CAST(greatest(p.ax, p.bx_) AS BIGINT) * {_HULL_LCM}
+                  ELSE (CAST(p.ax AS BIGINT)*(p.by_ - ys.y)
+                        + CAST(p.bx_ AS BIGINT)*(ys.y - p.ay))
+                       * ({_HULL_LCM} // (p.by_ - p.ay)) END AS hi_scaled
+      FROM pairs p JOIN range(32) ys(y) ON ys.y BETWEEN p.ay AND p.by_
+    ),
+    hullrows AS (
+      SELECT image_id, y, min(lo_scaled) AS lo, max(hi_scaled) AS hi
+      FROM rowspan GROUP BY image_id, y
+    ),
+    -- pixel centers in [ceil(lo), floor(hi)] per row; DuckDB // truncates
+    -- toward zero, so ceil(lo/LCM) for lo ≥ 0 is (lo + LCM − 1) // LCM
+    ca AS (
+      SELECT image_id,
+             sum( (hi // {_HULL_LCM})
+                  - ((lo + {_HULL_LCM} - 1) // {_HULL_LCM}) + 1 ) AS convex_area
+      FROM hullrows GROUP BY image_id
+    )
+    SELECT mom.image_id,
+           CAST(mom.n AS BIGINT) AS area,
+           CAST(ca.convex_area AS BIGINT) AS convex_area,
+           CAST(mom.n AS DOUBLE) / ca.convex_area AS solidity,
+           CAST(floor(CASE WHEN l1 > 0 THEN sqrt(1.0 - l2/l1) ELSE 0.0 END
+                      * 1000000.0) AS BIGINT) AS ecc_micro,
+           CAST(floor(4.0*sqrt(l1)*1000000.0) AS BIGINT) AS major_micro,
+           CAST(floor(4.0*sqrt(l2)*1000000.0) AS BIGINT) AS minor_micro
+    FROM (
+      SELECT image_id, n, tr/2 + sqrt(disc) AS l1,
+             greatest(tr/2 - sqrt(disc), 0.0) AS l2
+      FROM (
+        SELECT image_id, n, mu20 + mu02 AS tr,
+               greatest((mu20+mu02)/2*((mu20+mu02)/2)
+                        - (mu20*mu02 - mu11*mu11), 0.0) AS disc
+        FROM (
+          SELECT image_id, n,
+                 CAST(syy AS DOUBLE)/n
+                   - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+                   + 1.0/12.0 AS mu20,
+                 CAST(sxx AS DOUBLE)/n
+                   - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)
+                   + 1.0/12.0 AS mu02,
+                 CAST(sxy AS DOUBLE)/n
+                   - (CAST(sy AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) AS mu11
+          FROM mom
+        )
+      )
+    ) ell JOIN mom USING (image_id) JOIN ca USING (image_id)
+"""
+
+
+@register(
+    "mask_regionprops_exact",
+    oracle=_REGIONPROPS_ORACLE,
+    tags=("masks", "imaging", "udf", "iterative"),
+)
+def mask_regionprops_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 regionprops under EXACT value parity (the r2-judge upgrade
+    pattern): first-region ellipse + solidity, hash-checked end to end.
+
+    The UDF runs :func:`region_properties_exact` (integer-moment DAG +
+    rasterized convex hull); the oracle recomputes the identical numbers
+    relationally — first 8-connected region in scan order via a
+    flood-fill recursive CTE, second moments from exact integer sums
+    through the same double DAG, and convex_area as the hull's
+    row-interval pixel count with EXACT integer segment interpolation
+    (pairwise interps scaled by lcm(1..31) so min/max comparisons stay in
+    BIGINT — no float geometry anywhere in the oracle). See
+    functions/regionprops.py for the bit-equality argument. Reference
+    parity: `evaluation.py:41-58` (regionprops[0] of the pred mask)."""
+    from ..functions.regionprops import region_properties_exact
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        props = region_properties_exact((v >= 128).astype(np.uint8))
+        if props is None:
+            return pd.DataFrame(
+                columns=[
+                    "image_id", "area", "convex_area", "solidity",
+                    "ecc_micro", "major_micro", "minor_micro",
+                ]
+            )
+        return pd.DataFrame([{"image_id": int(pdf["image_id"].iloc[0]), **props}])
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, area long, convex_area long, solidity double,"
+        " ecc_micro long, major_micro long, minor_micro long",
+    )
+
+
 # SSIM constants as the exact doubles the numpy code computes; repr
 # round-trips, so DuckDB parses the identical binary values.
 _SSIM_C1 = repr((0.01 * 255) ** 2)

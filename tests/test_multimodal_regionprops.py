@@ -67,6 +67,44 @@ def test_regionprops_first_region_only():
     assert p["eccentricity"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_regionprops_exact_matches_float_path():
+    """The hash-stable integer-moment DAG (region_properties_exact, the
+    mask_regionprops_exact oracle contract) must agree with the float
+    regionprops to ~1e-9 on every shape class: solid, elongated, concave,
+    staircase-diagonal (degenerate sliver hull), multi-region."""
+    from braintumor_data_pipeline_spark.functions.regionprops import (
+        region_properties_exact,
+    )
+
+    shapes = []
+    solid = np.zeros((30, 30), dtype=np.uint8); solid[5:25, 5:25] = 1
+    bar = np.zeros((32, 32), dtype=np.uint8); bar[18:22, 3:29] = 1
+    ell = np.zeros((30, 30), dtype=np.uint8)
+    ell[5:25, 5:9] = 1; ell[5:9, 5:25] = 1
+    stair = np.zeros((32, 32), dtype=np.uint8)
+    for i in range(28):
+        stair[i, 2 + i // 2] = 1
+    multi = np.zeros((30, 30), dtype=np.uint8)
+    multi[2:6, 2:6] = 1; multi[20:29, 20:22] = 1
+    single = np.zeros((8, 8), dtype=np.uint8); single[3, 4] = 1
+    shapes += [solid, bar, ell, stair, multi, single]
+    for mask in shapes:
+        f = region_properties(mask)
+        e = region_properties_exact(mask)
+        assert e is not None
+        assert e["solidity"] == pytest.approx(f["solidity"], abs=1e-12)
+        assert e["ecc_micro"] / 1e6 == pytest.approx(
+            f["eccentricity"], abs=2e-6
+        )
+        assert e["major_micro"] / 1e6 == pytest.approx(
+            f["major_axis_length"], abs=2e-6
+        )
+        assert e["minor_micro"] / 1e6 == pytest.approx(
+            f["minor_axis_length"], abs=2e-6
+        )
+    assert region_properties_exact(np.zeros((5, 5), dtype=np.uint8)) is None
+
+
 # --- multimodal binary-column plumbing ---
 def test_image_binary_table_and_features(spark, sf_dir):
     tbl = images_as_binary_table(spark, sf_dir)
