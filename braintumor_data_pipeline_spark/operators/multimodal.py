@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
+from . import _pinned_sql as _pinned
 from ..functions.imaging import sobel_magnitude, to_grayscale
 from ..sources.image_io import decode_image
 from ..sources.mjpeg import decode_mjpeg_frames, encode_mjpeg
@@ -481,8 +482,14 @@ def documents_as_mjpeg_table(
 
 @register(
     "multimodal_video_frame_sample",
-    oracle=None,  # binary UDF stage; value-pinned by pytest instead
+    # JPEG is lossy, so frame stats cannot be recomputed from the source
+    # bytes in SQL (unlike the audio path, whose PCM round trip is
+    # sample-exact); the oracle is a frozen sf0.01 golden
+    # (tools/pin_oracle.py) hash-checking the MJPEG split + entropy
+    # decode + per-frame stats end to end.
+    oracle=_pinned.MULTIMODAL_VIDEO_FRAME_SAMPLE_PINNED,
     tags=("multimodal", "video", "udf"),
+    pinned_sf="sf0.01",
 )
 def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video surface end-to-end, REAL codec both directions: stage 1

@@ -26,6 +26,7 @@ from ..functions.imaging import (
 )
 from ..functions.regionprops import region_properties
 from ..operators.segmentation import GRID, grid_images_df
+from ..operators import _pinned_sql as _PINNED
 from ..registry import register
 
 
@@ -78,7 +79,16 @@ def analyze_image(
     }
 
 
-@register("app_analysis_chain", oracle=None, tags=("imaging", "udf", "chain"))
+@register(
+    "app_analysis_chain",
+    # The chain crosses CLAHE/Gaussian float paths and the seeded dummy
+    # GT — not SQL-recomputable; frozen sf0.01 golden instead
+    # (tools/pin_oracle.py), which still hash-pins the full composed
+    # pipeline (G1/G2/X4/X5/X10/X11/X15/X16/A15) against drift.
+    oracle=_PINNED.APP_ANALYSIS_CHAIN_PINNED,
+    tags=("imaging", "udf", "chain"),
+    pinned_sf="sf0.01",
+)
 def app_analysis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §3.2 app flow across all grid images — one Arrow group per
     image, the whole chain fused in one stage."""

@@ -31,6 +31,11 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: Set when the oracle is a frozen VALUES golden generated at one
+    #: specific scale factor (tools/pin_oracle.py) rather than a
+    #: recomputation — valid only at that SF; verify_local downgrades it
+    #: to rows-only elsewhere. None for true recomputing oracles.
+    pinned_sf: str | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -151,6 +156,7 @@ def register(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
+    pinned_sf: str | None = None,
 ):
     """Decorator: register a query builder under ``name``."""
 
@@ -158,7 +164,8 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+            name=name, fn=fn, oracle=oracle, tags=tags,
+            doc=(fn.__doc__ or "").strip(), pinned_sf=pinned_sf,
         )
         return fn
 

@@ -88,10 +88,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
-        if spec.oracle is None:
+        if spec.oracle is None or (
+            spec.pinned_sf and spec.pinned_sf not in sf_dir
+        ):
             n_rows_only += 1
+            why = "no oracle" if spec.oracle is None else (
+                f"golden pinned at {spec.pinned_sf}"
+            )
             print(
-                f"rows  {name}: {len(srows)} rows (no oracle) "
+                f"rows  {name}: {len(srows)} rows ({why}) "
                 f"[{time.time()-t0:.1f}s]"
             )
             continue
