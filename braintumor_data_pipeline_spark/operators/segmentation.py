@@ -14,9 +14,10 @@ moves each image's pixels once; no per-pixel Python.
 
 Oracle story: with no iteration cap, the segmented region is exactly the
 connected component of {pixels: |v−seed_v| ≤ t·255} containing the seed —
-which a DuckDB **recursive CTE** computes independently. The capped +
-morphology variant is BFS-order-dependent and not SQL-expressible, so it
-registers rows-only and is pinned by golden tests instead.
+which a DuckDB **recursive CTE** computes independently. The capped
+variants replay the FIFO BFS dequeue-by-dequeue in a list-state CTE, and
+the morphology post-pass runs as relational bounded-neighborhood erode/
+dilate passes — every registered segmentation query is hash-checked.
 
 Images here are dense 32×32 grids derived deterministically from
 ``orders`` (row_number over o_orderkey), value channel as in pixels.py.
@@ -254,33 +255,167 @@ def region_grow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _faithful_apply(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The reference-faithful variant: FIFO BFS with the max_iterations
-    dequeue cap (default 100) and open(3×3)+close(5×5) morphology."""
-    img = np.zeros((GRID, GRID), dtype=np.uint8)
-    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-    mask = region_growing_np(
-        img, SEED_YX, threshold=THRESHOLD, connectivity=8,
-        max_iterations=100, morphology=True,
-    )
-    return pd.DataFrame(
-        {
-            "image_id": [int(pdf["image_id"].iloc[0])],
-            "area": [int(mask.sum())],
-        }
-    )
+def _faithful_apply_at(threshold: float):
+    """applyInPandas fn: FIFO BFS with the max_iterations dequeue cap
+    (default 100) and open(3×3)+close(5×5) morphology, at ``threshold``."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((GRID, GRID), dtype=np.uint8)
+        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+        mask = region_growing_np(
+            img, SEED_YX, threshold=threshold, connectivity=8,
+            max_iterations=100, morphology=True,
+        )
+        return pd.DataFrame(
+            {
+                "image_id": [int(pdf["image_id"].iloc[0])],
+                "area": [int(mask.sum())],
+            }
+        )
+
+    return apply
 
 
-@register("region_grow_faithful", oracle=None, tags=("segmentation", "iterative"))
+def _faithful_oracle(threshold: float) -> str:
+    """Recomputing oracle for the FULL reference-faithful chain: the
+    capped FIFO BFS replayed one dequeue per recursion step (the
+    region_grow_capped technique), then MORPH_OPEN 3×3 + MORPH_CLOSE 5×5
+    as relational neighborhood passes.
+
+    Morphology in SQL: erode(M,k) keeps a cell iff every IN-BOUNDS cell
+    of its k×k window is in M (cv2 erode pads with +inf ⇒ out-of-bounds
+    counts as foreground — encoded by joining only in-bounds window
+    cells and requiring count(*) = count(matched)); dilate(M,k) is the
+    distinct bounded k×k expansion (cv2 pads with −inf ⇒ out-of-bounds
+    contributes nothing). Binary ops on integer coordinates — no float
+    anywhere after the admissibility test, so the hash cannot flake."""
+    return f"""
+    WITH RECURSIVE grid AS ({_GRID_SQL}
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+    ),
+    seeds AS (SELECT image_id, v AS sv FROM grid WHERE y = 16 AND x = 16),
+    adm AS (
+      SELECT g.image_id, list(g.y * 32 + g.x ORDER BY g.y * 32 + g.x)
+               AS adm_list
+      FROM grid g JOIN seeds s USING (image_id)
+      WHERE abs(g.v / 255.0 - s.sv / 255.0) <= {threshold}
+      GROUP BY g.image_id
+    ),
+    bfs AS (
+      SELECT image_id, 0 AS step, [528] AS queue, [528] AS mask, adm_list
+      FROM adm
+      UNION ALL
+      SELECT image_id, step + 1,
+             list_concat(queue[2:], admitted) AS queue,
+             list_concat(mask, admitted) AS mask, adm_list
+      FROM (
+        SELECT image_id, step, queue, mask, adm_list,
+               [p FOR p IN
+                 [ (queue[1] // 32 + o['dy']) * 32
+                     + (queue[1] % 32 + o['dx'])
+                   FOR o IN {_OFFSETS_8_SQL}
+                   IF queue[1] // 32 + o['dy'] BETWEEN 0 AND 31
+                      AND queue[1] % 32 + o['dx'] BETWEEN 0 AND 31 ]
+                 IF list_contains(adm_list, p)
+                    AND NOT list_contains(mask, p)
+               ] AS admitted
+        FROM bfs WHERE len(queue) > 0 AND step < 100
+      )
+    ),
+    bmask AS (
+      SELECT image_id, CAST(p // 32 AS INT) AS y, CAST(p % 32 AS INT) AS x
+      FROM (SELECT image_id, mask,
+                   row_number() OVER (PARTITION BY image_id
+                                      ORDER BY step DESC) AS rn
+            FROM bfs), UNNEST(mask) AS t(p)
+      WHERE rn = 1
+    ),
+    imgs AS (SELECT DISTINCT image_id FROM seeds),
+    cells AS (SELECT i.image_id, CAST(ys.y AS INT) AS y, CAST(xs.x AS INT) AS x
+              FROM imgs i, range(32) ys(y), range(32) xs(x)),
+    off3 AS (SELECT CAST(a.dy AS INT) AS dy, CAST(b.dx AS INT) AS dx
+             FROM range(-1,2) a(dy), range(-1,2) b(dx)),
+    off5 AS (SELECT CAST(a.dy AS INT) AS dy, CAST(b.dx AS INT) AS dx
+             FROM range(-2,3) a(dy), range(-2,3) b(dx)),
+    e3 AS (
+      SELECT c.image_id, c.y, c.x
+      FROM cells c JOIN off3 o
+        ON c.y + o.dy BETWEEN 0 AND 31 AND c.x + o.dx BETWEEN 0 AND 31
+      LEFT JOIN bmask m ON m.image_id = c.image_id
+                       AND m.y = c.y + o.dy AND m.x = c.x + o.dx
+      GROUP BY c.image_id, c.y, c.x
+      HAVING count(*) = count(m.y)
+    ),
+    opened AS (
+      SELECT DISTINCT e.image_id, e.y + o.dy AS y, e.x + o.dx AS x
+      FROM e3 e JOIN off3 o
+        ON e.y + o.dy BETWEEN 0 AND 31 AND e.x + o.dx BETWEEN 0 AND 31
+    ),
+    d5 AS (
+      SELECT DISTINCT p.image_id, p.y + o.dy AS y, p.x + o.dx AS x
+      FROM opened p JOIN off5 o
+        ON p.y + o.dy BETWEEN 0 AND 31 AND p.x + o.dx BETWEEN 0 AND 31
+    ),
+    closed AS (
+      SELECT c.image_id, c.y, c.x
+      FROM cells c JOIN off5 o
+        ON c.y + o.dy BETWEEN 0 AND 31 AND c.x + o.dx BETWEEN 0 AND 31
+      LEFT JOIN d5 m ON m.image_id = c.image_id
+                    AND m.y = c.y + o.dy AND m.x = c.x + o.dx
+      GROUP BY c.image_id, c.y, c.x
+      HAVING count(*) = count(m.y)
+    )
+    SELECT i.image_id, CAST(coalesce(a.area, 0) AS BIGINT) AS area
+    FROM imgs i LEFT JOIN (SELECT image_id, count(*) AS area
+                           FROM closed GROUP BY image_id) a USING (image_id)
+    """
+
+
+@register(
+    "region_grow_faithful",
+    oracle=_faithful_oracle(THRESHOLD),
+    tags=("segmentation", "iterative"),
+)
 def region_grow_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful G1: 8-connectivity, max_iterations=100 dequeue
     cap (`region_growing.py:67` — silently truncates large regions; a
     quirk we replicate), morphology post-pass (`region_growing.py:94-96`).
-    BFS-order-dependent → rows-only driver check; golden tests pin the
-    exact masks."""
+
+    Previously rows-only ("BFS-order-dependent"); now hash-checked — the
+    oracle replays the capped FIFO BFS dequeue-by-dequeue in a list-state
+    recursive CTE and applies open/close as relational neighborhood
+    passes (see ``_faithful_oracle``). At the reference default
+    threshold the surviving area is 0 on these fixtures (the seed
+    component is smaller than the 3×3 opening) — the non-degenerate
+    morphology path is exercised by ``region_grow_capped_morph``."""
     g = grid_images_df(spark, sf_dir)
     return g.groupBy("image_id").applyInPandas(
-        _faithful_apply, schema="image_id int, area long"
+        _faithful_apply_at(THRESHOLD), schema="image_id int, area long"
+    )
+
+
+#: Threshold for the morphology-exercising variant: at 0.85 the capped
+#: BFS blob is near-solid with sieve holes and ragged protrusions, so
+#: open+close genuinely TRANSFORMS it (143 px -> 95 px at sf0.01) —
+#: neither the all-eroded (0.7 -> area 0) nor the already-convex
+#: (1.0 -> identity) degenerate case.
+MORPH_THRESHOLD = 0.85
+
+
+@register(
+    "region_grow_capped_morph",
+    oracle=_faithful_oracle(MORPH_THRESHOLD),
+    tags=("segmentation", "iterative"),
+)
+def region_grow_capped_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same faithful chain at ``MORPH_THRESHOLD`` — chosen so the
+    morphology oracle passes over masks it genuinely reshapes (erosion
+    trims the BFS wavefront's ragged protrusions, closing fills interior
+    sieve holes) and both engines must agree on the transformed area,
+    not on a vacuous empty/identity result."""
+    g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _faithful_apply_at(MORPH_THRESHOLD), schema="image_id int, area long"
     )
 
 
