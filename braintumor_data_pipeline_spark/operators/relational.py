@@ -31,6 +31,7 @@ from ..functions.money import (
     split_sum_value,
 )
 from ..registry import register
+from . import _pinned_sql as _pinned
 from ..sources.fixtures import load_table as _t
 
 
@@ -815,13 +816,22 @@ def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approx distinct (rows-only: HLL implementations differ across engines)
+# Approx distinct (HLL implementations differ across engines — pinned golden)
 # ---------------------------------------------------------------------------
-@register("approx_distinct_parts", oracle=None, tags=("agg", "approx"))
+@register(
+    "approx_distinct_parts",
+    oracle=_pinned.APPROX_DISTINCT_PARTS_PINNED,
+    tags=("agg", "approx"),
+    pinned_sf="sf0.01",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch is
-    a different implementation; driver does the rows-only check. The exact
-    variant is covered by `distinct_agg_suppliers`."""
+    """approx_count_distinct (HLL++). DuckDB's approx sketch is a
+    different implementation, so no cross-engine recompute — but the HLL
+    estimate IS deterministic (register merge is a max, order-free), so
+    a frozen sf0.01 golden (tools/pin_oracle.py) hash-checks it. The
+    exact variant is covered by `distinct_agg_suppliers` (true distinct is
+    2000 per flag — the pinned 1947s show the sketch's ~2.7% error,
+    inside the default 5% rsd)."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from . import _pinned_sql as _pinned
 from ..sources.fixtures import load_table as _t
 
 N_PLANES = 8
@@ -514,18 +515,30 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
     )
     init = base.orderBy("vec_id").limit(IVF_K).collect()
     cents = [list(r.u) for r in init]
+    # Centroid means via FIXED-POINT sums, not F.avg(double): a double
+    # sum's value depends on partial-aggregation order, which varies
+    # with partitioning, retries, and speculative execution — so the
+    # learned model (and every downstream assignment) would not be
+    # reproducible at scale. Quantizing each coordinate to 2^-40
+    # (≈1e-12, far below any clustering-relevant signal) makes the sum
+    # exact LONG arithmetic: any accumulation order yields the same
+    # model bit-for-bit. Same class of fix as functions/money.py.
+    _Q = float(1 << 40)
     for _ in range(IVF_ITERS):
         assigned = base.select("u", _nearest_cell(F.col("u"), cents).alias("cell"))
         sums = (
             assigned.select("cell", F.posexplode("u").alias("dim", "val"))
             .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("val") * _Q).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()  # K*dim rows — model state, not data
         )
         new = [list(c) for c in cents]
         by_cell: dict = {}
         for r in sums:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+            by_cell.setdefault(r.cell, {})[r.dim] = (r.s / r.n) / _Q
         for cell, dims in by_cell.items():
             vec = [dims[d] for d in range(len(cents[0]))]
             n = sum(x * x for x in vec) ** 0.5 or 1.0
@@ -563,7 +576,19 @@ def _probe_cells(u: Column, cents: list, nprobe: int) -> Column:
     return F.transform(top, lambda s: s["i"])
 
 
-@register("ann_ivf_cosine", oracle=None, tags=("similarity", "ivf", "approx"))
+@register(
+    "ann_ivf_cosine",
+    # The learned quantizer makes a full SQL replay impractical (5 Lloyd
+    # iterations of argmax-assign + re-normalize), but the model is now
+    # REPRODUCIBLE — fixed-point centroid sums (see _ivf_centroids) mean
+    # any partitioning/retry/speculation schedule yields the identical
+    # model — so the query's output is a stable function of the fixtures
+    # and a frozen sf0.01 golden (tools/pin_oracle.py) hash-checks the
+    # whole train→assign→probe→re-rank chain.
+    oracle=_pinned.ANN_IVF_COSINE_PINNED,
+    tags=("similarity", "ivf", "approx"),
+    pinned_sf="sf0.01",
+)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF (inverted-file) search: a learned
     16-cell spherical-k-means quantizer partitions the base vectors;

@@ -42,11 +42,15 @@ def test_driver_window_samples_every_family():
     assert window == list(registry.PRIORITY)
     # every windowed query carries a hashable oracle
     assert all(specs[n].oracle for n in window)
-    # every operator family (module) with any oracle-backed query has a
-    # representative inside the window
+    # every operator family (module) with a RECOMPUTING oracle has a
+    # representative inside the window; families whose only oracles are
+    # frozen sf0.01 goldens (pinned_sf) don't claim a slot — the window
+    # prefers cross-engine recomputation over golden comparison
     fam = lambda n: specs[n].fn.__module__.rsplit(".", 1)[-1]  # noqa: E731
-    oracle_fams = {fam(n) for n in specs if specs[n].oracle}
-    assert oracle_fams == {fam(n) for n in window}
+    recompute_fams = {
+        fam(n) for n in specs if specs[n].oracle and not specs[n].pinned_sf
+    }
+    assert recompute_fams <= {fam(n) for n in window}
     # bench and driver check the same surface
     assert set(bench.HEADLINE) <= set(window)
     # rows-only queries never occupy a slot ahead of an oracle-backed one
