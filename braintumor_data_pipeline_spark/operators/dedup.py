@@ -189,9 +189,10 @@ def bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
+# Candidate-pair relation as a standalone SQL fragment — the oracle for
+# ``minhash_lsh_pairs`` and the edge source for the graph operators
+# (operators/graph.py), which analyze the near-dup candidate graph.
+LSH_PAIRS_SQL = f"""
     WITH sigs AS ({_MINHASH_ORACLE_SIG}),
     bands AS (
       SELECT doc_id,
@@ -205,7 +206,12 @@ def bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bands b
       ON a.band = b.band AND a.band_sig = b.band_sig
      AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=LSH_PAIRS_SQL,
     tags=("dedup", "minhash", "join"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,220 @@
+"""Graph analytics over the near-dup candidate graph (north-star scale
+extensions; companions to ``components.py``'s connected components).
+
+The graph: vertices = documents, undirected edges = MinHash-LSH
+candidate pairs (``dedup.LSH_PAIRS_SQL`` — the sub-quadratic banding
+join, NOT an all-pairs construction). On a 100 TB corpus this is exactly
+the graph a dedup/influence pipeline owns anyway, so the operators here
+are the follow-on analyses: PageRank-style centrality (which near-dup
+cluster cores dominate), triangle counting / clustering coefficient
+(how clique-like the candidate clusters are — LSH false-positive bands
+produce low-triangle stars, true near-dup groups produce dense
+triangles).
+
+Determinism-at-scale stance (the repo-wide lesson from the money-sum
+and IVF fixes): iterative float algorithms are NOT reproducible under
+Spark's nondeterministic partial-aggregation order, so PageRank here is
+defined in FIXED-POINT integer arithmetic — mass at 1e-12 resolution,
+shares by integer division, damping as 85/100 integer multiply-divide.
+Integer sums are order-independent, so retries, speculation, and any
+partitioning produce the bit-identical ranking, and a SQL engine
+replays all 5 iterations exactly (the oracle unrolls them). The ~1e-12
+per-edge truncation loss is irrelevant to ranking and a price worth
+paying for a reproducible model at any cluster size.
+
+Scale notes: each PageRank iteration is one shuffle on dst (the
+aggregation) after an edges⋈rank broadcast-or-shuffle join keyed on
+src; degrees and edges persist across iterations. Triangle counting
+uses the a<b orientation; at production scale orient by (degree, id)
+instead so every wedge is enumerated at its lowest-degree vertex —
+documented on the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+from .dedup import LSH_PAIRS_SQL, minhash_lsh_pairs
+
+PR_SCALE = 10**12  # total PageRank mass, integer
+PR_ITERS = 5
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def _doc_count_base(spark: SparkSession, sf_dir: str):
+    """(docs, base) where base = PR_SCALE // N as a broadcast scalar —
+    the per-vertex initial (and teleport) mass. Computed as an aggregate
+    + broadcast, never a driver-side count()."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # exact integer division (NOT double /, whose rounding could differ
+    # from the oracle's // at unlucky N)
+    base = docs.agg(F.count("*").alias("n")).select(
+        F.expr(f"{PR_SCALE} div n").alias("base")
+    )
+    return docs, base
+
+
+@register(
+    "pagerank_fixed_point",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    docs AS (SELECT doc_id FROM documents),
+    params AS (
+      SELECT CAST({PR_SCALE} // count(*) AS BIGINT) AS base FROM documents
+    ),
+    it0 AS (SELECT doc_id, (SELECT base FROM params) AS pr FROM docs),
+    """ + ",\n    ".join(
+        f"""in{k} AS (
+      SELECT e.dst AS doc_id, CAST(sum(p.pr // d.deg) AS BIGINT) AS inflow
+      FROM edges e
+      JOIN it{k - 1} p ON p.doc_id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    it{k} AS (
+      SELECT d.doc_id,
+             ({_D_DEN - _D_NUM} * (SELECT base FROM params)) // {_D_DEN}
+             + ({_D_NUM} * coalesce(i.inflow, 0)) // {_D_DEN} AS pr
+      FROM docs d LEFT JOIN in{k} i USING (doc_id)
+    )"""
+        for k in range(1, PR_ITERS + 1)
+    ) + f"""
+    SELECT doc_id, pr FROM it{PR_ITERS}
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
+def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the LSH candidate graph: 5 damped
+    iterations entirely in BIGINT arithmetic (see module docstring for
+    why integer, not float). The oracle replays all 5 iterations as
+    unrolled SQL stages — both engines run the identical integer
+    recurrence, so the driver hash is exact with no float tolerance
+    anywhere.
+
+    Plan shape per iteration: edges ⋈ rank (on src, shuffle) ⋈ deg →
+    groupBy(dst) sum — LONG sums partial-aggregate map-side. ``edges``
+    and ``deg`` persist once; the rank lineage is linear (each
+    iteration's output feeds exactly one consumer), so no checkpointing
+    is needed for a fixed small iteration count."""
+    docs, base = _doc_count_base(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+
+    pr = docs.crossJoin(F.broadcast(base)).select(
+        "doc_id", F.col("base").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.doc_id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("pr div deg").alias("share"),
+            )
+        )
+        inflow = contrib.groupBy("doc_id").agg(F.sum("share").alias("inflow"))
+        pr = (
+            docs.join(inflow, "doc_id", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "doc_id",
+                (
+                    F.expr(f"({_D_DEN - _D_NUM} * base) div {_D_DEN}")
+                    + F.expr(
+                        f"({_D_NUM} * coalesce(inflow, 0L)) div {_D_DEN}"
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+@register(
+    "triangle_stats",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs
+      ) GROUP BY v
+    ),
+    wed AS (
+      SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+    FROM tri, wed
+    """,
+    tags=("graph", "join", "dedup"),
+)
+def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + wedge count + transitivity over the LSH
+    candidate graph, via the oriented two-hop join (each triangle
+    a<b<c is counted exactly once, at its lowest vertex).
+
+    Scale note: the a<b orientation is skew-prone when degree correlates
+    with id order; at production scale orient edges low-degree→high
+    ((deg, id) lexicographic), which bounds the join fan-out at each
+    vertex by its effective degree — the standard compact-forward
+    algorithm. On this corpus the id orientation is already uniform.
+    Clustering coefficient = 3·triangles / wedges, an exact int/int
+    division both engines compute identically."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e2.doc_b") > F.col("e1.doc_b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_b"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges")
+        ).alias("clustering_coeff"),
+    )

@@ -689,3 +689,100 @@ def query_ivf_index(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (north-star scale extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    SELECT vec_id,
+           scale,
+           CAST(len(list_filter(code, c -> abs(c) = 127)) AS BIGINT)
+             AS n_sat,
+           CAST(floor(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_zip(u, list_transform(code, c -> c * scale)),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) * 1000000000000.0) AS BIGINT) AS err_pico,
+           CAST(floor(CASE WHEN scale = 0.0 THEN 1.0 ELSE
+             list_reduce(list_prepend(0.0, list_transform(
+                 list_zip(u, list_transform(code, c -> c * scale)),
+                 p -> p[1] * p[2])), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(u, x -> x * x)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(code, c -> (c * scale) * (c * scale))),
+                   (a, b) -> a + b)))
+           END * 1000000.0) AS BIGINT) AS cos_micro
+    FROM (
+      SELECT vec_id, u, scale,
+             list_transform(u, x -> CAST(
+               CASE WHEN scale = 0.0 THEN 0
+                    ELSE floor(x / scale + 0.5) END AS INTEGER)) AS code
+      FROM (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS u,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+      )
+    )
+    """,
+    tags=("similarity", "quantize"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    standard 4×-memory-reduction layout for ANN at scale (a 100 TB float
+    corpus becomes 25 TB of codes + one scale per vector; IVF/kNN
+    re-ranks then dequantize on the fly). Per vector: scale =
+    max|x|/127, code_i = floor(x_i/scale + 0.5) ∈ [−127, 127], and the
+    fidelity diagnostics a quantization stage must publish: saturation
+    count, reconstruction SSE, cosine(original, dequantized).
+
+    Exact cross-engine parity with no UDF: every quantity is a
+    fixed-order left fold over the array (Spark ``F.aggregate`` over
+    ``zip_with`` ≡ DuckDB ``list_reduce`` over ``list_zip``), floats are
+    float32→float64 exact casts, and the compared outputs are
+    floor-scaled BIGINTs plus the scale double whose DAG (max/127) is a
+    single correctly-rounded op on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    u = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", u.alias("u")).select(
+        "vec_id",
+        "u",
+        (F.array_max(F.transform("u", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    code = F.transform(
+        "u",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
+        .cast("int"),
+    )
+    coded = base.select("vec_id", "u", "scale", code.alias("code"))
+    dq = F.transform("code", lambda c: c.cast("double") * F.col("scale"))
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    err = _fold(F.zip_with("u", dq, lambda x, y: (x - y) * (x - y)))
+    dot = _fold(F.zip_with("u", dq, lambda x, y: x * y))
+    nu = _fold(F.transform("u", lambda x: x * x))
+    nd = _fold(F.transform(dq, lambda y: y * y))
+    cos = F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(
+        dot / (F.sqrt(nu) * F.sqrt(nd))
+    )
+    return coded.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform("code", lambda c: (F.abs(c) == 127).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_sat"),
+        F.floor(err * F.lit(1e12)).cast("long").alias("err_pico"),
+        F.floor(cos * F.lit(1e6)).cast("long").alias("cos_micro"),
+    )

@@ -213,6 +213,7 @@ def _load_all() -> None:
         multimodal,
         skew,
         components,
+        graph,
         tpch_shapes,
         llm_pipeline,
         cdc,
