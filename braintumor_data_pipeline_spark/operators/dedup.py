@@ -392,9 +392,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_signatures",
-    oracle="""
+# SimHash relation as a standalone fragment (oracle for
+# ``simhash_signatures``; signature source for the hamming-band pairs).
+SIMHASH_SQL = """
     WITH tok AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
       FROM documents
@@ -413,7 +413,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash60
     FROM bits
     GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "simhash_signatures",
+    oracle=SIMHASH_SQL,
     tags=("dedup", "simhash"),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,4 +532,78 @@ def lsh_pairs_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "edit_sim"
             ),
         )
+    )
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS ({SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             (simhash60 >> (15 * b.band)) & 32767 AS band_val,
+             simhash60
+      FROM sh, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash60 AS sa, b.simhash60 AS sb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    tags=("dedup", "simhash", "join"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance ≤ 3, found EXACTLY by
+    pigeonhole banding: split the 60-bit signature into 4 bands of 15
+    bits — any pair within distance 3 differs in at most 3 bands, so at
+    least one band matches and the band-equality self-join cannot miss
+    a qualifying pair (this blocking is exact, unlike probabilistic
+    MinHash banding). Candidates then verify with one
+    ``bit_count(xor)`` — integer ops end to end, exact on both engines.
+
+    Scale: the shuffle key is (band, band_val) — 15 bits of
+    content-derived signature, uniform by construction; candidate cost
+    is bucket-quadratic, bounded by band width (more bits per band →
+    smaller buckets → more bands to keep the distance guarantee:
+    bands = distance + 1)."""
+    sigs = simhash_signatures(spark, sf_dir).persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash60",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(4)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash60",
+        "band",
+        F.expr("shiftright(simhash60, 15 * band) & 32767").alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash60").alias("sa"),
+            F.col("b.simhash60").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
     )

@@ -632,3 +632,88 @@ def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("contamination_rate"),
     )
+
+
+# Language-mix weights for ``domain_mix_resample`` — illustrative of an
+# LLM pre-training mixture: downsample the over-represented head
+# language, upsample the tails past 1 epoch. Fractional parts are
+# hash-thresholded at 1/256 granularity (2 hex chars of md5).
+MIX_WEIGHTS = {"en": 0.5, "zh": 2.25, "es": 1.5, "de": 1.0, "fr": 3.0}
+
+
+@register(
+    "domain_mix_resample",
+    oracle="""
+    WITH w AS (
+      SELECT * FROM (VALUES
+        ('en', 0, 128), ('zh', 2, 64), ('es', 1, 128),
+        ('de', 1, 0), ('fr', 3, 0)
+      ) AS t(lang, full_epochs, frac_256)
+    ),
+    reps AS (
+      SELECT d.doc_id, d.lang, e.epoch
+      FROM documents d
+      JOIN w USING (lang),
+           (SELECT unnest(range(4)) AS epoch) e
+      WHERE e.epoch < w.full_epochs
+         OR (e.epoch = w.full_epochs
+             AND substring(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                               || CAST(e.epoch AS VARCHAR)), 1, 2)
+                 < substring(to_hex(256 + w.frac_256), 2, 2))
+    )
+    SELECT doc_id, lang, CAST(epoch AS INT) AS epoch FROM reps
+    """,
+    tags=("sampling", "join"),
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: each language gets a target weight
+    (``MIX_WEIGHTS``); weight w emits floor(w) full copies (epochs
+    0..floor(w)−1) plus a deterministic hash-thresholded sample of rate
+    frac(w) as the final partial epoch — the standard up/down-sampling
+    a data-mixing stage performs before sequence packing. Languages
+    outside the weight table are dropped (weight 0).
+
+    Determinism at scale: the partial-epoch membership test is
+    md5(doc_id:epoch) against a 1/256-granular threshold — reproducible
+    under retries/speculation (the hash_sample_documents argument), and
+    the epoch fan-out is a broadcast join against a 5-row weight dim +
+    a 4-row epoch range, so the fact side never shuffles at all."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rows = []
+    for lang, w in MIX_WEIGHTS.items():
+        full = int(w)
+        frac256 = int(round((w - full) * 256))
+        rows.append((lang, full, frac256))
+    wdf = spark.createDataFrame(
+        rows, "lang string, full_epochs int, frac_256 int"
+    )
+    epochs = spark.range(4).select(F.col("id").cast("int").alias("epoch"))
+    thresh = F.substring(
+        F.hex(F.lit(256) + F.col("frac_256")).cast("string"), 2, 2
+    )
+    # Spark hex() uppercases; md5() is lowercase hex — normalize so the
+    # lexicographic threshold compare matches DuckDB's to_hex (lower)
+    thresh = F.lower(thresh)
+    keep = (F.col("epoch") < F.col("full_epochs")) | (
+        (F.col("epoch") == F.col("full_epochs"))
+        & (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            )
+            < thresh
+        )
+    )
+    return (
+        d.join(F.broadcast(wdf), "lang")
+        .crossJoin(F.broadcast(epochs))
+        .filter(keep)
+        .select("doc_id", "lang", "epoch")
+    )

@@ -87,12 +87,18 @@ PRIORITY: tuple[str, ...] = (
     "token_stats",
     "bm25_search_topk",
     "lang_id_heuristic",
-    # dedup
+    # dedup — simhash_hamming_pairs replaced simhash_signatures and
+    # pagerank_fixed_point (graph family) replaced minhash_lsh_pairs:
+    # each new entry computes its predecessor's relation as a strict
+    # subplan (signatures under the hamming bands; LSH pairs under the
+    # PageRank edge list), so the vacated query's hash signal survives
+    # transitively while the window gains the graph family and the
+    # banding+verify stages.
     "dedup_exact_groups",
-    "minhash_lsh_pairs",
+    "pagerank_fixed_point",
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
-    "simhash_signatures",
+    "simhash_hamming_pairs",
     # similarity / kNN
     "knn_bruteforce_cosine",
     # pixel relation (imaging as SQL)
