@@ -786,3 +786,201 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(err * F.lit(1e12)).cast("long").alias("err_pico"),
         F.floor(cos * F.lit(1e6)).cast("long").alias("cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 8 subspaces x 8 dims, 16-centroid codebooks
+# (32-bit codes = 16x compression over float32), ADC search + re-rank
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace
+PQ_K = 16  # centroids per codebook (4-bit codes)
+PQ_ITERS = 3  # Lloyd iterations per codebook
+PQ_RERANK = 50  # ADC candidates kept for exact re-rank
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): the M subspace slices of each embedding."""
+    vec = _vectors(spark, sf_dir)
+    subs = F.posexplode(
+        F.array(
+            *[F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+        )
+    )
+    return vec.select("vec_id", subs.alias("m", "sv"))
+
+
+def _sub_l2(sv: Column, cent: list) -> Column:
+    """Squared L2 distance sv↔constant centroid, fixed-order fold."""
+    c = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sv: Column, m_col: Column, books: list) -> Column:
+    """Nearest-codebook-entry id for subvector sv of subspace m.
+    argmin L2 with lowest-id tie-break, as a codegen expression
+    (array_min over (dist, k) structs; struct order breaks ties)."""
+    expr = None
+    for m in range(PQ_M):
+        scored = F.array(
+            *[
+                F.struct(
+                    _sub_l2(sv, books[m][k]).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        branch = F.array_min(scored)["k"]
+        expr = (
+            branch
+            if expr is None
+            else F.when(m_col == F.lit(m), branch).otherwise(expr)
+        )
+    return expr
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace k-means codebooks, trained distributively with the
+    fixed-point (order-independent) update of ``_ivf_centroids``: each
+    Lloyd iteration is one pass over all M subspaces at once — assign by
+    broadcast-constant argmin, then per-(m, cell, dim) exact LONG sums.
+    Only M·K·SUBDIM model rows reach the driver per iteration.
+    Deterministic: init = the K lowest vec_ids' subvectors, no RNG."""
+    sub = _pq_subvectors(spark, sf_dir)
+    init = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id", "m")
+        .collect()
+    )
+    books = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in init:
+        books[r.m][r.vec_id] = list(r.sv)
+    _Q = float(1 << 40)
+    for _ in range(PQ_ITERS):
+        assigned = sub.select(
+            "m", "sv", _pq_assign(F.col("sv"), F.col("m"), books).alias("cell")
+        )
+        sums = (
+            assigned.select("m", "cell", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("m", "cell", "dim")
+            .agg(
+                F.sum(F.round(F.col("val") * _Q).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = [[list(c) for c in bm] for bm in books]
+        for r in sums:
+            new[r.m][r.cell][r.dim] = (r.s / r.n) / _Q
+        books = new
+    return books
+
+
+@register(
+    "pq_adc_topk",
+    # getattr: rows-only until tools/pin_oracle.py generates the golden
+    oracle=getattr(_pinned, "PQ_ADC_TOPK_PINNED", None),
+    tags=("similarity", "quantize", "approx", "topk"),
+    pinned_sf="sf0.01",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the memory-bound scale path beyond
+    int8: base vectors compress to M=8 4-bit codes (32 bits — 16× less
+    than float32), queries scan codes with ADC (asymmetric distance
+    computation: a 50×8×16 lookup table of query-to-centroid partial
+    distances, one gather+sum per base vector instead of a 64-dim dot),
+    the ADC top-{PQ_RERANK} re-rank exactly, and the final top-5 ships.
+    At 100 TB the code table fits in RAM where the vectors never could —
+    scan cost per query drops 16× and the exact re-rank touches only
+    PQ_RERANK vectors.
+
+    Deterministic end to end (fixed-point codebook training, numpy ADC
+    over exact doubles, round(4)+nid tie-break) → frozen sf0.01 golden;
+    recall vs brute force is gated in tests."""
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_codebooks(spark, sf_dir)  # [m][k][subdim]
+    sub = _pq_subvectors(spark, sf_dir)
+    codes = (
+        sub.select(
+            "vec_id",
+            "m",
+            _pq_assign(F.col("sv"), F.col("m"), books).alias("code"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(code AS BIGINT) * shiftleft(CAST(1 AS BIGINT), m * 4)")
+            ).alias("packed")
+        )
+    )
+
+    vec = _vectors(spark, sf_dir)
+    qrows = vec.filter(F.col("vec_id") < 50).select("vec_id", "v").collect()
+    qid_arr = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)  # 50×64
+    cb = np.array(books, dtype=np.float64)  # M×K×SUBDIM
+    # LUT[q, m, k] = ||q_m − c_{m,k}||² — the ADC table
+    qsub = qmat.reshape(len(qrows), PQ_M, PQ_SUBDIM)
+    lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    def adc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            packed = pdf["packed"].to_numpy().astype(np.int64)
+            # unpack M 4-bit codes
+            cm = np.stack(
+                [(packed >> (4 * m)) & 0xF for m in range(PQ_M)], axis=1
+            )  # b×M
+            # dist[q, b] = Σ_m LUT[q, m, cm[b, m]]
+            d = lut[:, np.arange(PQ_M)[None, :], cm].sum(axis=2)  # 50×b
+            out = []
+            for j in range(len(qid_arr)):
+                keep = nid != qid_arr[j]
+                order = np.lexsort((nid[keep], d[j][keep]))[:PQ_RERANK]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qid_arr[j]),
+                            "nid": nid[keep][order],
+                            "adc": d[j][keep][order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cands = codes.mapInPandas(adc, schema="qid long, nid long, adc double")
+    # keep the global ADC top-R per query, then exact re-rank
+    wadc = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+    top_r = (
+        cands.withColumn("arn", F.row_number().over(wadc))
+        .filter(F.col("arn") <= PQ_RERANK)
+        .select("qid", "nid")
+    )
+    base = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    q = vec.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        top_r.join(F.broadcast(q), "qid")
+        .join(base, "nid")
+        .select("qid", "nid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
