@@ -1,0 +1,171 @@
+"""Byte-pair-encoding tokenizer training + application (north-star
+LLM-pipeline extension; completes the token-counting surface of
+``text.py`` with a LEARNED subword vocabulary).
+
+Architecture (the production shape, e.g. Sennrich '16 / HF trainers):
+
+1. **Word-type counting is the distributed pass** — one groupBy over the
+   corpus builds (word, freq). By Zipf's law the type table is tiny
+   relative to the corpus (500 docs → ~3k types here; a 100 TB corpus
+   caps it by top-K types, which loses only hapax mass irrelevant to
+   merge ranking).
+2. **Merge learning is driver-side over the type table** — the classic
+   frequency-weighted pair-merge loop. Deterministic: pair rank =
+   (count DESC, left ASC, right ASC); no RNG, no float.
+3. **Applying the tokenizer is distributed again** — the learned merge
+   list rides in the task closure (model state, a few hundred bytes)
+   and ``mapInPandas`` encodes each document.
+
+Steps 1 and 3 scale with the data; step 2 scales with the vocabulary —
+the same mini-model pattern as the IVF/PQ codebooks.
+
+Both registered queries are deterministic end to end and hash-checked
+via frozen sf0.01 goldens (iterative merge rewriting is not
+SQL-replayable; the WORD-COUNT pass that feeds it is the same relation
+`word_freq_top100` already checks against a recomputing oracle).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+from . import _pinned_sql as _pinned
+
+BPE_MERGES = 30
+END_MARK = "</w>"  # word-final marker so merges can't cross words
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """(word, freq) collected to the driver — the type table (step 1).
+    Sorted (freq DESC, word ASC) so iteration order is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    return sorted(((r.w, r.freq) for r in rows), key=lambda t: (-t[1], t[0]))
+
+
+def learn_bpe_merges(
+    freqs: list[tuple[str, int]], n_merges: int = BPE_MERGES
+) -> list[tuple[str, str, int]]:
+    """Frequency-weighted BPE merge learning (step 2): symbols start as
+    characters (+ END_MARK on the last), each round merges the most
+    frequent adjacent pair. Ties break (left ASC, right ASC) — fully
+    deterministic. Returns [(left, right, pair_count_at_merge)]."""
+    words: list[tuple[list[str], int]] = [
+        (list(w[:-1]) + [w[-1] + END_MARK], f) for w, f in freqs if w
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((a, b, c))
+        ab = a + b
+        for k, (syms, f) in enumerate(words):
+            i = 0
+            out = []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[k] = (out, f)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word, lowest-rank-first (the standard
+    BPE encode loop)."""
+    syms = list(word[:-1]) + [word[-1] + END_MARK] if word else []
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=getattr(_pinned, "BPE_LEARN_MERGES_PINNED", None),
+    tags=("text", "tokenizer", "iterative"),
+    pinned_sf="sf0.01",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: rank, the merged pair, and the
+    frequency-weighted pair count at merge time. Hash-checking this
+    pins the whole training chain — corpus word counts, pair statistics,
+    and the deterministic tie-break ordering."""
+    merges = learn_bpe_merges(_word_freqs(spark, sf_dir))
+    return spark.createDataFrame(
+        [
+            (i, a, b, a + b, int(c))
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=getattr(_pinned, "BPE_ENCODE_STATS_PINNED", None),
+    tags=("text", "tokenizer", "udf"),
+    pinned_sf="sf0.01",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tokenizer application (step 3): per document, the
+    whitespace token count, the BPE symbol count under the learned
+    merges, and the resulting compression ratio — the fertility metric
+    a tokenizer change must report before a training run. The merge
+    table rides in the closure; encoding is one mapInPandas pass."""
+    import pandas as pd
+
+    merges = learn_bpe_merges(_word_freqs(spark, sf_dir))
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                n_bpe = sum(len(encode_word(w, ranks)) for w in words)
+                n_ws = len(words)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_ws_tokens": n_ws,
+                        "n_bpe_symbols": n_bpe,
+                        "symbols_per_word_micro": (
+                            (n_bpe * 1_000_000) // n_ws if n_ws else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        enc,
+        schema="doc_id long, n_ws_tokens long, n_bpe_symbols long,"
+        " symbols_per_word_micro long",
+    )

@@ -218,6 +218,7 @@ def _load_all() -> None:
         imaging_udf,
         multimodal,
         skew,
+        bpe,
         components,
         graph,
         tpch_shapes,
