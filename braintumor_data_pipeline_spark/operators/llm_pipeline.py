@@ -570,8 +570,8 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_seg AS (SELECT doc_id, h FROM seg WHERE NOT is_train)
     SELECT t.doc_id,
            count(*) AS n_segments,
-           sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated,
+           CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated,
            sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
              / count(*) AS contamination_rate
     FROM test_seg t LEFT JOIN train_h tr ON tr.h = t.h

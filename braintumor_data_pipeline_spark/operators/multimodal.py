@@ -12,11 +12,9 @@ back.
   binary column (+ metadata) → a second Arrow stage decodes and extracts
   features. Two stages on purpose: stage 1 materializes the multimodal
   table shape, stage 2 is the consumer any downstream pipeline would run.
-- **Audio/Video** decoders need codec libraries this container lacks:
-  the Spark plumbing (schema, batching, UDF signature) is real and
-  tested; the codec call is stubbed — ``decode_audio``/
-  ``decode_video_frames`` raise NotImplementedError unless handed the
-  deterministic fake codec used by the tests (clearly marked STUB).
+- **Audio/Video** are real too: RIFF/WAV PCM (`sources/wav.py`) and
+  MJPEG over the repo's baseline JPEG codec (`sources/mjpeg.py`);
+  ``codec=`` stays injectable so tests can exercise failure paths.
 """
 
 from __future__ import annotations
@@ -171,8 +169,8 @@ _IMG_FEATURES_ORACLE = """
     ),
     edge AS (
       SELECT image_id,
-             sum(CAST(floor(sqrt(CAST(gx*gx + gy*gy AS DOUBLE)) * 1e6)
-                      AS BIGINT)) AS edge_energy_micro
+             CAST(sum(CAST(floor(sqrt(CAST(gx*gx + gy*gy AS DOUBLE)) * 1e6)
+                      AS BIGINT)) AS BIGINT) AS edge_energy_micro
       FROM grad GROUP BY image_id
     ),
     stats AS (
