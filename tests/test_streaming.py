@@ -39,6 +39,43 @@ def test_stateful_totals_equal_batch(spark, sf_dir, tmp_path):
     assert final == batch and len(final) == 5
 
 
+def test_tws_totals_equal_batch_and_legacy_api(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4's arbitrary-state API) must
+    produce the same final totals as both the batch group-by and the
+    applyInPandasWithState operator — the API-migration parity check.
+    Skips where the TWS protobuf dependency is absent (this container)."""
+    from braintumor_data_pipeline_spark.streaming.stateful import HAS_TWS_DEPS
+
+    if not HAS_TWS_DEPS:
+        import pytest
+
+        pytest.skip("google.protobuf not installed (TWS state protocol)")
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.streaming.stateful import (
+        run_tws_type_totals,
+    )
+
+    final = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in run_tws_type_totals(
+            spark, sf_dir, str(tmp_path / "ckpt_tws")
+        ).collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec_col("value")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert final == batch and len(final) == 5
+
+
 def test_streaming_equals_batch_tumbling(spark, sf_dir, tmp_path):
     batch = {
         (r.bucket_us, r.event_type): (r.n, r.sum_value)
