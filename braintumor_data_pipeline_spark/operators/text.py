@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from . import _pinned_sql as _pinned
 from ..sources.fixtures import load_table as _t
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -609,4 +610,59 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("dup_bigram_frac"),
         )
+    )
+
+
+@register(
+    "compression_ratio_quality",
+    oracle=getattr(_pinned, "COMPRESSION_RATIO_QUALITY_PINNED", None),
+    tags=("text", "quality", "udf"),
+    pinned_sf="sf0.01",
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/Gopher-family compressibility signal: highly repetitive
+    or templated documents compress far below natural prose, so
+    deflate-ratio thresholds are a standard pre-training quality filter
+    (boilerplate/spam → ratio « 1⁄3 of prose; random noise → ratio ≈ 1).
+    Per doc: raw UTF-8 bytes, zlib-level-6 bytes, and the micro-scaled
+    ratio, flagged against the conventional keep-band.
+
+    zlib output is fully determined by (input, level, strategy) — the
+    DEFLATE stream for fixed settings is stable across CPython builds
+    (zlib links the same canonical library) — so the query pins as a
+    frozen golden; the flag thresholds are integer comparisons. Plan:
+    one mapInPandas scan, no shuffle; at 100 TB this runs fused with
+    the other per-doc quality signals in a single Arrow stage."""
+    import zlib
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                n_raw = len(raw)
+                n_zip = len(zlib.compress(raw, 6))
+                ratio_micro = (n_zip * 1_000_000) // n_raw if n_raw else 0
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_raw_bytes": n_raw,
+                        "n_zlib_bytes": n_zip,
+                        "ratio_micro": ratio_micro,
+                        # conventional keep-band: too compressible =
+                        # repetitive/templated; incompressible = noise
+                        "flag_repetitive": ratio_micro < 250_000,
+                        "flag_noise": ratio_micro > 900_000,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        comp,
+        schema="doc_id long, n_raw_bytes long, n_zlib_bytes long,"
+        " ratio_micro long, flag_repetitive boolean, flag_noise boolean",
     )
