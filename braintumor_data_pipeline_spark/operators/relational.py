@@ -1140,3 +1140,91 @@ def json_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prop_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 semi-structured surface: VARIANT (the shredded-JSON type)
+# ---------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: ``parse_json``
+    shreds the JSON string into the binary VARIANT encoding once, and
+    ``variant_get`` does typed path extraction on the shredded form —
+    at 100 TB this is the difference between parsing JSON text per
+    access and navigating a compact binary tree (and, with parquet
+    variant shredding, between reading the whole blob and reading one
+    typed subcolumn). The oracle extracts the same path with DuckDB's
+    JSON functions — two engines, two encodings, identical values."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python UDTF: one input row → N output rows with set-returning
+# semantics (LATERAL-joinable), the §2.12 table-function surface
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_sentence_explode",
+    oracle="""
+    SELECT doc_id, CAST(idx AS INT) AS idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '.'), 1) - 1 AS idx,
+             trim(unnest(string_split(text, '.'))) AS sentence
+      FROM documents
+    )
+    WHERE sentence <> ''
+    """,
+    tags=("text", "udtf", "projection"),
+)
+def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's table-function API): sentence-splits each
+    document with LATERAL-join semantics — the set-returning-function
+    surface that scalar UDFs and explode() compositions don't cover
+    (a UDTF can carry per-call state, emit variable-arity rows, and be
+    registered for SQL ``FROM udtf(...)`` use). The splitting rule is
+    deliberately engine-replayable (split on '.', trim, drop empties,
+    keep the raw segment index), so the oracle recomputes it with
+    DuckDB's string_split + subscripts — a RECOMPUTING oracle over a
+    Python UDTF, proving the UDTF's row semantics, not just its shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string, n_chars: long")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, part in enumerate((text or "").split(".")):
+                p = part.strip(" ")  # space-only, = SQL trim()
+                if p:
+                    yield i, p, len(p)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence, s.n_chars
+        FROM _udtf_docs d,
+             LATERAL sentence_split_udtf(d.text) s
+        """
+    )
