@@ -154,3 +154,98 @@ def test_region_growing_cap_bounds_area(img):
     )
     assert (capped.astype(bool) <= uncapped.astype(bool)).all()
     assert capped.sum() <= 10 * 9  # 10 dequeues × (self + 8 neighbors)
+
+
+# ---------------------------------------------------------------------------
+# Hash-stability kernels (the oracle-exactness machinery itself)
+# ---------------------------------------------------------------------------
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(4, 14), st.integers(4, 14)),
+        elements=st.integers(0, 1),
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_regionprops_exact_convex_area_vs_rational(mask):
+    """region_properties_exact's rasterized convex_area must equal the
+    exact-rational row-interval count (the mask_regionprops_exact
+    oracle's formulation) on ARBITRARY masks — the bit-equality argument
+    in functions/regionprops.py, checked by brute Fraction arithmetic."""
+    from fractions import Fraction
+    from math import ceil, floor
+
+    from braintumor_data_pipeline_spark.functions.regionprops import (
+        _label_first_region,
+        region_properties_exact,
+    )
+
+    props = region_properties_exact(mask)
+    region = _label_first_region(mask > 0)
+    ys, xs = np.nonzero(region)
+    if props is None:
+        assert len(ys) == 0
+        return
+    pts = list(zip(ys.tolist(), xs.tolist()))
+    total = 0
+    for y in range(min(ys), max(ys) + 1):
+        lo = hi = None
+        for ay, ax in pts:
+            for by, bx in pts:
+                if ay <= by and ay <= y <= by:
+                    if by == ay:
+                        cand = [Fraction(ax), Fraction(bx)]
+                    else:
+                        cand = [Fraction(ax * (by - y) + bx * (y - ay), by - ay)]
+                    for v in cand:
+                        lo = v if lo is None or v < lo else lo
+                        hi = v if hi is None or v > hi else hi
+        total += floor(hi) - ceil(lo) + 1
+    assert props["convex_area"] == total
+
+
+@given(
+    st.lists(
+        st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_money_micro_quantization_order_independent(vals):
+    """The money/state micro-unit trick: quantizing each value to 1e-6
+    then summing LONGs must give the identical total under ANY
+    accumulation order — the property that kills the
+    round(sum(double)) hash-flake class."""
+    import random
+
+    micros = [int(np.rint(v * 1e6)) for v in vals]
+    total = sum(micros)
+    shuffled = micros[:]
+    random.Random(42).shuffle(shuffled)
+    assert sum(shuffled) == total
+    # reversed and pairwise-chunked orders too
+    assert sum(reversed(micros)) == total
+    mid = len(micros) // 2
+    assert sum(micros[:mid]) + sum(micros[mid:]) == total
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_bpe_roundtrip_any_corpus(words):
+    """For ANY tiny corpus: every learned-merge encoding of every word
+    concatenates back to the word (+ END_MARK) — no symbol is ever lost
+    or invented by merge application."""
+    from collections import Counter
+
+    from braintumor_data_pipeline_spark.operators.bpe import (
+        END_MARK,
+        encode_word,
+        learn_bpe_merges,
+    )
+
+    freqs = sorted(Counter(w for w in words if w and " " not in w).items())
+    merges = learn_bpe_merges(freqs, n_merges=6)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w, _ in freqs:
+        assert "".join(encode_word(w, ranks)) == w + END_MARK
