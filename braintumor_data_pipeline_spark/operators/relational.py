@@ -1203,14 +1203,18 @@ def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with LATERAL-join semantics — the set-returning-function
     surface that scalar UDFs and explode() compositions don't cover
     (a UDTF can carry per-call state, emit variable-arity rows, and be
-    registered for SQL ``FROM udtf(...)`` use). The splitting rule is
+    registered for SQL ``FROM udtf(...)`` use); ``useArrow=True`` keeps
+    it off the banned row-pickling path (the plan guard
+    test_no_python_row_udf_anywhere enforces Arrow transport for every
+    Python boundary). The splitting rule is
     deliberately engine-replayable (split on '.', trim, drop empties,
     keep the raw segment index), so the oracle recomputes it with
     DuckDB's string_split + subscripts — a RECOMPUTING oracle over a
     Python UDTF, proving the UDTF's row semantics, not just its shape."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="idx: int, sentence: string, n_chars: long")
+    @udtf(returnType="idx: int, sentence: string, n_chars: long",
+          useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             for i, part in enumerate((text or "").split(".")):
