@@ -99,3 +99,98 @@ def salted_join_heavy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "skew_diagnosis_join_keys",
+    oracle="""
+    SELECT key_col, n_keys, n_rows, max_key_rows, top_key,
+           CAST(max_key_rows AS DOUBLE) * n_keys / n_rows AS skew_ratio
+    FROM (
+      SELECT 'l_orderkey' AS key_col,
+             count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             max(c) AS max_key_rows,
+             CAST(min(k) FILTER (WHERE c = (SELECT max(c2) FROM (
+                 SELECT count(*) AS c2 FROM lineitem GROUP BY l_orderkey)))
+               AS BIGINT) AS top_key
+      FROM (SELECT l_orderkey AS k, count(*) AS c
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'l_suppkey',
+             count(*), CAST(sum(c) AS BIGINT), max(c),
+             CAST(min(k) FILTER (WHERE c = (SELECT max(c2) FROM (
+                 SELECT count(*) AS c2 FROM lineitem GROUP BY l_suppkey)))
+               AS BIGINT)
+      FROM (SELECT l_suppkey AS k, count(*) AS c
+            FROM lineitem GROUP BY l_suppkey)
+      UNION ALL
+      SELECT 'l_returnflag',
+             count(*), CAST(sum(c) AS BIGINT), max(c),
+             CAST(min(CASE WHEN k = 'A' THEN 0 WHEN k = 'N' THEN 1
+                           ELSE 2 END) FILTER (WHERE c = (
+                 SELECT max(c2) FROM (SELECT count(*) AS c2
+                                      FROM lineitem GROUP BY l_returnflag)))
+               AS BIGINT)
+      FROM (SELECT l_returnflag AS k, count(*) AS c
+            FROM lineitem GROUP BY l_returnflag)
+    )
+    """,
+    tags=("agg", "skew", "ops"),
+)
+def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew report an operator runs BEFORE shuffling 100 TB
+    on a key: per candidate join key — distinct-key count, total rows,
+    the hottest key's row count and identity, and the skew ratio
+    (hottest key's share × key count; 1.0 = perfectly uniform). Reading
+    it: l_orderkey ≈ uniform (safe shuffle key), l_suppkey mildly hot,
+    l_returnflag catastrophic (3 keys → salt or broadcast instead; see
+    salted_heavy_key_agg). One aggregation pass per key column — the
+    diagnosis costs one scan, the un-diagnosed skewed shuffle costs a
+    straggler executor. Flag keys are mapped to stable ints so the top
+    key is comparable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(col: str, key_expr) -> DataFrame:
+        per_key = li.select(key_expr.alias("k")).groupBy("k").agg(
+            F.count("*").alias("c")
+        )
+        return (
+            per_key.agg(
+                F.count("*").alias("n_keys"),
+                F.sum("c").alias("n_rows"),
+                F.max("c").alias("max_key_rows"),
+            )
+            # canonical top key: (count DESC, key ASC) top-1, broadcast
+            # back — min_by can't express "min key among argmax rows"
+            .crossJoin(
+                F.broadcast(
+                    per_key.orderBy(F.desc("c"), F.asc("k"))
+                    .limit(1)
+                    .select(F.col("k").cast("long").alias("top_key"))
+                )
+            )
+            .select(
+                F.lit(col).alias("key_col"),
+                "n_keys",
+                "n_rows",
+                "max_key_rows",
+                "top_key",
+                (
+                    F.col("max_key_rows").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows")
+                ).alias("skew_ratio"),
+            )
+        )
+
+    flag_int = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    return (
+        one("l_orderkey", F.col("l_orderkey"))
+        .unionAll(one("l_suppkey", F.col("l_suppkey")))
+        .unionAll(one("l_returnflag", flag_int))
+    )
