@@ -1232,3 +1232,121 @@ def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL sentence_split_udtf(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (Deequ/Great-Expectations shape)
+# ---------------------------------------------------------------------------
+@register(
+    "expectations_report",
+    oracle="""
+    SELECT expectation, n_violations,
+           CAST(n_violations = 0 AS BOOLEAN) AS passed
+    FROM (
+      SELECT 'orders.o_orderkey unique' AS expectation,
+             CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                  AS BIGINT) AS n_violations
+      UNION ALL
+      SELECT 'orders.o_totalprice positive',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_quantity in [1,50]',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_quantity IS NULL
+                      OR l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_orderkey references orders',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders.o_orderstatus in domain',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+      UNION ALL
+      SELECT 'documents.text completeness',
+             CAST((SELECT count(*) FROM documents
+                   WHERE text IS NULL OR text = '') AS BIGINT)
+    )
+    """,
+    tags=("agg", "ops", "quality"),
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Deequ / Great Expectations
+    publish gate): uniqueness, domain, range, completeness, and
+    referential constraints evaluated in ONE pass per table (conditional
+    counts — no per-constraint scans) plus one anti-join for the FK.
+    The report is the table a 100 TB pipeline gates promotion on; every
+    violation count is exact and oracle-checked. Companions:
+    `profile_lineitem_columns` (per-column stats scan) and
+    `fk_integrity_violations` (the orphan DETAIL rows this report only
+    counts)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+
+    o_stats = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            )
+        ).alias("bad_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("bad_status"),
+    )
+    li_stats = li.agg(
+        F.count(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            )
+        ).alias("bad_qty")
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    d_stats = d.agg(
+        F.count(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+        ).alias("empty_text")
+    )
+
+    rows = (
+        o_stats.crossJoin(li_stats)
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(d_stats))
+    )
+    pairs = [
+        ("orders.o_orderkey unique", "dup_keys"),
+        ("orders.o_totalprice positive", "bad_price"),
+        ("lineitem.l_quantity in [1,50]", "bad_qty"),
+        ("lineitem.l_orderkey references orders", "n_orphans"),
+        ("orders.o_orderstatus in domain", "bad_status"),
+        ("documents.text completeness", "empty_text"),
+    ]
+    stacked = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for name, c in pairs
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.n_violations").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )
