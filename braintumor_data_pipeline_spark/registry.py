@@ -225,6 +225,7 @@ def _load_all() -> None:
         llm_pipeline,
         cdc,
         timeseries,
+        phash,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
