@@ -1,0 +1,274 @@
+"""Fixed-size probabilistic sketches, engine-owned and oracle-exact.
+
+At 100 TB the frequency table itself can be too big to shuffle; sketches
+replace it with O(1)-size state that map-side combines. Two classics,
+built from plain DataFrame ops so Catalyst keeps them in codegen, with
+every hash an md5-prefix BIGINT that DuckDB replays bit-for-bit (the
+dedup/minhash doctrine, `dedup.py:39-56`):
+
+- **Count-min**: d×w counter grid. The shuffle carries at most d·w
+  partial counters PER PARTITION regardless of key cardinality — the
+  whole point vs an exact groupBy(key). Estimates are min over d rows
+  of a broadcast-joined 1 k-row sketch; the overestimate guarantee
+  (est ≥ exact, error ≤ εN with prob 1−δ) is asserted in tests.
+- **Bloom filter**: the dim side's keys become an m-bit bitmap held as
+  64 BIGINT words built by a `bit_or` aggregate; the probe side tests
+  k bit positions against ONE broadcast row carrying the word array —
+  no explode, no per-row join, pure codegen. This is the engine-owned
+  version of the runtime semi-join reduction Spark's
+  `spark.sql.optimizer.runtime.bloomFilter` injects automatically
+  (covered in `tests/test_plans.py`): at 100 TB you build it once and
+  reuse it across queries, and the false-positive rows it admits are
+  counted here explicitly.
+
+Words carry 60 bits, not 64: DuckDB's checked arithmetic refuses
+`1::BIGINT << 63`, and staying clear of the sign bit keeps every
+mask positive on both engines.
+
+Reference parity: the reference has no aggregation engine at all (it
+delegates to BigQuery, `/root/reference/README.md:165-178`); sketches
+are part of the engine-owned scale surface this repo adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+# --- count-min parameters (d rows × w buckets; ε = e/w, δ = e^-d) ----
+CM_SEEDS = 4
+CM_W = 256
+
+# --- bloom parameters: m = 64 words × 60 usable bits, k hashes -------
+BF_WORDS = 64
+BF_BITS_PER_WORD = 60
+BF_M = BF_WORDS * BF_BITS_PER_WORD
+BF_K = 3
+BF_NATION_MOD = 5  # dim-side predicate: nations with key % 5 == 3
+BF_NATION_RES = 3  # (~20% of suppliers; non-empty at every fixture SF)
+
+
+def _h_spark(prefix: str, seed_col, key_col):
+    """48-bit md5-prefix hash of '<prefix><seed>|<key>' as LONG."""
+    s = F.concat(
+        F.lit(prefix),
+        seed_col.cast("string"),
+        F.lit("|"),
+        key_col.cast("string"),
+    )
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _h_duck(prefix: str, seed_sql: str, key_sql: str) -> str:
+    return (
+        f"('0x' || substr(md5('{prefix}' || CAST({seed_sql} AS VARCHAR)"
+        f" || '|' || CAST({key_sql} AS VARCHAR)), 1, 12))::BIGINT"
+    )
+
+
+def countmin_build(keys: DataFrame, key: str = "key") -> DataFrame:
+    """The sketch relation (seed, bucket, cnt): ≤ d·w rows total; the
+    groupBy's map-side combine bounds shuffle volume at d·w partial
+    counters per upstream partition, independent of key cardinality."""
+    seeds = F.array(*[F.lit(i) for i in range(CM_SEEDS)])
+    return (
+        keys.select(F.col(key), F.explode(seeds).alias("seed"))
+        .select(
+            "seed",
+            (_h_spark("cm", F.col("seed"), F.col(key)) % CM_W).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH keys AS (SELECT l_partkey AS key FROM lineitem),
+    seeds AS (SELECT unnest(range({CM_SEEDS})) AS seed),
+    cm AS (
+      SELECT seed,
+             {_h_duck("cm", "seed", "key")} % {CM_W} AS bucket,
+             count(*) AS cnt
+      FROM keys CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT key, count(*) AS exact_count FROM keys GROUP BY key),
+    est AS (
+      SELECT cand.key, min(cm.cnt) AS est_count,
+             min(cand.exact_count) AS exact_count
+      FROM cand JOIN seeds ON true
+      JOIN cm ON cm.seed = seeds.seed
+             AND cm.bucket = {_h_duck("cm", "seeds.seed", "cand.key")} % {CM_W}
+      GROUP BY cand.key
+    )
+    SELECT key, est_count, exact_count
+    FROM est ORDER BY est_count DESC, key LIMIT 20
+    """,
+    tags=("sketch", "agg", "approx"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part keys by count-min estimate, with the exact count
+    alongside (est ≥ exact always; w=256 « 2k distinct keys, so bucket
+    collisions make the overestimates visible). The sketch is ~1 k rows
+    and broadcast; candidate keys here come from a distinct scan — in
+    production they arrive from outside (a stream, a prior round), which
+    is what lets the sketch replace the exact groupBy at scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    cm = countmin_build(li)
+    cand = li.groupBy("key").agg(F.count("*").alias("exact_count"))
+    seeds = spark.range(CM_SEEDS).select(F.col("id").alias("seed"))
+    probe = cand.crossJoin(F.broadcast(seeds)).select(
+        "key",
+        "exact_count",
+        "seed",
+        (_h_spark("cm", F.col("seed"), F.col("key")) % CM_W).alias(
+            "bucket"
+        ),
+    )
+    est = (
+        probe.join(F.broadcast(cm), ["seed", "bucket"])
+        .groupBy("key")
+        .agg(
+            F.min("cnt").alias("est_count"),
+            F.min("exact_count").alias("exact_count"),
+        )
+    )
+    return est.orderBy(F.desc("est_count"), "key").limit(20)
+
+
+def bloom_bitmap(dim_keys: DataFrame, key: str = "key") -> DataFrame:
+    """(word, mask) for all 64 words — the full spine, so positional
+    array indexing on the probe side stays aligned even for words with
+    no bits set."""
+    spark = dim_keys.sparkSession
+    seeds = F.array(*[F.lit(i) for i in range(BF_K)])
+    pos = _h_spark("bf", F.col("seed"), F.col(key)) % BF_M
+    bits = (
+        dim_keys.select(F.col(key), F.explode(seeds).alias("seed"))
+        .select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / BF_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {BF_BITS_PER_WORD} as int))"
+            ).alias("bitv"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bitv").alias("mask"))
+    )
+    spine = spark.range(BF_WORDS).select(F.col("id").alias("word"))
+    return spine.join(bits, "word", "left").select(
+        "word", F.coalesce("mask", F.lit(0)).alias("mask")
+    )
+
+
+_BF_PROBE_DUCK = " AND ".join(
+    f"""(bm[CAST(({_h_duck("bf", str(s), "l_suppkey")} % {BF_M})
+         // {BF_BITS_PER_WORD} AS INT) + 1]
+       & (1::BIGINT << CAST(({_h_duck("bf", str(s), "l_suppkey")} % {BF_M})
+         % {BF_BITS_PER_WORD} AS INT))) != 0"""
+    for s in range(BF_K)
+)
+
+
+@register(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+    WITH dimk AS (
+      SELECT s_suppkey AS key FROM supplier
+      WHERE s_nationkey % {BF_NATION_MOD} = {BF_NATION_RES}
+    ),
+    seeds AS (SELECT unnest(range({BF_K})) AS seed),
+    bits AS (
+      SELECT CAST(({_h_duck("bf", "seed", "key")} % {BF_M})
+                  // {BF_BITS_PER_WORD} AS BIGINT) AS word,
+             1::BIGINT << CAST(({_h_duck("bf", "seed", "key")} % {BF_M})
+                  % {BF_BITS_PER_WORD} AS INT) AS bitv
+      FROM dimk CROSS JOIN seeds
+    ),
+    words AS (
+      SELECT t.w AS word, coalesce(bit_or(bits.bitv), 0) AS mask
+      FROM range({BF_WORDS}) t(w) LEFT JOIN bits ON bits.word = t.w
+      GROUP BY t.w
+    ),
+    bmv AS (SELECT list(mask ORDER BY word) AS bm FROM words),
+    probe AS (
+      SELECT l_suppkey,
+             ({_BF_PROBE_DUCK}) AS bloom_pass,
+             l_suppkey IN (SELECT key FROM dimk) AS true_match
+      FROM lineitem CROSS JOIN bmv
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN bloom_pass AND NOT true_match
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM probe
+    """,
+    tags=("sketch", "join", "bloom"),
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-side bloom pruning as one codegen pass: the dim side
+    (one nation band's suppliers) builds a 3840-bit bitmap, the fact scan
+    tests k=3 positions against a single broadcast row holding the
+    64-word array, and the output quantifies the reduction — total
+    rows, bloom survivors, true matches, and the false positives the
+    bitmap admits. The fact table never shuffles and never joins
+    per-row; the bitmap is the only state that moves."""
+    sup = _t(spark, sf_dir, "supplier")
+    dim_keys = sup.filter(
+        F.col("s_nationkey") % BF_NATION_MOD == BF_NATION_RES
+    ).select(F.col("s_suppkey").alias("key"))
+    bm = bloom_bitmap(dim_keys)
+    bm_row = bm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(word, mask))),"
+            " s -> s.mask)"
+        ).alias("bm")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    probe = li.crossJoin(F.broadcast(bm_row))
+    checks = []
+    for s in range(BF_K):
+        pos = _h_spark("bf", F.lit(s), F.col("l_suppkey")) % BF_M
+        word = (pos / BF_BITS_PER_WORD).cast("int")
+        mask = F.expr(
+            f"shiftleft(1L, cast("
+            f"(conv(substring(md5(concat('bf', '{s}', '|',"
+            f" cast(l_suppkey as string))), 1, 12), 16, 10)"
+            f" % {BF_M}) % {BF_BITS_PER_WORD} as int))"
+        )
+        checks.append(
+            (F.element_at("bm", word + F.lit(1)).bitwiseAND(mask)) != 0
+        )
+    bloom_pass = checks[0] & checks[1] & checks[2]
+    flagged = probe.join(
+        F.broadcast(dim_keys.withColumn("hit", F.lit(True))),
+        probe.l_suppkey == dim_keys.key,
+        "left",
+    ).select(
+        bloom_pass.alias("bloom_pass"),
+        F.coalesce("hit", F.lit(False)).alias("true_match"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.when(F.col("true_match"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("true_match"), 1).otherwise(
+                0
+            )
+        ).alias("n_false_pos"),
+    )

@@ -226,6 +226,7 @@ def _load_all() -> None:
         cdc,
         timeseries,
         phash,
+        sketch,
     )
     from .plans import app_flow  # noqa: F401
     from .streaming import events as _events  # noqa: F401
