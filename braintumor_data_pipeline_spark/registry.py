@@ -229,6 +229,7 @@ def _load_all() -> None:
         sketch,
     )
     from .plans import app_flow  # noqa: F401
+    from .sources import jsonl as _jsonl  # noqa: F401
     from .streaming import events as _events  # noqa: F401
 
     _loaded = True

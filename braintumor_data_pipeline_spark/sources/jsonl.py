@@ -1,0 +1,120 @@
+"""JSONL (JSON Lines) corpus ingest/egress — the LLM-pipeline exchange
+format.
+
+Training corpora move between systems as sharded, gzipped JSONL; the
+engine must write it losslessly and read it back with a declared schema
+(never schema inference, which costs an extra full pass at 100 TB and
+can mistype sparse fields). Spark's native JSON source IS JSONL — one
+object per line, splittable by file; with gzip each shard is one task,
+so shard count = write-side parallelism knob.
+
+The reference has no text I/O at all (images + BigQuery rows only);
+this is part of the LLM-data-pipeline surface the north star mandates.
+The registered query proves the round trip END-TO-END: it writes the
+documents table as gzipped JSONL shards, reads them back through the
+declared schema, and aggregates a content checksum that the DuckDB
+oracle recomputes from the original parquet — a hash match means not
+one character moved.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from .fixtures import load_table as _t
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Sharded JSONL write. ``n_shards`` sizes the files (at 100 TB:
+    total_bytes / ~256 MB, set once at egress); None keeps the input
+    partitioning. Gzip halves storage and is the consumer-side default;
+    it costs per-file splittability, which shard sizing compensates."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-declared JSONL scan (PERMISSIVE: malformed lines become
+    all-null rows rather than failing the 100 TB job; count them with
+    a doc_id-is-null check downstream)."""
+    return spark.read.schema(schema).json(path)
+
+
+#: 40-bit md5-prefix content hash — small enough that a corpus-wide
+#: SUM stays far from BIGINT overflow (5·10⁴ docs × 2³⁹ avg ≈ 3·10¹⁶).
+_CHK_COLS = "CAST(doc_id AS VARCHAR) || '|' || text || '|' || source"
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           CAST(sum(('0x' || substr(md5({_CHK_COLS}), 1, 10))::BIGINT)
+                AS BIGINT) AS checksum
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "jsonl", "text", "agg"),
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → gzipped JSONL shards → schema-declared read-back →
+    per-language count + char total + additive content checksum. The
+    oracle computes the identical aggregate from the ORIGINAL parquet,
+    so a hash match certifies the whole encode→decode cycle lossless
+    (newlines, quotes, and non-ASCII included — JSON escaping is the
+    codec under test)."""
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(tempfile.gettempdir(), "braintumor_jsonl", tag)
+    docs = _t(spark, sf_dir, "documents")
+    write_jsonl(docs, path, n_shards=4)
+    back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("text"),
+                    F.lit("|"),
+                    F.col("source"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(chk).alias("checksum"),
+    )
