@@ -42,6 +42,11 @@ from ..sources.fixtures import load_table as _t
 CM_SEEDS = 4
 CM_W = 256
 
+# --- HLL parameters: m = 64 registers over a 48-bit hash -------------
+HLL_M = 64
+HLL_REST_BITS = 42  # 48-bit hash minus the 6 bucket bits
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
 # --- bloom parameters: m = 64 words × 60 usable bits, k hashes -------
 BF_WORDS = 64
 BF_BITS_PER_WORD = 60
@@ -272,3 +277,85 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_false_pos"),
     )
+
+
+@register(
+    "hll_register_sketch",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    hashed AS (
+      SELECT ('0x' || substr(md5('hll|' || CAST(key AS VARCHAR)), 1, 12))
+               ::BIGINT AS h
+      FROM keys
+    ),
+    rho AS (
+      SELECT h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                  ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+             END AS rho
+      FROM hashed
+    )
+    SELECT CAST(t.b AS INT) AS bucket,
+           CAST(coalesce(max(rho.rho), 0) AS INT) AS register
+    FROM range({HLL_M}) t(b) LEFT JOIN rho ON rho.bucket = t.b
+    GROUP BY t.b
+    """,
+    tags=("sketch", "agg", "approx"),
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build over orders.o_custkey: 64 registers,
+    each the max leading-zero rank of a 48-bit md5 hash — max() is
+    partial-aggregable, so the shuffle carries ≤ m partial registers
+    per partition no matter how many keys flow through (THE
+    fixed-state cardinality sketch at 100 TB; Spark's own
+    approx_count_distinct is this with a bigger m). The registers
+    (not the float estimate) are the hash-checked output: integer
+    max/bucket arithmetic replays exactly in DuckDB, while the
+    harmonic-mean estimate — float by nature — is asserted to ±25%
+    in tests. The DISTINCT on the input only mirrors HLL's
+    insert-idempotence (duplicates cannot change any register); the
+    streaming build would skip it."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col("key").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rest = (F.col("h") / HLL_M).cast("long")
+    rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.expr("bin(h div 64)"))
+    )
+    per_bucket = (
+        o.select(h.alias("h"))
+        .select((F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    return spine.join(
+        per_bucket, "bucket", "left"
+    ).select(
+        "bucket",
+        F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+    )
+
+
+def hll_estimate(registers: list[int]) -> float:
+    """Driver-side estimate from the 64 registers (float by nature —
+    tested to tolerance, never hash-compared). Standard HLL with the
+    small-range linear-counting correction."""
+    import math
+
+    m = HLL_M
+    s = sum(2.0 ** -r for r in registers)
+    est = HLL_ALPHA * m * m / s
+    v = sum(1 for r in registers if r == 0)
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    return est

@@ -35,3 +35,26 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     # the bloom contract.
     assert r.n_bloom_pass - r.n_false_pos == r.n_true
     assert r.n_true > 0
+
+
+def test_hll_registers_and_estimate_accuracy(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_register_sketch,
+    )
+
+    rows = hll_register_sketch(spark, sf_dir).collect()
+    assert len(rows) == HLL_M
+    regs = [r.register for r in sorted(rows, key=lambda r: r.bucket)]
+    assert all(0 <= r <= 43 for r in regs)
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    est = hll_estimate(regs)
+    # m=64 gives a ~13% standard error; 35% is a 2.7-sigma gate that
+    # still catches any structural bug (off-by-one rho, wrong bucket).
+    assert abs(est - exact) / exact < 0.35
