@@ -52,7 +52,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: group_stats_pop (twice-green), argmax_per_group, json_extract_props,
 #: pivot_event_type_counts and knn_within_label (once-green, formulation
 #: unchanged) for the eight first-time entries below plus the new
-#: bucketed_star_join). Two invariants constrain the
+#: bucketed_star_join). Late round 3 adds five NEW operator families
+#: (count-min, bloom, HLL, image pHash, JSONL round-trip) by vacating
+#: five once-green formulation-unchanged slots with in-window family
+#: coverage remaining: null_semantics_groups (relational core keeps 7
+#: entries), token_stats (bm25 + lang_id stay), dedup_exact_groups
+#: (4 dedup entries stay), mask_confusion (imaging_udf_confusion checks
+#: the same confusion algebra), events_tumbling_5m (session + as-of
+#: stay). Two invariants constrain the
 #: rotation: every bench HEADLINE query stays in-window so the perf and
 #: correctness gates cover the same surface, and queries whose
 #: formulation changed this round (decimal money sums) stay in-window so
@@ -67,7 +74,6 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
-    "null_semantics_groups",
     # first-time driver checks (round-3 rotation)
     "lateral_top2_orders_per_customer",
     "merge_upsert_orders",
@@ -84,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "imaging_udf_confusion",
     "ssim_window_map",
     # text analysis
-    "token_stats",
     "bm25_search_topk",
     "lang_id_heuristic",
     # dedup — simhash_hamming_pairs replaced simhash_signatures and
@@ -94,18 +99,25 @@ PRIORITY: tuple[str, ...] = (
     # PageRank edge list), so the vacated query's hash signal survives
     # transitively while the window gains the graph family and the
     # banding+verify stages.
-    "dedup_exact_groups",
     "pagerank_fixed_point",
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
     "simhash_hamming_pairs",
     # similarity / kNN
     "knn_bruteforce_cosine",
+    # sketches (count-min / bloom / HLL) — first driver checks
+    "countmin_heavy_hitters",
+    "bloom_semijoin_reduction",
+    "hll_register_sketch",
+    # multimodal image near-dup (pHash; signatures is a strict subplan
+    # of the pairs query, so its hash signal survives transitively)
+    "phash_hamming_pairs",
+    # JSONL round-trip (source/sink fidelity)
+    "jsonl_roundtrip_stats",
     # pixel relation (imaging as SQL)
     "pixel_windowing",
     "pixel_minmax_normalize",
     # mask algebra / metrics
-    "mask_confusion",
     "mask_metrics",
     # iterative segmentation (uncapped component, the dequeue-cap quirk,
     # and the adaptive-threshold schedule — all hash-checked)
@@ -134,7 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "rolling_7d_revenue",
     "event_transition_matrix",
     # streaming (batch-equivalent forms)
-    "events_tumbling_5m",
     "events_session_30m",
     "events_asof_last_view",
 )
