@@ -130,8 +130,10 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm = countmin_build(li)
     cand = li.groupBy("key").agg(F.count("*").alias("exact_count"))
-    seeds = spark.range(CM_SEEDS).select(F.col("id").alias("seed"))
-    probe = cand.crossJoin(F.broadcast(seeds)).select(
+    seeds = F.array(*[F.lit(i) for i in range(CM_SEEDS)])
+    probe = cand.select(
+        "key", "exact_count", F.explode(seeds).alias("seed")
+    ).select(
         "key",
         "exact_count",
         "seed",
@@ -318,9 +320,16 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key")
     ).distinct()
+    return hll_spine_registers(hll_bucket_rho(o))
+
+
+def hll_bucket_rho(keys: DataFrame, key: str = "key") -> DataFrame:
+    """Stateless HLL projection (bucket, rho) — shared by the batch
+    query and the streaming build (it contains no aggregation, so it
+    composes under any output mode)."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("hll|"), F.col("key").cast("string"))),
+            F.md5(F.concat(F.lit("hll|"), F.col(key).cast("string"))),
             1,
             12,
         ),
@@ -329,18 +338,23 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     rest = (F.col("h") / HLL_M).cast("long")
     rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
-        F.lit(HLL_REST_BITS + 1) - F.length(F.expr("bin(h div 64)"))
+        F.lit(HLL_REST_BITS + 1) - F.length(F.expr(f"bin(h div {HLL_M})"))
     )
-    per_bucket = (
-        o.select(h.alias("h"))
-        .select((F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("register"))
+    return keys.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho")
+    )
+
+
+def hll_spine_registers(bucket_rho: DataFrame) -> DataFrame:
+    """(bucket, rho) → all-m (bucket, register) via the full spine, so
+    empty buckets read 0 (they matter: the linear-counting correction
+    counts them)."""
+    spark = bucket_rho.sparkSession
+    per_bucket = bucket_rho.groupBy("bucket").agg(
+        F.max("rho").alias("register")
     )
     spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
-    return spine.join(
-        per_bucket, "bucket", "left"
-    ).select(
+    return spine.join(per_bucket, "bucket", "left").select(
         "bucket",
         F.coalesce("register", F.lit(0)).cast("int").alias("register"),
     )

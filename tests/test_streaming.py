@@ -278,3 +278,31 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_hll_registers_equal_batch(spark, sf_dir, tmp_path):
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        hll_bucket_rho,
+        hll_spine_registers,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.streaming.sketches import (
+        run_streaming_hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    streamed = run_streaming_hll_registers(
+        spark, sf_dir, str(tmp_path / "ckpt_hll")
+    )
+    batch = hll_spine_registers(
+        hll_bucket_rho(
+            load_table(spark, sf_dir, "events").select(
+                F.col("user_id").alias("key")
+            )
+        )
+    )
+    got = sorted((r.bucket, r.register) for r in streamed.collect())
+    want = sorted((r.bucket, r.register) for r in batch.collect())
+    assert got == want
+    # sketch state is bounded by construction: exactly m rows
+    assert len(got) == 64
