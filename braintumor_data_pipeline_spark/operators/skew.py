@@ -160,16 +160,19 @@ def skew_diagnosis_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_keys"),
                 F.sum("c").alias("n_rows"),
                 F.max("c").alias("max_key_rows"),
+                # canonical top key: "min key among argmax-count rows" in
+                # ONE aggregate — max of the lexicographic struct
+                # (c, −k): max c first, then max(−k) = min k. (max_by's
+                # tie-break is unspecified; this is deterministic and
+                # avoids a second plan + cross join entirely.)
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("k").cast("long")).alias("nk"),
+                    )
+                ).alias("ts"),
             )
-            # canonical top key: (count DESC, key ASC) top-1, broadcast
-            # back — min_by can't express "min key among argmax rows"
-            .crossJoin(
-                F.broadcast(
-                    per_key.orderBy(F.desc("c"), F.asc("k"))
-                    .limit(1)
-                    .select(F.col("k").cast("long").alias("top_key"))
-                )
-            )
+            .withColumn("top_key", -F.col("ts.nk"))
             .select(
                 F.lit(col).alias("key_col"),
                 "n_keys",
