@@ -238,6 +238,7 @@ def _load_all() -> None:
         timeseries,
         phash,
         sketch,
+        recursive,
     )
     from .plans import app_flow  # noqa: F401
     from .sources import jsonl as _jsonl  # noqa: F401
