@@ -499,3 +499,131 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return video_frame_features_df(
         documents_as_mjpeg_table(spark, sf_dir), every_nth=4
     )
+
+
+# --- spectral bands: integer fixed-point DFT (recomputing oracle) ----
+#
+# A spectrogram-style stage whose arithmetic is EXACT on both engines:
+# per non-overlapping 64-sample window, the DFT real/imag parts at bins
+# 1..4 via 7-bit fixed-point cos/sin tables (|C| ≤ 128 keeps re² + im²
+# and the ≤32-window per-doc total inside BIGINT), energies summed per
+# (doc, bin). Same doctrine as the pHash DCT: one Python-generated
+# coefficient table feeds the numpy kernel AND the oracle VALUES list,
+# so DuckDB replays the whole transform bit-for-bit from the raw
+# document bytes — a stronger tier than a frozen golden, which FFT
+# floats would force.
+SPEC_WIN = 64
+SPEC_BINS = (1, 2, 3, 4)
+_SPEC_SCALE = 128
+import math as _math
+
+SPEC_COS = [
+    [
+        round(_math.cos(2 * _math.pi * k * i / SPEC_WIN) * _SPEC_SCALE)
+        for i in range(SPEC_WIN)
+    ]
+    for k in SPEC_BINS
+]
+SPEC_SIN = [
+    [
+        round(_math.sin(2 * _math.pi * k * i / SPEC_WIN) * _SPEC_SCALE)
+        for i in range(SPEC_WIN)
+    ]
+    for k in SPEC_BINS
+]
+_SPEC_COS_NP = np.array(SPEC_COS, dtype=np.int64)
+_SPEC_SIN_NP = np.array(SPEC_SIN, dtype=np.int64)
+
+
+def spectral_band_energy_np(samples: np.ndarray) -> list[int]:
+    """Per-bin total energy over complete 64-sample windows (exact
+    int64; incomplete tail window dropped on both engines)."""
+    flat = samples.astype(np.int64).reshape(-1)
+    n_win = len(flat) // SPEC_WIN
+    if n_win == 0:
+        return [0] * len(SPEC_BINS)
+    w = flat[: n_win * SPEC_WIN].reshape(n_win, SPEC_WIN)
+    re = w @ _SPEC_COS_NP.T  # (n_win, bins)
+    im = w @ _SPEC_SIN_NP.T
+    return [int(e) for e in (re * re + im * im).sum(axis=0)]
+
+
+def _spec_coef_values_sql() -> str:
+    rows = ", ".join(
+        f"({k}, {i}, {c}, {s})"
+        for bi, k in enumerate(SPEC_BINS)
+        for i, (c, s) in enumerate(zip(SPEC_COS[bi], SPEC_SIN[bi]))
+    )
+    return f"(VALUES {rows}) AS coef(k, i, c, s)"
+
+
+@register(
+    "multimodal_audio_spectral_bands",
+    # Recomputes the integer DFT from the document bytes: hex→PCM
+    # expansion exactly as multimodal_audio_features, windowed by
+    # sample index, joined against the shared coefficient table.
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, substr(hex(encode(text)), 1, 4096) AS hx
+      FROM documents WHERE doc_id < 100
+    ),
+    v AS (
+      SELECT doc_id,
+             CAST(i // {SPEC_WIN} AS INT) AS w,
+             CAST(i % {SPEC_WIN} AS INT) AS p,
+             ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+               * 257 - 32768 AS s
+      FROM (SELECT doc_id, hx, strlen(hx) // 2 AS n,
+                   unnest(range(strlen(hx) // 2)) AS i
+            FROM raw)
+      WHERE i < (n // {SPEC_WIN}) * {SPEC_WIN}
+    ),
+    parts AS (
+      SELECT doc_id, w, coef.k AS bin,
+             CAST(sum(v.s * coef.c) AS BIGINT) AS re,
+             CAST(sum(v.s * coef.s) AS BIGINT) AS im
+      FROM v JOIN {_spec_coef_values_sql()} ON coef.i = v.p
+      GROUP BY doc_id, w, coef.k
+    ),
+    agg AS (
+      SELECT doc_id, bin,
+             CAST(sum(re * re + im * im) AS BIGINT) AS energy
+      FROM parts GROUP BY doc_id, bin
+    ),
+    spine AS (
+      SELECT doc_id, unnest(ARRAY{list(SPEC_BINS)}) AS bin
+      FROM (SELECT DISTINCT doc_id FROM raw)
+    )
+    SELECT CAST(spine.doc_id AS INT) AS key,
+           CAST(spine.bin AS INT) AS bin,
+           coalesce(agg.energy, 0) AS energy
+    FROM spine LEFT JOIN agg
+      ON agg.doc_id = spine.doc_id AND agg.bin = spine.bin
+    """,
+    tags=("multimodal", "audio", "udf", "spectral"),
+)
+def multimodal_audio_spectral_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral band energies over the WAV payload column: decode the
+    RIFF container, window the PCM stream, apply the fixed-point DFT,
+    and emit one (key, bin, energy) row per document and frequency bin.
+    The DuckDB oracle recomputes the identical transform from the raw
+    text bytes, so a hash match certifies container round trip AND
+    transform together — the spectrogram stage shape with an exact
+    recomputing oracle instead of a frozen golden."""
+    wav = documents_as_wav_table(spark, sf_dir)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, _rate = decode_audio(bytes(r["payload"]))
+                energies = spectral_band_energy_np(samples)
+                for k, e in zip(SPEC_BINS, energies):
+                    rows.append(
+                        {"key": int(r["key"]), "bin": int(k), "energy": e}
+                    )
+            yield pd.DataFrame(rows, columns=["key", "bin", "energy"])
+
+    return wav.mapInPandas(feats, schema="key int, bin int, energy long")

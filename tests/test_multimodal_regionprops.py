@@ -362,3 +362,28 @@ def test_image_features_accept_jpeg_payloads(spark):
     assert rows[0].std_v == float(
         np.sqrt(int((a * a).sum()) / float(a.size) - mean * mean)
     )
+
+
+def test_spectral_bands_concentrate_on_pure_tone():
+    import math
+
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        SPEC_BINS,
+        SPEC_WIN,
+        spectral_band_energy_np,
+    )
+
+    # a pure bin-2 cosine over two complete windows: the bin-2 energy
+    # must dominate every other bin by orders of magnitude
+    n = 2 * SPEC_WIN
+    tone = np.array(
+        [round(1000 * math.cos(2 * math.pi * 2 * i / SPEC_WIN)) for i in range(n)],
+        dtype=np.int16,
+    ).reshape(-1, 1)
+    e = dict(zip(SPEC_BINS, spectral_band_energy_np(tone)))
+    assert e[2] > 100 * max(e[k] for k in SPEC_BINS if k != 2)
+    # silence → all zeros; short input (no complete window) → all zeros
+    assert spectral_band_energy_np(np.zeros((n, 1), np.int16)) == [0] * 4
+    assert spectral_band_energy_np(np.zeros((3, 1), np.int16)) == [0] * 4
