@@ -1180,6 +1180,44 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (`|>`): linear dataflow SQL — each stage is a
+# self-contained operator application, the SQL-text mirror of the
+# DataFrame chain this whole repo is built on
+# ---------------------------------------------------------------------------
+@register(
+    "pipe_syntax_revenue",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38, 6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    HAVING count(*) > 10
+    """,
+    tags=("agg", "filter", "pipe-syntax"),
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scan→filter→extend→aggregate→filter chain every
+    DataFrame query here declares, written in Spark 4's SQL pipe
+    syntax: stages compose top-to-bottom instead of inside-out, and
+    Catalyst plans them identically to the nested-SQL oracle (exact
+    decimal money sum per the hash-stability doctrine). Post-aggregate
+    WHERE in pipe syntax is the HAVING of classic SQL."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+      FROM lineitem
+      |> WHERE l_shipdate >= DATE '1995-01-01'
+      |> EXTEND l_extendedprice * (1 - l_discount) AS gross
+      |> AGGREGATE count(*) AS n_items,
+                   CAST(sum(CAST(gross AS DECIMAL(38, 6))) AS DOUBLE)
+                     AS revenue
+         GROUP BY l_returnflag
+      |> WHERE n_items > 10
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Spark 4 Python UDTF: one input row → N output rows with set-returning
 # semantics (LATERAL-joinable), the §2.12 table-function surface
 # ---------------------------------------------------------------------------
