@@ -666,3 +666,39 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_raw_bytes long, n_zlib_bytes long,"
         " ratio_micro long, flag_repetitive boolean, flag_noise boolean",
     )
+
+
+@register(
+    "collated_word_counts",
+    # Oracle states the same equivalence relation via lower(): on this
+    # corpus (no ß/dotted-İ/final-sigma — checked) ICU lowercase
+    # collation equality and lower() equality coincide exactly.
+    oracle="""
+    SELECT min(w) AS canon, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY lower(w)
+    ORDER BY n DESC, canon
+    LIMIT 50
+    """,
+    tags=("text", "agg", "collation"),
+)
+def collated_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive word counts via Spark 4 COLLATIONS: the group
+    key is ``collate(w, 'UTF8_LCASE')`` — the engine compares under the
+    collation natively (hashes and sort orders are collation-aware all
+    the way into the shuffle), instead of materializing a lower()
+    projection of every token. The canonical representative is the
+    BINARY min of each group (deterministic on both engines); top-50 by
+    count with a total-order tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        tok.groupBy(F.expr("collate(w, 'UTF8_LCASE')").alias("wk"))
+        .agg(F.min("w").alias("canon"), F.count("*").alias("n"))
+        .select("canon", "n")
+        .orderBy(F.desc("n"), "canon")
+        .limit(50)
+    )
