@@ -144,7 +144,10 @@ PRIORITY: tuple[str, ...] = (
     "scd2_user_type_history",
     # timeseries
     "rolling_7d_revenue",
-    "event_transition_matrix",
+    # engine-native recursion (byte-identical SQL on both engines) —
+    # takes the slot of event_transition_matrix (once-green, unchanged;
+    # the timeseries family keeps rolling_7d_revenue in-window)
+    "rcte_clamped_balance",
     # streaming (batch-equivalent forms)
     "events_session_30m",
     "events_asof_last_view",
