@@ -112,3 +112,53 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     return source.unionByName(untouched)
+
+
+@register(
+    "incremental_agg_merge",
+    # The oracle recomputes the aggregate from the FULL table in one
+    # pass — equality with the incrementally-merged result is the
+    # correctness statement of incremental view maintenance.
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("cdc", "agg", "incremental"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's aggregate
+    STATE (count + exact integer-cent sum per customer — both
+    algebraic, so states merge by addition) is combined with the
+    aggregate of today's DELTA batch instead of rescanning history.
+    Here the split is synthetic (o_orderkey % 97 picks the delta); in
+    production the state is a stored table and only the delta is
+    scanned — at 100 TB that is the difference between O(|delta|) and
+    O(|history|) per refresh. The merge is a unionByName + re-aggregate
+    on the same key: one shuffle of (customers + delta-customers) tiny
+    state rows. The oracle recomputes from the full table, proving
+    merge ≡ recompute exactly (no floats anywhere in the state)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+
+    base_state = state(o.filter(F.col("o_orderkey") % 97 != 0))
+    delta_state = state(o.filter(F.col("o_orderkey") % 97 == 0))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
