@@ -249,3 +249,116 @@ def test_bpe_roundtrip_any_corpus(words):
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     for w, _ in freqs:
         assert "".join(encode_word(w, ranks)) == w + END_MARK
+
+
+# --- pHash / spectral / HLL kernel properties (numpy-only) -----------
+
+phash_img = arrays(np.uint8, st.tuples(st.just(32), st.just(32)))
+
+
+@given(phash_img)
+@settings(max_examples=40, deadline=None)
+def test_phash_bands_stable_and_bounded(img):
+    from braintumor_data_pipeline_spark.operators.phash import (
+        phash_bands_np,
+    )
+
+    b = phash_bands_np(img)
+    assert b == phash_bands_np(img.copy())  # deterministic
+    assert all(0 <= x < (1 << 16) for x in b)
+    # exactly 32 bits set: the threshold is the 32nd order statistic,
+    # so at most 32 coefficients can exceed it; with distinct values
+    # exactly 32 do. Ties only reduce the count.
+    assert sum(bin(x).count("1") for x in b) <= 32
+
+
+@given(st.integers(0, 10**6), st.integers(0, 31), st.integers(0, 31))
+@settings(max_examples=40, deadline=None)
+def test_phash_single_pixel_flip_moves_few_bits(tag, y, x):
+    """On GENERIC (noise) images a 1-LSB single-pixel change moves the
+    hash by at most a few bits. Degenerate images (constant regions →
+    massed DCT ties at the threshold) do NOT have this property — that
+    is exactly why the registered query derives its pixel channel from
+    md5 noise rather than the structured grid channel (phash.py
+    _V_SPARK note), so the test generates the same class of input."""
+    import hashlib
+
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.phash import (
+        phash_bands_np,
+    )
+
+    img = np.array(
+        [
+            int(
+                hashlib.md5(f"pp{tag}_{i}_{j}".encode()).hexdigest()[:2], 16
+            )
+            for i in range(32)
+            for j in range(32)
+        ],
+        dtype=np.uint8,
+    ).reshape(32, 32)
+    pert = img.copy()
+    pert[y, x] = pert[y, x] ^ 1  # ±1 LSB flip
+    a, b = phash_bands_np(img), phash_bands_np(pert)
+    ham = sum(bin(p ^ q).count("1") for p, q in zip(a, b))
+    # single-coefficient perturbation ≤ 2^28 ≪ noise-DCT spread ~2^41;
+    # a loose bound still catches wrong-axis / wrong-threshold bugs
+    assert ham <= 8
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_spectral_energy_nonneg_and_window_additive(samples):
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        SPEC_WIN,
+        spectral_band_energy_np,
+    )
+
+    arr = np.array(samples, dtype=np.int16).reshape(-1, 1)
+    e = spectral_band_energy_np(arr)
+    assert all(x >= 0 for x in e)
+    # energies are per-window additive: truncating to complete windows
+    # and summing window-by-window must equal the one-shot result
+    n_win = len(samples) // SPEC_WIN
+    parts = [0, 0, 0, 0]
+    for w in range(n_win):
+        pe = spectral_band_energy_np(
+            arr[w * SPEC_WIN : (w + 1) * SPEC_WIN]
+        )
+        parts = [a + b for a, b in zip(parts, pe)]
+    assert e == parts
+
+
+@given(st.sets(st.integers(0, 10**9), max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_hll_estimate_monotone_registers(keys):
+    """Registers from a superset dominate registers from a subset —
+    HLL insert-monotonicity, which is what makes the streaming build
+    (max-aggregation) order- and replay-independent."""
+    import hashlib
+
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        HLL_M,
+        HLL_REST_BITS,
+        hll_estimate,
+    )
+
+    def registers(ks):
+        regs = [0] * HLL_M
+        for k in ks:
+            h = int(hashlib.md5(f"hll|{k}".encode()).hexdigest()[:12], 16)
+            b, rest = h % HLL_M, h // HLL_M
+            rho = (
+                HLL_REST_BITS + 1
+                if rest == 0
+                else HLL_REST_BITS + 1 - rest.bit_length()
+            )
+            regs[b] = max(regs[b], rho)
+        return regs
+
+    sub = {k for k in keys if k % 2 == 0}
+    r_all, r_sub = registers(keys), registers(sub)
+    assert all(a >= s for a, s in zip(r_all, r_sub))
+    assert hll_estimate(r_all) >= 0.0
