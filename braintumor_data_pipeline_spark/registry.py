@@ -245,6 +245,7 @@ def _load_all() -> None:
     )
     from .plans import app_flow  # noqa: F401
     from .sources import jsonl as _jsonl  # noqa: F401
+    from .sources import maintenance as _maintenance  # noqa: F401
     from .streaming import events as _events  # noqa: F401
 
     _loaded = True

@@ -105,3 +105,83 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(dst)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema scan over generations written with
+# different (compatible) schemas — how a 100 TB table actually grows
+# ---------------------------------------------------------------------------
+def _evolution_dir(sf_dir: str) -> str:
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return os.path.join(tempfile.gettempdir(), "braintumor_evolution", tag)
+
+
+def write_evolved_generations(spark, sf_dir: str) -> str:
+    """Two parquet generations of the documents table: gen 1 (even
+    doc_ids) with the original columns, gen 2 (odd doc_ids) with an
+    ADDED integer ``quality`` column — additive evolution, the only
+    kind a 100 TB table can afford (rewrites are off the table)."""
+    from pyspark.sql import functions as F
+
+    from .fixtures import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = _evolution_dir(sf_dir)
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(base, "gen=1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 7).cast("long")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    return base
+
+
+def _register_evolution_query():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+
+    @register(
+        "schema_evolution_scan",
+        # Oracle recomputes the generation split from the original
+        # table: even doc_ids never had a quality column (NULL), odd
+        # ones carry n_chars % 7 — all integers, exact.
+        oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_quality,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7
+                             ELSE 0 END) AS BIGINT) AS sum_quality
+        FROM documents
+        GROUP BY lang
+        """,
+        tags=("source", "schema-evolution", "agg"),
+    )
+    def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Additive schema evolution under one scan: generation 1 lacks
+        the ``quality`` column, generation 2 has it; a mergeSchema
+        parquet read unifies them (old rows surface NULL — never a
+        default, never an error) and the aggregate distinguishes
+        missing from zero. At 100 TB mergeSchema's footer union is the
+        expensive part — production pins the unified schema in a
+        catalog; the NULL-for-absent read semantics tested here are
+        identical either way."""
+        base = write_evolved_generations(spark, sf_dir)
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        return merged.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).alias("sum_quality"),
+        )
+
+    return schema_evolution_scan
+
+
+_register_evolution_query()

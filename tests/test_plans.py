@@ -250,3 +250,46 @@ def test_observe_metrics_ride_the_job(spark, sf_dir):
     assert got["n_rows"] == li.count() == n
     assert got["total_qty"] == li.agg(F.sum("l_quantity")).first()[0]
     assert got["big_discounts"] == li.filter(F.col("l_discount") > 0.1).count()
+
+
+def test_join_strategy_hints_agree_on_results(spark, sf_dir):
+    """The three join strategies (broadcast-hash, sort-merge,
+    shuffle-hash) are PHYSICAL choices — forcing each via hints must
+    leave the logical answer untouched. Guards against ever encoding a
+    strategy-dependent assumption (ordering, null handling) into a
+    query, and pins that Spark actually honors each hint."""
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def joined(hint: str):
+        df = (
+            li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.expr(
+                        "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                    )
+                ).alias("cents"),
+            )
+        )
+        return df
+
+    expected_op = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    results = {}
+    for hint, op in expected_op.items():
+        df = joined(hint)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, f"{hint} hint not honored:\n{plan[:500]}"
+        results[hint] = sorted(
+            (r.o_orderpriority, r.n, r.cents) for r in df.collect()
+        )
+    assert results["broadcast"] == results["merge"] == results["shuffle_hash"]
