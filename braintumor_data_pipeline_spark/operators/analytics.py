@@ -680,3 +680,57 @@ def geomean_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "grouped_exact_median",
+    oracle="""
+    SELECT o_orderpriority, n,
+           CAST(sum(c * ((CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)))
+                AS DOUBLE) / 2 AS median_cents
+    FROM (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             ) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    GROUP BY o_orderpriority, n
+    """,
+    tags=("agg", "window", "percentile"),
+)
+def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median by order statistics — the standard SQL
+    median that approx_percentile approximates: rank within the group,
+    pick the middle position(s), average them. Integer cents all the
+    way to one final halving (a double .5 is exact), so the value is
+    bit-identical across engines and accumulation orders. The window
+    is per-group partitioned (parallel); at 100 TB with few groups the
+    two-pass bucketed order-statistic (count per value-bucket, then
+    probe the straddling bucket — the equidepth_histogram technique)
+    replaces the in-group sort."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+    w = Window.partitionBy("o_orderpriority").orderBy("c")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", cents.alias("c")
+    ).select(
+        "o_orderpriority",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = (F.col("n") + 1) / 2
+    hi = (F.col("n") + 2) / 2
+    pick = (F.col("rn") == F.floor(lo)).cast("int") + (
+        F.col("rn") == F.floor(hi)
+    ).cast("int")
+    return (
+        ranked.groupBy("o_orderpriority", "n")
+        .agg((F.sum(F.col("c") * pick).cast("double") / 2).alias("median_cents"))
+    )

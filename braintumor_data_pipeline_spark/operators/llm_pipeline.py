@@ -20,7 +20,7 @@ DataFrame ops so they run JVM-side at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import dec_sum
@@ -721,4 +721,42 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "full_epochs", "frac_256", epochs)
         .filter(keep)
         .select("doc_id", "lang", "epoch")
+    )
+
+
+@register(
+    "stratified_exact_k_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sk|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 10
+    """,
+    tags=("sampling", "window", "topk"),
+)
+def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling: within each language
+    the 10 docs with the SMALLEST md5 rank — the sample is uniform in
+    distribution but a pure function of the data, so retries,
+    speculation, and re-runs of a 100 TB job select identical rows
+    (the property `rand()`-based sampling loses). The per-stratum
+    window is the top-k shape: a per-partition heap of k rows per
+    stratum, never a global sort. Complements the rate-based
+    `hash_sample_documents` / `stratified_sample_orders` (fraction
+    deterministic, size binomial) with the exact-size variant."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("sk|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
     )
