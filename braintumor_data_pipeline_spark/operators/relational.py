@@ -1388,3 +1388,92 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_violations").alias("n_violations"),
         (F.col("e.n_violations") == 0).alias("passed"),
     )
+
+
+@register(
+    "keyset_pagination_page3",
+    # The oracle states the page the naive way — OFFSET — proving the
+    # seek predicate selects the identical rows.
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("topk", "pagination", "filter"),
+)
+def keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 3 of orders by (price DESC, key)
+    fetched NOT with OFFSET 40 — which reads and discards every earlier
+    row, O(page·n) over a 100 TB scan — but by seeking past the last
+    row of page 2 with a row-comparison predicate, O(k) per page and
+    pushdown-friendly. The boundary row itself comes from a tiny top-40
+    probe (the state a paginating client carries between requests).
+    The OFFSET oracle proves both formulations cut the same rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # The client's cursor: last row of page 2. This 1-row collect IS
+    # the pagination protocol — the cursor lives client-side between
+    # requests by definition (like the model-state collects in
+    # similarity.py, it is scale-legitimate: one row, top-40 probe).
+    # Re-inlined as literals the double compares bit-exactly.
+    cur = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(40)
+        .orderBy("o_totalprice", F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    b_price, b_key = cur.o_totalprice, cur.o_orderkey
+    seek = o.filter(
+        (F.col("o_totalprice") < F.lit(b_price))
+        | (
+            (F.col("o_totalprice") == F.lit(b_price))
+            & (F.col("o_orderkey") > F.lit(b_key))
+        )
+    )
+    return (
+        seek.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice")
+        )
+    )
+
+
+@register(
+    "table_fingerprint_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
+             AS fingerprint
+    FROM orders
+    """,
+    tags=("agg", "integrity", "ops"),
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: the SUM of per-row 40-bit
+    md5 prefixes over the canonical row serialization (money as exact
+    cents). Addition commutes, so any two replicas/engines/partitionings
+    of the same rows produce the same 8-byte digest — the anti-entropy
+    check two sides of a 100 TB replication exchange instead of rows.
+    One scan, one scalar; the DuckDB side IS a second engine computing
+    it independently."""
+    o = _t(spark, sf_dir, "orders")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.expr(
+            "cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)"
+        ),
+    )
+    chk = F.conv(F.substring(F.md5(row_ser), 1, 10), 16, 10).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"), F.sum(chk).alias("fingerprint")
+    )
