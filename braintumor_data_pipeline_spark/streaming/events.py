@@ -509,3 +509,47 @@ def run_stream_static_join(
     q.processAllAvailable()
     q.stop()
     return spark.table("stream_static_seg")
+
+
+@register(
+    "events_tumbling_distinct_users",
+    oracle=f"""
+    SELECT bucket_us,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM (
+      SELECT (epoch_us(ts) // {_US_5M}) * {_US_5M} AS bucket_us,
+             user_id, count(*) AS n_ev
+      FROM events
+      GROUP BY bucket_us, user_id
+    )
+    GROUP BY bucket_us
+    """,
+    tags=("streaming", "window", "agg", "distinct"),
+)
+def events_tumbling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct users per 5-minute window, written as the
+    TWO-LEVEL aggregate ((window, user) → window) rather than
+    countDistinct: level 1 partial-aggregates map-side so the shuffle
+    carries one row per (window, user) — the expanded-row state
+    countDistinct would buffer inside a single aggregation — and level
+    2 is a plain count. This is the 100 TB distinct shape (and the one
+    that streams: level 1 under a watermark, level 2 per emitted
+    window; single-shot countDistinct is unsupported in streaming).
+    Per-user event counts ride along for free."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_ev"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"), "n_ev"
+        )
+    )
+    return per_user.groupBy("bucket_us").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
