@@ -162,3 +162,68 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_enrich",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type,
+             epoch_us(min(ts)) AS valid_from_us,
+             epoch_us(max(ts)) AS valid_to_us,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+        FROM events
+      )
+      GROUP BY user_id, event_type, grp
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN r.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_singleton_runs,
+           CAST(sum(CASE WHEN epoch_us(e.ts) = r.valid_from_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_run_openers
+    FROM events e
+    JOIN runs r
+      ON r.user_id = e.user_id AND r.event_type = e.event_type
+     AND epoch_us(e.ts) BETWEEN r.valid_from_us AND r.valid_to_us
+    GROUP BY e.event_type
+    """,
+    tags=("cdc", "join", "temporal"),
+)
+def scd2_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension: each fact
+    event joins the validity interval that COVERED its timestamp —
+    the canonical as-was lookup against a Type-2 history. The join is
+    EQUI on (user_id, event_type) with the interval containment as a
+    post-join filter, so it shuffles on keys like any hash join
+    (non-equi-only interval joins degrade to nested loops — keying by
+    the dimension's natural key is what keeps PIT joins scalable).
+    Output: per event type, how many events sit in singleton runs and
+    how many opened their run — all integers, exact."""
+    e = _t(spark, sf_dir, "events")
+    runs = scd2_user_type_history(spark, sf_dir)
+    ev = e.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    j = ev.join(
+        runs.withColumnRenamed("n_events", "run_len"),
+        ["user_id", "event_type"],
+    ).filter(
+        (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("ts_us") <= F.col("valid_to_us"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)).alias(
+            "n_in_singleton_runs"
+        ),
+        F.sum(
+            F.when(F.col("ts_us") == F.col("valid_from_us"), 1).otherwise(0)
+        ).alias("n_run_openers"),
+    )
