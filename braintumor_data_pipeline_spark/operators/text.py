@@ -702,3 +702,80 @@ def collated_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "canon")
         .limit(50)
     )
+
+
+@register(
+    "bigram_pmi_collocations",
+    # Ranking needs only the ORDER of c_ab/(c_a·c_b) — every shared
+    # factor (N²/M) cancels — so the score is an exact integer quotient
+    # both engines compute identically: no log(), no float, no ties
+    # that could flip.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest(t) AS token FROM toks)
+      GROUP BY token
+    ),
+    big AS (
+      SELECT t[i + 1] AS w1, t[i + 2] AS w2, count(*) AS c_ab
+      FROM toks, unnest(range(len(t) - 1)) AS r(i)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_ab, u1.c AS c_a, u2.c AS c_b,
+           (c_ab * 1000000000000) // (u1.c * u2.c) AS score_q
+    FROM big JOIN uni u1 ON u1.token = w1 JOIN uni u2 ON u2.token = w2
+    WHERE c_ab >= 5
+    ORDER BY score_q DESC, w1, w2
+    LIMIT 30
+    """,
+    tags=("text", "agg", "collocation", "topk"),
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by PMI rank: bigrams whose observed count
+    most exceeds what their parts' frequencies predict. PMI's log and
+    the corpus-size constants are ORDER-preserving, so the score is the
+    exact integer quotient c_ab·10¹²/(c_a·c_b) — rankable with zero
+    float exposure. Bigrams come from a shuffle-free array-index
+    transform (the shingling trick); unigram counts broadcast back onto
+    the bigram relation. Minimum count 5 suppresses hapax noise."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).filter(
+        F.col("c_ab") >= 5
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "c_ab * 1000000000000L div (c_a * c_b)"
+            ).alias("score_q"),
+        )
+    )
+    return scored.orderBy(F.desc("score_q"), "w1", "w2").limit(30)
