@@ -89,9 +89,11 @@ PRIORITY: tuple[str, ...] = (
     "imaging_udf_stats",
     "imaging_udf_confusion",
     "ssim_window_map",
-    # text analysis
+    # text analysis (bm25 keeps the family's slot; lang_id_heuristic —
+    # once-green, formulation unchanged — vacated for the new
+    # schema-evolution source family)
     "bm25_search_topk",
-    "lang_id_heuristic",
+    "schema_evolution_scan",
     # dedup — simhash_hamming_pairs replaced simhash_signatures and
     # pagerank_fixed_point (graph family) replaced minhash_lsh_pairs:
     # each new entry computes its predecessor's relation as a strict
