@@ -760,3 +760,53 @@ def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .drop("rk")
     )
+
+
+@register(
+    "weighted_sample_wor",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / 4503599627370497.0) / n_chars AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k * 1000.0, 6) AS sample_key_milli
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 200
+    """,
+    tags=("sampling", "topk"),
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis: each
+    doc draws u ~ Uniform(0,1) and keeps key u^(1/w) (w = n_chars, so
+    longer docs are proportionally likelier); the top-k keys ARE a
+    weighted sample without replacement. Ranking by ln(u)/w is the
+    monotone-equivalent, overflow-free form. u comes from md5(doc_id)'s
+    first 13 hex digits mapped into (0,1) — 16^13 = 2^52 so numerator
+    and denominator are exact doubles — making the sample a pure
+    function of the key: identical on any engine, under retries and
+    speculative execution, with no rand() in the plan. The top-k is a
+    distributed TakeOrdered (no global sort); ties break on doc_id.
+    This is the mixture-sampling primitive for length-weighted corpus
+    draws (contrast hash_sample_documents: unweighted)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + 1.0
+    ) / F.lit(4503599627370497.0)
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(200)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("k") * 1000.0, 6).alias("sample_key_milli"),
+        )
+    )

@@ -779,3 +779,98 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score_q"), "w1", "w2").limit(30)
+
+
+@register(
+    "zipf_slope_word_freq",
+    oracle="""
+    WITH words AS (
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    topw AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM (SELECT token, freq FROM words
+            ORDER BY freq DESC, token LIMIT 1000)
+    ),
+    q AS (
+      SELECT CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM topw
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT n AS n_words,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sx)
+                 / (CAST(n AS DOUBLE) * 1000000.0), 6) AS zipf_intercept
+    FROM s
+    """,
+    tags=("text", "stats", "agg"),
+)
+def zipf_slope_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution: least-
+    squares slope of ln(freq) vs ln(rank) over the top-1000 words — the
+    corpus-health scalar (natural text ≈ −1; synthetic/templated text
+    drifts shallower) LLM data audits report.
+
+    Reproducibility: ln values quantize to integer micro-nats
+    (floor(ln·1e6 + 0.5)) so every sum is exact 64-bit integer
+    arithmetic — order-independent on any engine — and the one final
+    slope division happens on identical integers. The top-1000 cut is
+    a total order (freq DESC, token ASC). Scale shape: the heavy part
+    is the word-count aggregate (uniform keys); the cut is a
+    distributed TakeOrdered, and the rank window runs over ≤1000
+    surviving rows — the benign tiny-frame pattern."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    topw = words.orderBy(F.desc("freq"), "token").limit(1000)
+    ranked = topw.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rank"),
+    )
+    q = ranked.select(
+        F.floor(F.log("rank") * 1000000 + 0.5).cast("long").alias("x"),
+        F.floor(F.log("freq") * 1000000 + 0.5).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / (nd * 1000000.0),
+            6,
+        ).alias("zipf_intercept"),
+    )

@@ -260,6 +260,189 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "sequence", "agg"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands as a standalone operator: per user, consecutive
+    active-day runs. Island id = epoch-day − row_number (constant within
+    a consecutive run — the classic construction), then two keyed
+    aggregates. All integers, exact on any engine. The window partitions
+    on user_id (uniform key, bounded rows per user), so the plan is
+    shuffle-on-user → per-user sort of a few dozen distinct days —
+    unchanged at 100 TB."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("1970-01-01")).cast("long")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+# Shared fixed-point robust-stats construction (see the MAD query below).
+# Division-free scaled integers throughout: with c = cents,
+#   m2 = c_(k1) + c_(k2)         (= 2·median, integral always)
+#   dv = |2c − m2|               (= 2·|c − median|)
+#   d2 = dv_(k1) + dv_(k2)       (= 4·MAD)
+# k1/k2 are the two middle order statistics; when n is odd they
+# coincide and the CASE sum double-counts the single middle row —
+# the established grouped_exact_median trick.
+_MAD_ORACLE = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(sum(c * ((CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)))
+                  AS BIGINT) AS m2
+      FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, abs(2 * c.c - med.m2) AS dv
+      FROM c JOIN med ON c.event_type = med.event_type
+    ),
+    dranked AS (
+      SELECT event_type, dv,
+             row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(sum(dv * ((CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)))
+                  AS BIGINT) AS d2
+      FROM dranked GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           count(*) AS n,
+           CAST(max(med.m2) AS DOUBLE) / 200.0 AS median_value,
+           CAST(max(mad.d2) AS DOUBLE) / 400.0 AS mad_value,
+           CAST(sum(CASE WHEN dev.dv * 20000 > 44478 * mad.d2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev
+    JOIN med ON dev.event_type = med.event_type
+    JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+"""
+
+
+@register(
+    "event_value_anomalies_mad",
+    oracle=_MAD_ORACLE,
+    tags=("timeseries", "stats", "anomaly", "window", "agg"),
+)
+def event_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score anomaly counts per event type: flag values more
+    than 3 scaled-MADs (1.4826·MAD ≈ σ for normal data) from the
+    per-type median. EXACT fixed-point arithmetic end to end: values
+    quantize to cents, medians are carried as the SUM of the two middle
+    order statistics (``m2`` = 2·median — integral always, no division),
+    deviations as ``dv = |2c − m2|`` (= 2·|c − median|), the MAD as
+    ``d2`` = 4·MAD, and the 3·1.4826 threshold compares as the integer
+    cross-product ``dv·20000 > 44478·d2`` — no float accumulates
+    anywhere, so any engine produces bit-identical counts.
+
+    Scale note: like grouped_exact_median, the two order-statistics
+    windows sort within each event_type (5 heavy groups here). At
+    100 TB swap the exact medians for approx_percentile and keep the
+    integer comparison; the exact form is the correctness reference."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    )
+
+    def _mid_sum(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Sum of the two middle order statistics of ``col`` per type
+        (n odd → the single middle row double-counts)."""
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        picked = F.when(
+            F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"), 1
+        ).otherwise(0) + F.when(
+            F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"), 1
+        ).otherwise(0)
+        return (
+            df.select(
+                "event_type",
+                col,
+                F.row_number().over(wr).alias("rn"),
+                F.count("*").over(wn).alias("n"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum(F.col(col) * picked).alias(out))
+        )
+
+    med = _mid_sum(c, "c", "m2")
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("m2")).alias("dv")
+    )
+    mad = _mid_sum(dev, "dv", "d2")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("m2").cast("double") / 200.0).alias("median_value"),
+            (F.max("d2").cast("double") / 400.0).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("dv") * 20000 > 44478 * F.col("d2"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH ordered AS (
