@@ -984,3 +984,201 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "label_centroid_distances",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    percell AS (
+      SELECT label, dim,
+             CAST(sum(qv[dim + 1]) AS BIGINT) AS s,
+             count(*) AS c
+      FROM q, LATERAL (SELECT unnest(range(len(qv))) AS dim) AS g
+      GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label,
+             list(s ORDER BY dim) AS sv,
+             max(c) AS n
+      FROM percell GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(a.sv, b.sv),
+                 p -> (CAST(p[1] AS DOUBLE) * b.n - CAST(p[2] AS DOUBLE) * a.n)
+                    * (CAST(p[1] AS DOUBLE) * b.n - CAST(p[2] AS DOUBLE) * a.n))),
+               (acc, x) -> acc + x))
+             / (CAST(a.n AS DOUBLE) * b.n * 1000000.0), 6) AS centroid_l2
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+    tags=("similarity", "embedding", "agg"),
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separability report: pairwise L2 distance between
+    per-label embedding centroids — the eval table a curation pipeline
+    publishes to confirm label clusters are actually separated (and the
+    building block of SemDeDup-style cluster-then-dedup).
+
+    Exact cross-engine arithmetic: components quantize to integer
+    micro-units, per-(label, dim) sums are 64-bit integer aggregation
+    (order-independent, map-side combinable, uniform keys), and the
+    pairwise distance avoids dividing the centroids by folding the
+    cross-multiplied integer difference (sa_i·nb − sb_i·na) — exact in
+    a double below 2^53 — over dims in FIXED order (zip_with +
+    aggregate ≡ list_zip + list_reduce). One final sqrt + division,
+    structurally identical on both engines, rounded at 6. Scale shape:
+    the heavy stage is the (label, dim) partial aggregate over an
+    exploded-by-64 relation; the pairwise join touches L² tiny rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    percell = (
+        q.select("label", F.posexplode("qv").alias("dim", "qval"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qval").alias("s"), F.count("*").alias("c"))
+    )
+    cent = percell.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda t: t["s"],
+        ).alias("sv"),
+        F.max("c").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("sv").alias("sa"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("sv").alias("sb"),
+        F.col("n").alias("n_b"),
+    )
+    nb = F.col("n_b")
+    na = F.col("n_a")
+    term = F.zip_with(
+        "sa",
+        "sb",
+        lambda x, y: (x.cast("double") * nb - y.cast("double") * na)
+        * (x.cast("double") * nb - y.cast("double") * na),
+    )
+    ss = F.aggregate(term, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.sqrt(ss)
+                / (na.cast("double") * nb * 1000000.0),
+                6,
+            ).alias("centroid_l2"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH sims AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel,
+             b.vec_id AS nid, b.label AS nlabel,
+             CAST(floor(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5)
+                  AS BIGINT) AS s10k
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 50
+    ),
+    agg AS (
+      SELECT qid,
+             max(CASE WHEN nlabel = qlabel
+                      THEN s10k * 10000000 - nid END) AS pk,
+             max(CASE WHEN nlabel <> qlabel
+                      THEN s10k * 10000000 - nid END) AS nk
+      FROM sims GROUP BY qid
+    )
+    SELECT qid,
+           CAST(ceil(CAST(pk AS DOUBLE) / 10000000.0) AS BIGINT) * 10000000
+             - pk AS pos_id,
+           CAST(ceil(CAST(pk AS DOUBLE) / 10000000.0) AS BIGINT) / 10000.0
+             AS pos_sim,
+           CAST(ceil(CAST(nk AS DOUBLE) / 10000000.0) AS BIGINT) * 10000000
+             - nk AS neg_id,
+           CAST(ceil(CAST(nk AS DOUBLE) / 10000000.0) AS BIGINT) / 10000.0
+             AS neg_sim,
+           (CAST(ceil(CAST(pk AS DOUBLE) / 10000000.0) AS BIGINT)
+            - CAST(ceil(CAST(nk AS DOUBLE) / 10000000.0) AS BIGINT)) / 10000.0
+             AS margin
+    FROM agg
+    """,
+    tags=("similarity", "join", "agg", "embedding"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each of 50 probe vectors, the
+    nearest SAME-label neighbor (the positive) and the nearest
+    OTHER-label neighbor (the hard negative), plus the margin between
+    them — the batch-construction primitive for contrastive/triplet
+    embedding training and the standard probe for label noise (a
+    negative margin means a foreign vector sits closer than any
+    same-label one).
+
+    The argmax is ONE conditional integer aggregate, not a window:
+    cosine quantizes to s10k = floor(sim·1e4 + 0.5) and packs with the
+    neighbor id into key = s10k·1e7 − nid, so max(key) IS (max sim,
+    then min id) — the deterministic tie-break — and the aggregate
+    stays a partial-merge hash agg (map-side combinable; no per-probe
+    sort anywhere). Probe side broadcasts exactly like
+    knn_bruteforce_cosine; cost is one base-table scan regardless of
+    probe count."""
+    vec = _vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    b = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = _dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn"))
+    s10k = F.floor(sim * 10000 + 0.5).cast("long")
+    key = s10k * 10000000 - F.col("nid")
+    joined = b.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
+        "qid",
+        F.when(F.col("nlabel") == F.col("qlabel"), key).alias("pos_key"),
+        F.when(F.col("nlabel") != F.col("qlabel"), key).alias("neg_key"),
+    )
+    agg = joined.groupBy("qid").agg(
+        F.max("pos_key").alias("pk"), F.max("neg_key").alias("nk")
+    )
+
+    def dec_s(k):  # recover s10k from the packed key
+        return F.ceil(k.cast("double") / 10000000.0).cast("long")
+
+    return agg.select(
+        "qid",
+        (dec_s(F.col("pk")) * 10000000 - F.col("pk")).alias("pos_id"),
+        (dec_s(F.col("pk")) / 10000.0).alias("pos_sim"),
+        (dec_s(F.col("nk")) * 10000000 - F.col("nk")).alias("neg_id"),
+        (dec_s(F.col("nk")) / 10000.0).alias("neg_sim"),
+        ((dec_s(F.col("pk")) - dec_s(F.col("nk"))) / 10000.0).alias("margin"),
+    )
