@@ -244,9 +244,12 @@ def _load_all() -> None:
         phash,
         sketch,
         recursive,
+        indexing,
     )
     from .plans import app_flow  # noqa: F401
+    from .sources import csv_io as _csv_io  # noqa: F401
     from .sources import jsonl as _jsonl  # noqa: F401
+    from .sources import orc_io as _orc_io  # noqa: F401
     from .sources import maintenance as _maintenance  # noqa: F401
     from .streaming import events as _events  # noqa: F401
 
