@@ -218,3 +218,73 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges")
         ).alias("clustering_coeff"),
     )
+
+
+BFS_HOPS = 4
+
+
+@register(
+    "bfs_levels_from_min_vertex",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    bfs(doc_id, lvl) AS (
+      SELECT (SELECT min(doc_a) FROM pairs), 0
+      UNION
+      SELECT e.dst, b.lvl + 1
+      FROM bfs b JOIN edges e ON e.src = b.doc_id
+      WHERE b.lvl < {BFS_HOPS}
+    )
+    SELECT doc_id, CAST(min(lvl) AS INT) AS level
+    FROM bfs GROUP BY doc_id
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
+def bfs_levels_from_min_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest-path levels (unweighted BFS, 4 hops)
+    over the LSH candidate graph, from the graph's minimum vertex
+    id — "how far does contamination spread from this document through
+    near-dup links". Pure integer algorithm: level = min hop count, so
+    the result is partitioning/retry-independent and the DuckDB
+    recursive CTE replays it exactly (UNION-dedup keeps the recursion
+    finite exactly like the Spark frontier dedup).
+
+    Scale shape per hop: frontier ⋈ edges (shuffle on src) → union →
+    min-groupBy. Frontier lineage is cut with localCheckpoint each hop
+    (the components.py lesson); edges persist once. At 100 TB the
+    frontier is the only growing relation and it is bounded by the
+    vertex set; a Pregel engine would do the same joins with the same
+    shuffles."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    source = pairs.agg(F.min("doc_a").alias("doc_id")).select(
+        "doc_id", F.lit(0).alias("lvl")
+    )
+    levels = source.localCheckpoint()
+    frontier = levels
+    for hop in range(1, BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.doc_id == edges.src)
+            .select(F.col("dst").alias("doc_id"), F.lit(hop).alias("lvl"))
+            .distinct()
+        )
+        # next frontier = newly reached vertices only (anti-join against
+        # everything already levelled) — keeps per-hop work proportional
+        # to the BFS wavefront, not the visited set
+        frontier = reached.join(
+            levels, "doc_id", "left_anti"
+        ).localCheckpoint()
+        levels = levels.unionAll(frontier).localCheckpoint()
+    return levels.groupBy("doc_id").agg(F.min("lvl").cast("int").alias("level"))

@@ -245,6 +245,7 @@ def _load_all() -> None:
         sketch,
         recursive,
         indexing,
+        intervals,
     )
     from .plans import app_flow  # noqa: F401
     from .sources import csv_io as _csv_io  # noqa: F401
