@@ -607,3 +607,73 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_ORACLE}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / ca.n_sh, 6) AS cont_a_in_b,
+           round(n_inter * 1.0 / cb.n_sh, 6) AS cont_b_in_a
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE 2 * n_inter >= ca.n_sh OR 2 * n_inter >= cb.n_sh
+    """,
+    tags=("dedup", "join"),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| — the measure Jaccard misses when a short document is
+    embedded whole inside a much longer one (boilerplate, quoted
+    passages, doc-in-doc training-set contamination). Jaccard for a
+    500-shingle doc inside a 50k-shingle doc is ~0.01; containment is
+    ~1.0. Same inverted-index self-join as ``ngram_jaccard_pairs``
+    (shuffle key = shingle hash, co-occurrence pruning), different
+    final algebra. The keep threshold (either direction ≥ ½) is
+    evaluated by INTEGER cross-multiplication — no float in any
+    filter, so the cut is engine-exact; the reported ratios are
+    display-rounded only."""
+    sh = shingles_df(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    keep = (2 * F.col("n_inter") >= F.col("ca.n_sh")) | (
+        2 * F.col("n_inter") >= F.col("cb.n_sh")
+    )
+    return (
+        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(keep)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("ca.n_sh"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("n_inter") / F.col("cb.n_sh"), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+    )

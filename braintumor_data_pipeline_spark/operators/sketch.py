@@ -373,3 +373,104 @@ def hll_estimate(registers: list[int]) -> float:
     if est <= 2.5 * m and v > 0:
         est = m * math.log(m / v)
     return est
+
+
+@register(
+    "hll_mergeable_groups",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type AS grp, user_id AS key FROM events
+    ),
+    rho AS (
+      SELECT grp,
+             h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                  ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+             END AS rho
+      FROM (
+        SELECT grp,
+               ('0x' || substr(md5('hll|' || CAST(key AS VARCHAR)), 1, 12))
+                 ::BIGINT AS h
+        FROM keys
+      )
+    ),
+    spine AS (
+      SELECT g.grp, t.b AS bucket
+      FROM (SELECT DISTINCT grp FROM keys) g, range({HLL_M}) t(b)
+    ),
+    per_group AS (
+      SELECT s.grp, CAST(s.bucket AS INT) AS bucket,
+             CAST(coalesce(max(rho.rho), 0) AS INT) AS register
+      FROM spine s
+      LEFT JOIN rho ON rho.grp = s.grp AND rho.bucket = s.bucket
+      GROUP BY s.grp, s.bucket
+    )
+    SELECT grp, bucket, register FROM per_group
+    UNION ALL
+    SELECT '__merged__' AS grp, bucket,
+           CAST(max(register) AS INT) AS register
+    FROM per_group GROUP BY bucket
+    """,
+    tags=("sketch", "agg", "approx"),
+)
+def hll_mergeable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE property that makes sketches work on a cluster: HLL
+    registers merge by bucket-wise max, so per-group (or per-partition,
+    or per-day) sketches combine into the union's sketch without
+    touching raw data again. Output: per-event-type register vectors
+    PLUS the '__merged__' vector = bucket-wise max over the groups —
+    which tests pin equal to the registers built directly from the
+    distinct union of all keys (insert-idempotence + max associativity
+    make this an identity, not an approximation). At 100 TB this is
+    the pattern for incremental cardinality rollups: store m integers
+    per (day, segment), answer any union query by max-merging stored
+    vectors."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("grp"), F.col("user_id").alias("key"))
+        .distinct()
+    )
+    rho = ev.select(
+        "grp",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"), F.col("key").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    ).select(
+        "grp",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(HLL_REST_BITS + 1))
+        .otherwise(
+            F.lit(HLL_REST_BITS + 1) - F.length(F.expr(f"bin(h div {HLL_M})"))
+        )
+        .alias("rho"),
+    )
+    # full (grp × bucket) spine WITHOUT a join: explode a constant
+    # 0..m−1 sequence per group row — narrow, and m is a plan constant
+    spine = (
+        ev.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
+        )
+        .select("grp", F.col("bucket").cast("int").alias("bucket"))
+    )
+    per_group = (
+        spine.join(rho.groupBy("grp", "bucket").agg(F.max("rho").alias("r")),
+                   ["grp", "bucket"], "left")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce("r", F.lit(0)).cast("int").alias("register"),
+        )
+    )
+    merged = per_group.groupBy("bucket").agg(
+        F.max("register").cast("int").alias("register")
+    ).select(F.lit("__merged__").alias("grp"), "bucket", "register")
+    return per_group.unionAll(merged)

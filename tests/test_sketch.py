@@ -58,3 +58,83 @@ def test_hll_registers_and_estimate_accuracy(spark, sf_dir):
     # m=64 gives a ~13% standard error; 35% is a 2.7-sigma gate that
     # still catches any structural bug (off-by-one rho, wrong bucket).
     assert abs(est - exact) / exact < 0.35
+
+
+def test_hll_merge_equals_direct_union(spark, sf_dir):
+    """Bucket-wise max of per-group registers must equal the registers
+    built directly from the union of all keys — the mergeability
+    identity that makes distributed/incremental HLL correct."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        hll_bucket_rho,
+        hll_mergeable_groups,
+        hll_spine_registers,
+    )
+
+    out = hll_mergeable_groups(spark, sf_dir)
+    merged = {
+        r.bucket: r.register
+        for r in out.filter(F.col("grp") == "__merged__").collect()
+    }
+    direct_keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    direct = {
+        r.bucket: r.register
+        for r in hll_spine_registers(hll_bucket_rho(direct_keys)).collect()
+    }
+    assert merged == direct
+
+
+def test_containment_catches_doc_in_doc_where_jaccard_cannot(spark):
+    """A short doc embedded whole in a long one: containment ≈ 1,
+    Jaccard small — the asymmetric measure's reason to exist."""
+    from pyspark.sql import functions as F
+
+    import braintumor_data_pipeline_spark.operators.dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i + 1} w{i + 2}" for i in range(0, 300, 3))
+    long_doc = filler + " " + short + " " + filler
+    df = spark.createDataFrame(
+        [(1, short, "en", "t", len(short)),
+         (2, long_doc, "en", "t", len(long_doc))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("containment_fixture")
+    toks = df.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    starts = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+    )
+    n_short = sh.filter("doc_id = 1").count()
+    n_long = sh.filter("doc_id = 2").count()
+    cont = inter / n_short
+    jac = inter / (n_short + n_long - inter)
+    assert cont >= 0.9  # the short doc is (almost) fully contained
+    assert jac < 0.2    # Jaccard would never flag this pair
