@@ -677,3 +677,56 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    )
+    SELECT n.doc_id AS new_doc_id,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_old_matches,
+           min(o.doc_id) AS first_old_match
+    FROM bands n
+    JOIN bands o
+      ON o.band = n.band AND o.band_sig = n.band_sig
+     AND o.doc_id % 2 = 0
+    WHERE n.doc_id % 2 = 1
+    GROUP BY n.doc_id
+    """,
+    tags=("dedup", "minhash", "join", "incremental"),
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: screen a NEW batch of documents
+    against the EXISTING corpus without ever re-shuffling the corpus
+    pairwise. Shape: the historical band index (doc_id, band,
+    band_sig) is the build-once artifact — at 100 TB it lives as
+    parquet bucketed by (band, band_sig), exactly like
+    ``build_ivf_index`` persists centroid cells — and each arriving
+    batch computes only ITS OWN signatures and probes the index with
+    an equi-join. Cost per batch ∝ batch size + collisions, never
+    corpus². Fixture split: even doc_ids play the corpus, odd ones the
+    arriving batch; output = new docs colliding with ≥1 old doc, their
+    collision count and earliest colliding corpus doc."""
+    bands = bands_df(spark, sf_dir).persist()
+    old = bands.filter(F.col("doc_id") % 2 == 0).alias("o")
+    new = bands.filter(F.col("doc_id") % 2 == 1).alias("n")
+    return (
+        new.join(
+            old,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.band_sig") == F.col("n.band_sig")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc_id"))
+        .agg(
+            F.countDistinct(F.col("o.doc_id")).alias("n_old_matches"),
+            F.min(F.col("o.doc_id")).alias("first_old_match"),
+        )
+    )

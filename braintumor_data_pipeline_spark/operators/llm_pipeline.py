@@ -810,3 +810,80 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 1000.0, 6).alias("sample_key_milli"),
         )
     )
+
+
+@register(
+    "filter_cascade_report",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE
+               WHEN n_chars < 120 THEN 'too_short'
+               WHEN lang = 'zh' THEN 'lang_filtered'
+               WHEN len(string_split(text, ' ')) <= 20 THEN 'too_few_tokens'
+               WHEN 5 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    > n_chars THEN 'digit_heavy'
+               ELSE 'admitted'
+             END AS reason
+      FROM documents
+    ),
+    totals AS (SELECT count(*) AS total FROM tagged)
+    SELECT CASE reason
+             WHEN 'too_short' THEN 1 WHEN 'lang_filtered' THEN 2
+             WHEN 'too_few_tokens' THEN 3 WHEN 'digit_heavy' THEN 4
+             ELSE 5 END AS stage,
+           reason,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           round(count(*) * 100.0 / (SELECT total FROM totals), 6)
+             AS share_pct
+    FROM tagged GROUP BY reason
+    """,
+    tags=("filter", "quality", "corpus"),
+)
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade observability: every document is
+    attributed to the FIRST rule that kills it (fixed rule order →
+    deterministic attribution, the way production pipelines report
+    'why did 40% of my crawl disappear'), with per-reason doc counts,
+    char volume, and share. One pass, one aggregate — rules are plain
+    codegen predicates; the total arrives as a broadcast scalar
+    subquery, not a driver round trip. Rules here are fixture-scaled
+    stand-ins (length floor, language allowlist, token floor, digit
+    ratio) for the fasttext/KenLM tiers a real corpus uses — the
+    attribution algebra is what the operator owns."""
+    d = _t(spark, sf_dir, "documents")
+    n_digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    reason = (
+        F.when(F.col("n_chars") < 120, "too_short")
+        .when(F.col("lang") == "zh", "lang_filtered")
+        .when(F.size(F.split("text", " ")) <= 20, "too_few_tokens")
+        .when(5 * n_digits > F.col("n_chars"), "digit_heavy")
+        .otherwise("admitted")
+    )
+    stage = (
+        F.when(F.col("reason") == "too_short", 1)
+        .when(F.col("reason") == "lang_filtered", 2)
+        .when(F.col("reason") == "too_few_tokens", 3)
+        .when(F.col("reason") == "digit_heavy", 4)
+        .otherwise(5)
+    )
+    tagged = d.select("n_chars", reason.alias("reason"))
+    total = tagged.agg(F.count("*").alias("total"))
+    return (
+        tagged.groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            stage.alias("stage"),
+            "reason",
+            "n_docs",
+            "sum_chars",
+            F.round(F.col("n_docs") * 100.0 / F.col("total"), 6).alias(
+                "share_pct"
+            ),
+        )
+    )
