@@ -64,6 +64,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: correctness gates cover the same surface, and queries whose
 #: formulation changed this round (decimal money sums) stay in-window so
 #: the new formulation gets driver confirmation.
+#:
+#: Final round-3 rotation: eight twice-green, formulation-unchanged,
+#: non-headline slots vacate for the session's eight new first-time
+#: families — pixel_windowing (pixel_minmax stays), region_grow_capped
+#: (component + adaptive stay), q12 (q3/q6/q21 stay),
+#: train_test_split_documents (corpus_prep stays), scd2_user_type_history
+#: (merge_upsert keeps CDC), imaging_udf_confusion (imaging_udf_stats
+#: keeps the Arrow-UDF surface; the confusion algebra stays checked via
+#: mask_metrics), rolling_7d_revenue (ohlc keeps timeseries),
+#: dedup_connected_components (pagerank + the new BFS keep graph) — for
+#: csv_roundtrip_stats, global_dense_ids_documents,
+#: interval_overlap_attribution, bfs_levels_from_min_vertex,
+#: shingle_containment_pairs, hll_mergeable_groups,
+#: incremental_dedup_new_batch, filter_cascade_report.
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -87,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "geomean_grouped_agg_udf",
     # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
     "imaging_udf_stats",
-    "imaging_udf_confusion",
     "ssim_window_map",
     # text analysis (bm25 keeps the family's slot; lang_id_heuristic —
     # once-green, formulation unchanged — vacated for the new
@@ -117,24 +130,19 @@ PRIORITY: tuple[str, ...] = (
     # JSONL round-trip (source/sink fidelity)
     "jsonl_roundtrip_stats",
     # pixel relation (imaging as SQL)
-    "pixel_windowing",
     "pixel_minmax_normalize",
     # mask algebra / metrics
     "mask_metrics",
     # iterative segmentation (uncapped component, the dequeue-cap quirk,
     # and the adaptive-threshold schedule — all hash-checked)
     "region_grow_component",
-    "region_grow_capped",
     "region_grow_adaptive",
     # skew handling + connected components
     "salted_heavy_key_agg",
-    "dedup_connected_components",
     # TPC-H shapes + bucketed co-located join (zero-shuffle layout)
-    "q12_priority_by_returnflag",
     "q3_shipping_priority",
     "bucketed_star_join",
     # LLM pipeline stages
-    "train_test_split_documents",
     "corpus_prep_end_to_end",
     # multimodal audio (oracle recomputes features from raw bytes; a
     # hash match certifies the WAV round trip — takes the slot vacated
@@ -142,14 +150,18 @@ PRIORITY: tuple[str, ...] = (
     # query, since bench HEADLINE queries may not leave the window and
     # no twice-green slot remained after this round's rotation)
     "multimodal_audio_features",
-    # CDC
-    "scd2_user_type_history",
-    # timeseries
-    "rolling_7d_revenue",
     # engine-native recursion (byte-identical SQL on both engines) —
-    # takes the slot of event_transition_matrix (once-green, unchanged;
-    # the timeseries family keeps rolling_7d_revenue in-window)
+    # takes the slot of event_transition_matrix (once-green, unchanged)
     "rcte_clamped_balance",
+    # final round-3 rotation: eight new first-time families
+    "csv_roundtrip_stats",
+    "global_dense_ids_documents",
+    "interval_overlap_attribution",
+    "bfs_levels_from_min_vertex",
+    "shingle_containment_pairs",
+    "hll_mergeable_groups",
+    "incremental_dedup_new_batch",
+    "filter_cascade_report",
     # streaming (batch-equivalent forms)
     "events_session_30m",
     "events_asof_last_view",
