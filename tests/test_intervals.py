@@ -85,3 +85,40 @@ class TestBfsLevels:
         # BFS levels are contiguous: if level k>0 appears, so does k-1
         present = sorted(set(rows.values()))
         assert present == list(range(len(present)))
+
+
+class TestBinnedEqualsNaive:
+    def test_randomized_equivalence_vs_naive_join(self, spark):
+        """Seeded random intervals/points: the binned equi-join must
+        produce exactly the naive range-join's pair set, including
+        intervals shorter than / equal to the bin and points on every
+        boundary."""
+        import random
+
+        rng = random.Random(20240814)
+        base = dt.datetime(2024, 1, 1)
+        intervals = []
+        for i in range(120):
+            lo = base + dt.timedelta(seconds=rng.randrange(0, 7200))
+            length = rng.choice([1, 59, 60, 599, 600])
+            intervals.append(
+                Row(incident_id=i, lo=lo, hi=lo + dt.timedelta(seconds=length))
+            )
+        points = [
+            Row(p_ts=base + dt.timedelta(seconds=rng.randrange(0, 7200)),
+                pid=j)
+            for j in range(400)
+        ]
+        iv = spark.createDataFrame(intervals)
+        pt = spark.createDataFrame(points)
+        got = {
+            (r.incident_id, r.pid)
+            for r in overlap_join_binned(iv, pt, bin_s=600).collect()
+        }
+        want = {
+            (i.incident_id, p.pid)
+            for i in intervals
+            for p in points
+            if i.lo <= p.p_ts < i.hi
+        }
+        assert got == want
