@@ -734,3 +734,97 @@ def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("o_orderpriority", "n")
         .agg((F.sum(F.col("c") * pick).cast("double") / 2).alias("median_cents"))
     )
+
+
+@register(
+    "full_outer_customer_activity",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS id, count(*) AS n_orders FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT coalesce(o.id, e.id) AS id,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(e.n_events, 0) AS n_events,
+           CASE WHEN o.id IS NULL THEN 'events_only'
+                WHEN e.id IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN e ON o.id = e.id
+    """,
+    tags=("join", "setop", "reconciliation"),
+)
+def full_outer_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the join shape every cross-system
+    audit needs ("which ids exist only on one side, and what do the
+    matched ones disagree on"). Both inputs pre-aggregate to one row
+    per key BEFORE the join, so the full-outer shuffle moves two
+    key-count relations, not raw fact tables — the at-scale form of a
+    reconciliation (joining raw-vs-raw multiplies rows and shuffles the
+    world). coalesce() resolves the two key columns and null-marks map
+    to explicit presence labels."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    oj = o.alias("o")
+    ej = e.alias("e")
+    presence = (
+        F.when(F.col("o.id").isNull(), "events_only")
+        .when(F.col("e.id").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return oj.join(ej, F.col("o.id") == F.col("e.id"), "full_outer").select(
+        F.coalesce(F.col("o.id"), F.col("e.id")).alias("id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        presence.alias("presence"),
+    )
+
+
+@register(
+    "map_functions_surface",
+    oracle="""
+    SELECT user_id, event_type, 2 * n AS doubled
+    FROM (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE n >= 3
+    """,
+    tags=("projection", "map", "agg"),
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per user, event-type counts become a
+    ``map<string,bigint>`` (map_from_entries over the grouped collect),
+    are filtered entry-wise (map_filter), value-transformed
+    (transform_values), then exploded back to rows for comparison. The
+    oracle computes the same relation relationally — a hash match
+    certifies the entry→map→entry cycle loses nothing. Map columns are
+    how sparse per-entity feature bags ship at 100 TB (schema stays
+    fixed while keys vary per row); everything here is codegen
+    built-ins, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    transformed = as_map.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, v: v >= 3),
+            lambda k, v: 2 * v,
+        ).alias("m"),
+    )
+    return transformed.select(
+        "user_id", F.explode("m").alias("event_type", "doubled")
+    )
