@@ -834,7 +834,7 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 5 END AS stage,
            reason,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            round(count(*) * 100.0 / (SELECT total FROM totals), 6)
              AS share_pct
     FROM tagged GROUP BY reason

@@ -77,7 +77,7 @@ _CHK_COLS = "CAST(doc_id AS VARCHAR) || '|' || text || '|' || source"
     "jsonl_roundtrip_stats",
     oracle=f"""
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum(('0x' || substr(md5({_CHK_COLS}), 1, 10))::BIGINT)
                 AS BIGINT) AS checksum
     FROM documents GROUP BY lang

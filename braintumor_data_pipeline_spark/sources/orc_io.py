@@ -61,7 +61,7 @@ _CHK_COLS = "CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang"
     "orc_roundtrip_stats",
     oracle=f"""
     SELECT source, count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum(('0x' || substr(md5({_CHK_COLS}), 1, 10))::BIGINT)
                 AS BIGINT) AS checksum
     FROM documents GROUP BY source
