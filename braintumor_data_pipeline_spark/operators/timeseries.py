@@ -480,3 +480,50 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT d.day,
+           (SELECT count(*) FROM daily x WHERE x.day = d.day) AS dau,
+           count(DISTINCT a.user_id) AS wau_7d
+    FROM days d
+    JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("timeseries", "window", "distinct"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + 7-day rolling distinct users — the sliding-DISTINCT
+    problem. count(DISTINCT) over a RANGE frame is not partially
+    aggregable, so the naive window form degenerates to per-row set
+    scans; the scalable rewrite EXPLODES each (day, user) fact into the
+    ≤7 target days it contributes to, making the rolling distinct a
+    plain groupBy count-distinct on (target_day) — shuffle keyed by
+    day, map-side dedup, no window at all. Cost: 7× the deduped daily
+    relation (users × days, tiny next to raw events), the standard
+    time-fanout trade every DAU/WAU/MAU pipeline makes. Target days
+    semi-join the observed-day spine (broadcast, one row per day) so
+    fan-out rows landing past the last observed day drop out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+    wau = (
+        fanned.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau_7d")
