@@ -887,3 +887,57 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             count(*) AS cell_n
+      FROM documents
+      GROUP BY lang, source, len_bucket
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN cell_n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_below_k,
+           CAST(sum(CASE WHEN cell_n < k THEN cell_n ELSE 0 END) AS BIGINT)
+             AS docs_below_k
+    FROM cells, (VALUES (2), (5), (10)) AS ks(k)
+    GROUP BY k
+    """,
+    tags=("privacy", "agg", "quality"),
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before releasing a corpus: bucket every
+    document into its quasi-identifier cell (lang × source × length
+    centile) and report, for each candidate k, how many cells — and
+    how many documents — sit in groups smaller than k (those are the
+    re-identifiable ones a release would suppress or generalize). One
+    aggregation over the corpus, then a tiny cells×k cross of a 3-row
+    literal — the k spine is a plan constant, not a data join. All
+    integers; at 100 TB the cell relation is bounded by the
+    quasi-identifier domain, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 100").alias("len_bucket"),
+    ).agg(F.count("*").alias("cell_n"))
+    ks = F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    return (
+        cells.select(ks, "cell_n")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("cell_n") < F.col("k"), 1).otherwise(0)).alias(
+                "cells_below_k"
+            ),
+            F.sum(
+                F.when(F.col("cell_n") < F.col("k"), F.col("cell_n")).otherwise(
+                    0
+                )
+            ).alias("docs_below_k"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "cells_below_k",
+                "docs_below_k")
+    )
