@@ -65,19 +65,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: formulation changed this round (decimal money sums) stay in-window so
 #: the new formulation gets driver confirmation.
 #:
-#: Final round-3 rotation: eight twice-green, formulation-unchanged,
-#: non-headline slots vacate for the session's eight new first-time
-#: families — pixel_windowing (pixel_minmax stays), region_grow_capped
-#: (component + adaptive stay), q12 (q3/q6/q21 stay),
-#: train_test_split_documents (corpus_prep stays), scd2_user_type_history
-#: (merge_upsert keeps CDC), imaging_udf_confusion (imaging_udf_stats
-#: keeps the Arrow-UDF surface; the confusion algebra stays checked via
-#: mask_metrics), rolling_7d_revenue (ohlc keeps timeseries),
-#: dedup_connected_components (pagerank + the new BFS keep graph) — for
-#: csv_roundtrip_stats, global_dense_ids_documents,
-#: interval_overlap_attribution, bfs_levels_from_min_vertex,
-#: shingle_containment_pairs, hll_mergeable_groups,
-#: incremental_dedup_new_batch, filter_cascade_report.
+#: Final round-3 rotation: ten twice-green, formulation-unchanged,
+#: non-headline slots vacate for the session's nine new first-time
+#: families plus the ORC interchange rep — out: pixel_windowing
+#: (pixel_minmax stays), region_grow_capped (component + adaptive
+#: stay), q12 + q3 (q6/q21 keep tpch_shapes), train_test_split_documents
+#: + corpus_prep_end_to_end (filter_cascade keeps llm_pipeline),
+#: scd2_user_type_history (merge_upsert keeps CDC),
+#: imaging_udf_confusion (imaging_udf_stats keeps the Arrow-UDF
+#: surface; the confusion algebra stays checked via mask_metrics),
+#: rolling_7d_revenue (ohlc keeps timeseries), event-family spares —
+#: in: csv_roundtrip_stats, orc_roundtrip_stats,
+#: global_dense_ids_documents, interval_overlap_attribution,
+#: bfs_levels_from_min_vertex, shingle_containment_pairs,
+#: hll_mergeable_groups, incremental_dedup_new_batch,
+#: filter_cascade_report (dedup_connected_components stays as the
+#: components-module rep — the test_queries_smoke invariant that every
+#: recomputing-oracle module keeps a window slot).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -139,11 +143,11 @@ PRIORITY: tuple[str, ...] = (
     "region_grow_adaptive",
     # skew handling + connected components
     "salted_heavy_key_agg",
-    # TPC-H shapes + bucketed co-located join (zero-shuffle layout)
-    "q3_shipping_priority",
+    "dedup_connected_components",
+    # bucketed co-located join (zero-shuffle layout)
     "bucketed_star_join",
-    # LLM pipeline stages
-    "corpus_prep_end_to_end",
+    # ORC interchange (csv slot below; both are lossless-egress gates)
+    "orc_roundtrip_stats",
     # multimodal audio (oracle recomputes features from raw bytes; a
     # hash match certifies the WAV round trip — takes the slot vacated
     # by latest_events, the lowest-information once-green relational
