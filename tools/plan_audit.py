@@ -34,6 +34,15 @@ CARTESIAN_OK = {
     # knn_bruteforce_cosine no longer joins at all (Arrow-batched
     # distributed top-k); entry kept out — see similarity.py.
     "null_aware_not_in",       # NAAJ demo: the NLJ IS the documented lesson
+    # all-pairs over the per-LABEL centroid relation: L rows in, L²/2
+    # pairs out, L = label-domain size (a plan-time-bounded dimension,
+    # never data volume) — the NLJ touches an aggregated relation the
+    # size of the label vocabulary
+    "label_centroid_distances",
+    # 50-row broadcast probe side against the candidate scan — the
+    # map-side broadcast-kNN shape (no shuffle of the big side, cost
+    # linear in candidates × a constant probe set)
+    "hard_negative_mining",
 }
 
 
