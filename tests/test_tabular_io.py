@@ -167,3 +167,22 @@ class TestDenseIds:
             assert real and real[0].split("(")[0].endswith("Aggregate"), (
                 f"SinglePartition exchange over non-aggregated input: {real[:1]}"
             )
+
+    def test_block_span_does_not_change_ids(self, spark, sf_dir, monkeypatch):
+        """The block width is a parallelism knob, never a semantic one:
+        gids must be identical under extreme spans (1 key per block vs
+        one block for everything)."""
+        import braintumor_data_pipeline_spark.operators.indexing as ix
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        base = {
+            r.doc_id: r.gid
+            for r in dense_ids(docs, "lang", "doc_id").collect()
+        }
+        for span in (1, 10**9):
+            monkeypatch.setattr(ix, "BLOCK_SPAN", span)
+            got = {
+                r.doc_id: r.gid
+                for r in ix.dense_ids(docs, "lang", "doc_id").collect()
+            }
+            assert got == base, f"span={span} changed ids"
