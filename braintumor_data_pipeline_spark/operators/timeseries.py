@@ -527,3 +527,75 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau_7d")
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY day
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                   count(*) AS n FROM daily),
+    walk AS (
+      SELECT day, cents,
+             CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    )
+    SELECT w.day, w.cents,
+           CAST(t.n * w.prefix - w.i * t.total AS BIGINT) AS cusum_scaled,
+           CAST(abs(t.n * w.prefix - w.i * t.total) = (
+             SELECT max(abs(t2.n * w2.prefix - w2.i * t2.total))
+             FROM walk w2, tot t2
+           ) AS BOOLEAN) AS is_changepoint
+    FROM walk w, tot t
+    """,
+    tags=("timeseries", "window", "anomaly"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily event revenue — "did the
+    level shift, and on which day". The classic statistic S_i =
+    Σ_{j≤i}(x_j − x̄) peaks (in absolute value) at the most likely
+    change-point. Kept EXACT by scaling: n·S_i = n·prefix_i − i·total
+    is pure BIGINT arithmetic (no mean division), so both engines agree
+    bit-for-bit and retries/partitioning can't move the argmax. Plan
+    shape: the prefix window runs over the pre-aggregated per-day frame
+    (one row per day — the benign class), and total/n arrive as a
+    broadcast scalar; the only full-data work is the daily cents
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    walk = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("prefix"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n")
+    )
+    scored = walk.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cents",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+    )
+    peak = scored.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
+    return scored.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "cents",
+        "cusum_scaled",
+        (F.abs("cusum_scaled") == F.col("peak")).alias("is_changepoint"),
+    )
