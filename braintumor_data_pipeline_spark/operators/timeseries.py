@@ -599,3 +599,50 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_scaled",
         (F.abs("cusum_scaled") == F.col("peak")).alias("is_changepoint"),
     )
+
+
+@register(
+    "recency_weighted_user_value",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    horizon AS (SELECT max(day) AS h FROM d)
+    SELECT user_id,
+           CAST(sum(cents * CAST(power(2, 30 - least(date_diff('day', day, h),
+                                                     30)) AS BIGINT))
+                AS BIGINT) AS decay_score_q30,
+           count(*) AS n_events
+    FROM d, horizon
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "agg", "feature"),
+)
+def recency_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed engagement score (half-life = 1 day) —
+    the recency-weighted feature every ranking/CRM pipeline computes,
+    made EXACT: weight 2^(30−age) is an integer for age ≤ 30 (ages
+    clamp at the 30-day horizon where the weight is 1), so the score is
+    a pure BIGINT sum in Q30 fixed point — order-independent,
+    partial-aggregable, and bit-identical on both engines. cents ≈ 2¹¹
+    × 2³⁰ weight × ~10² events ≈ 2⁴⁸ — far inside BIGINT. The horizon
+    (max day) is a broadcast scalar, not a driver round trip."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    horizon = d.agg(F.max("day").alias("h"))
+    age = F.least(F.datediff(F.col("h"), F.col("day")), F.lit(30))
+    weight = F.pow(F.lit(2.0), (F.lit(30) - age).cast("double")).cast("long")
+    return (
+        d.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * weight).alias("decay_score_q30"),
+            F.count("*").alias("n_events"),
+        )
+    )
