@@ -1,0 +1,85 @@
+"""Partitioning-determinism sweep over the driver-window queries.
+
+The driver runs each query in ITS OWN SparkSession with its own
+parallelism; any result that depends on shuffle-partition count,
+partial-aggregation order, or task scheduling will hash-match locally
+and fail at the driver (the round-2 ``salted_heavy_key_agg`` incident
+was exactly this class). This tool runs every PRIORITY query twice —
+under deliberately different ``spark.sql.shuffle.partitions`` — in two
+separate processes (sessions can't change partition count reliably
+mid-flight for AQE'd plans) and compares canonicalized results.
+
+Usage: python tools/determinism_sweep.py [sf_dir]
+Internal: ... --worker <sf_dir> <n_partitions> <out.json> runs one pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def worker(sf_dir: str, n_part: int, out_path: str) -> None:
+    from braintumor_data_pipeline_spark import registry
+    from braintumor_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"determinism-{n_part}", shuffle_partitions=n_part
+    )
+    results = {}
+    for name in registry.PRIORITY:
+        spec = registry.all_queries()[name]
+        df = spec.fn(spark, sf_dir)
+        results[name] = canon([tuple(r) for r in df.collect()], df.columns)
+    with open(out_path, "w") as f:
+        json.dump(results, f, default=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    tmp = tempfile.mkdtemp(prefix="determinism_")
+    outs = []
+    for n_part in (5, 32):
+        out = os.path.join(tmp, f"pass_{n_part}.json")
+        outs.append(out)
+        rc = subprocess.call(
+            [sys.executable, __file__, "--worker", sf_dir, str(n_part), out]
+        )
+        if rc != 0:
+            print(f"worker n_part={n_part} failed rc={rc}")
+            return 1
+    a = json.load(open(outs[0]))
+    b = json.load(open(outs[1]))
+    n_fail = 0
+    for name in a:
+        if a[name] != b[name]:
+            n_fail += 1
+            print(f"NONDET  {name}: results differ across partition counts")
+        else:
+            print(f"stable  {name}")
+    print(f"\n{len(a) - n_fail} stable, {n_fail} nondeterministic")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    else:
+        raise SystemExit(main())
