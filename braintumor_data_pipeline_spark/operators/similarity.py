@@ -1182,3 +1182,33 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec_s(F.col("nk")) / 10000.0).alias("neg_sim"),
         ((dec_s(F.col("pk")) - dec_s(F.col("nk"))) / 10000.0).alias("margin"),
     )
+
+
+@register(
+    "semantic_dedup_keep_first",
+    oracle=f"""
+    WITH pairs AS ({_neardup_oracle()}
+    ),
+    kills AS (SELECT DISTINCT vec_b FROM pairs)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    LEFT JOIN kills k ON k.vec_b = e.vec_id
+    WHERE k.vec_b IS NULL
+    """,
+    tags=("similarity", "dedup", "lsh", "embedding"),
+)
+def semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning: a vector is DROPPED iff some
+    lower-id vector sits within cosine ≥ 0.3 of it (the deterministic
+    one-pass keep-first rule every production semantic-dedup runs after
+    clustering); survivors are the corpus that ships. Built on the LSH
+    near-dup candidate machinery — banding bounds the pair generation,
+    the kill set is one distinct projection of the verified pairs, and
+    the keep set is an anti-join (never a driver-side id list). The
+    oracle replays banding, exact-cosine verification, and the
+    anti-join relationally, so the kept set is hash-checked
+    end-to-end."""
+    pairs = embedding_neardup_pairs(spark, sf_dir)
+    kills = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return e.join(kills, "vec_id", "left_anti")
