@@ -828,3 +828,136 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transformed.select(
         "user_id", F.explode("m").alias("event_type", "doubled")
     )
+
+
+@register(
+    "event_type_affinity",
+    oracle="""
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    singles AS (
+      SELECT event_type, count(*) AS n FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM per_user a
+      JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(p.n_both AS DOUBLE) * nu.nu / (sa.n * sb.n), 6)
+             AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users nu
+    """,
+    tags=("agg", "join", "affinity"),
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every type pair,
+    how many users do both, and the LIFT (joint probability over the
+    independence expectation — >1 means the behaviors co-occur). The
+    heavy stage is the per-user distinct projection; the pair self-join
+    runs on user_id (uniform key) over a relation bounded by
+    users × type-domain, and the singles/lift joins touch a
+    domain-sized table. Counts are exact; lift is one float division
+    rounded for display."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct().persist()
+    nu = per_user.agg(F.countDistinct("user_id").alias("nu"))
+    singles = per_user.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = per_user.alias("a")
+    b = per_user.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("nu")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "benford_first_digit_orders",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d, count(*) AS observed,
+           round(CAST(count(*) AS DOUBLE) / t.n, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p
+    FROM digits, tot t
+    GROUP BY d, t.n
+    """,
+    tags=("agg", "quality", "stats"),
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals — the classic fabricated-
+    data detector: the leading-digit distribution of natural
+    multi-scale amounts should follow log10(1+1/d). Output: observed
+    counts and shares per digit beside the Benford expectation. The
+    digit extraction goes through integer truncation + string head (no
+    float log on the data path); only the two display shares are
+    rounded doubles computed identically on both engines. (TPC-H
+    totals are uniform-ish, so the fixture visibly FAILS Benford —
+    which is the point of publishing both columns.)"""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("observed"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "observed",
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+        )
+    )
