@@ -874,3 +874,61 @@ def zipf_slope_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_intercept"),
     )
+
+
+@register(
+    "readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             greatest(len(string_split(text, ' ')), 1) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             greatest(len(regexp_extract_all(lower(text),
+                                             '[aeiouy]+')), 1) AS syl
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / w), 4)
+             AS flesch
+    FROM m
+    """,
+    tags=("text", "quality", "projection"),
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability tier of a
+    quality cascade (alongside length/stopword/LM scores). Syllables
+    are approximated as vowel runs and sentences as terminal-punct
+    runs — both plain regexp counts, exact integers, engine-identical;
+    the final score is one float expression over three exact counts
+    (clamped ≥1 so empty docs can't divide by zero), structurally the
+    same on both engines and rounded for display."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    )
+    m = d.select(
+        "doc_id", w.alias("w"), s.alias("s"), syl.alias("syl")
+    )
+    return m.select(
+        "doc_id",
+        F.col("w").cast("long").alias("n_words"),
+        F.col("s").cast("long").alias("n_sentences"),
+        F.col("syl").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("w").cast("double") / F.col("s"))
+            - 84.6 * (F.col("syl").cast("double") / F.col("w")),
+            4,
+        ).alias("flesch"),
+    )
