@@ -185,3 +185,70 @@ def _register_evolution_query():
 
 
 _register_evolution_query()
+
+
+def _register_zorder_query():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+    from .fixtures import load_table
+
+    BITS = 6
+    CUST_SPAN = 24          # ~1500 custkeys / 64 buckets
+    PRICE_SPAN = 9000       # ~576k max total / 64 buckets
+
+    interleave_sql = " + ".join(
+        f"(((qa // {1 << i}) % 2) * {1 << (2 * i + 1)}) + "
+        f"(((qb // {1 << i}) % 2) * {1 << (2 * i)})"
+        for i in range(BITS)
+    )
+
+    @register(
+        "zorder_morton_codes",
+        oracle=f"""
+        SELECT o_orderkey, qa, qb,
+               CAST({interleave_sql} AS BIGINT) AS z
+        FROM (
+          SELECT o_orderkey,
+                 least(CAST(o_custkey // {CUST_SPAN} AS BIGINT), 63) AS qa,
+                 least(CAST(floor(o_totalprice) AS BIGINT) // {PRICE_SPAN},
+                       63) AS qb
+          FROM orders
+        )
+        """,
+        tags=("layout", "projection", "zorder"),
+    )
+    def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Morton (Z-order) key that ``cluster_by_zorder`` sorts
+        files by, as a hash-checked projection: both join dimensions
+        quantize to 6-bit buckets (fixed spans here so the oracle
+        replays without a sampling pass; the layout writer uses
+        equi-depth quantiles for skew resistance — same interleave
+        either way) and their bits interleave into one integer whose
+        sort order is the locality-preserving space-filling curve.
+        Driver-checking the code ties the layout math itself to the
+        oracle gate; the file-pruning effect it buys is pinned in
+        test_maintenance (files read drop on BOTH dimensions)."""
+        o = load_table(spark, sf_dir, "orders")
+        qa = F.least(
+            F.expr(f"o_custkey div {CUST_SPAN}"), F.lit(63)
+        ).alias("qa")
+        qb = F.least(
+            F.expr(f"CAST(floor(o_totalprice) AS BIGINT) div {PRICE_SPAN}"),
+            F.lit(63),
+        ).alias("qb")
+        q = o.select("o_orderkey", qa, qb)
+        z = None
+        for i in range(BITS):
+            pa = (F.shiftright(F.col("qa"), i).bitwiseAND(1)) * (
+                1 << (2 * i + 1)
+            )
+            pb = (F.shiftright(F.col("qb"), i).bitwiseAND(1)) * (1 << (2 * i))
+            z = pa + pb if z is None else z + pa + pb
+        return q.select("o_orderkey", "qa", "qb", z.cast("long").alias("z"))
+
+    return zorder_morton_codes
+
+
+_register_zorder_query()
