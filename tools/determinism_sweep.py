@@ -36,12 +36,14 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def worker(sf_dir: str, n_part: int, out_path: str) -> None:
+def worker(sf_dir: str, n_part: int, out_path: str, aqe: str = "on") -> None:
     from braintumor_data_pipeline_spark import registry
     from braintumor_data_pipeline_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"determinism-{n_part}", shuffle_partitions=n_part
+        app_name=f"determinism-{n_part}-{aqe}",
+        shuffle_partitions=n_part,
+        extra_conf={"spark.sql.adaptive.enabled": str(aqe == "on").lower()},
     )
     results = {}
     for name in registry.PRIORITY:
@@ -55,31 +57,40 @@ def worker(sf_dir: str, n_part: int, out_path: str) -> None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     tmp = tempfile.mkdtemp(prefix="determinism_")
+    passes = [(5, "on"), (32, "on"), (17, "off")]  # AQE off = driver-env proxy
     outs = []
-    for n_part in (5, 32):
-        out = os.path.join(tmp, f"pass_{n_part}.json")
+    for n_part, aqe in passes:
+        out = os.path.join(tmp, f"pass_{n_part}_{aqe}.json")
         outs.append(out)
         rc = subprocess.call(
-            [sys.executable, __file__, "--worker", sf_dir, str(n_part), out]
+            [
+                sys.executable, __file__, "--worker",
+                sf_dir, str(n_part), out, aqe,
+            ]
         )
         if rc != 0:
-            print(f"worker n_part={n_part} failed rc={rc}")
+            print(f"worker n_part={n_part} aqe={aqe} failed rc={rc}")
             return 1
-    a = json.load(open(outs[0]))
-    b = json.load(open(outs[1]))
+    ref = json.load(open(outs[0]))
+    others = [json.load(open(o)) for o in outs[1:]]
     n_fail = 0
-    for name in a:
-        if a[name] != b[name]:
+    for name in ref:
+        if any(o[name] != ref[name] for o in others):
             n_fail += 1
-            print(f"NONDET  {name}: results differ across partition counts")
+            print(f"NONDET  {name}: results differ across sessions")
         else:
             print(f"stable  {name}")
-    print(f"\n{len(a) - n_fail} stable, {n_fail} nondeterministic")
+    print(f"\n{len(ref) - n_fail} stable, {n_fail} nondeterministic")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        worker(
+            sys.argv[2],
+            int(sys.argv[3]),
+            sys.argv[4],
+            sys.argv[5] if len(sys.argv) > 5 else "on",
+        )
     else:
         raise SystemExit(main())
