@@ -961,3 +961,103 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
         )
     )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+    SELECT user_id,
+           min(event_type) FILTER (WHERE c = mx) AS mode_type,
+           CAST(mx AS BIGINT) AS mode_count
+    FROM (
+      SELECT user_id, event_type, count(*) AS c,
+             max(count(*)) OVER (PARTITION BY user_id) AS mx
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id, mx
+    """,
+    tags=("agg", "window", "mode"),
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with a DETERMINISTIC tie-break (lexicographic min among the
+    maxima) — engines' built-in mode() leaves ties unspecified, which
+    would make the result unhashable; count + single-aggregate argmax
+    over the (count, reversed-type) struct pins it. Two shuffles: the
+    (user, type) count and the per-user reduce — both partial-
+    aggregable."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    # argmax (c, min type): max of struct(c, negated-type) isn't
+    # possible for strings, so sort (c DESC, type ASC) = max of
+    # struct(c, reversed lexicographic)… simplest exact form: max
+    # struct(c) then min(type) among rows hitting it, one extra tiny
+    # aggregate on the counts relation.
+    mx = counts.groupBy("user_id").agg(F.max("c").alias("mx"))
+    return (
+        counts.join(F.broadcast(mx), "user_id")
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("user_id", "mx")
+        .agg(F.min("event_type").alias("mode_type"))
+        .select(
+            "user_id", "mode_type", F.col("mx").cast("long").alias("mode_count")
+        )
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num_scaled,
+           round(CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+                 / (max(n) * sum(cents)), 6) AS gini
+    FROM ranked
+    """,
+    tags=("agg", "window", "stats"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue across customers — "how concentrated
+    is spend" — via the sorted-prefix identity
+    G = Σ(2i−n−1)·x_(i) / (n·Σx): one rank pass over the PER-CUSTOMER
+    aggregate (1.5k rows here; bounded by the customer dimension at any
+    scale — the global window rides the aggregated frame, plan_audit's
+    benign class) and an integer numerator in cents, so everything
+    hash-compared is exact; the final ratio is one rounded division.
+    Tie-break (cents, custkey) makes the rank — and thus the scaled
+    numerator — engine-identical even with equal revenues."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        num.alias("gini_num_scaled"),
+        F.round(
+            num.cast("double") / (F.max("n") * F.sum("cents")), 6
+        ).alias("gini"),
+    )
