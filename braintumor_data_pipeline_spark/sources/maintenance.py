@@ -252,3 +252,20 @@ def _register_zorder_query():
 
 
 _register_zorder_query()
+
+
+def write_with_bloom_filters(
+    df, dst: str, cols: tuple[str, ...], n_files: int = 4, ndv: int = 100_000
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS — the data-skipping
+    structure for point lookups on columns the file layout is NOT
+    sorted by (min/max footer stats only prune sorted-ish columns; a
+    bloom answers "key definitely absent" on any column at ~10 bits
+    per distinct value). At 100 TB this is how `WHERE user_id = ?`
+    avoids touching 99% of files without re-clustering the table."""
+    w = df.repartition(n_files).write.mode("overwrite")
+    for c in cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(dst)

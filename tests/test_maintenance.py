@@ -134,3 +134,38 @@ def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
         spark.read.parquet(zdir).agg(F.sum("l_orderkey")).first()[0]
         == li.agg(F.sum("l_orderkey")).first()[0]
     )
+
+
+def test_bloom_filters_written_and_readable(spark, tmp_path):
+    """The bloom option must add filter bytes for a high-cardinality
+    column (low-NDV columns stay fully dictionary-encoded and parquet
+    skips the bloom by design — asserted too), and data round-trips."""
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.sources.maintenance import (
+        parquet_files,
+        write_with_bloom_filters,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    dst = str(tmp_path / "bloomed")
+    plain = str(tmp_path / "plain")
+    write_with_bloom_filters(li, dst, ("l_orderkey",), n_files=2, ndv=200_000)
+    li.repartition(2).write.mode("overwrite").parquet(plain)
+
+    sz = lambda d: sum(  # noqa: E731
+        __import__("os").path.getsize(f) for f in parquet_files(d)
+    )
+    assert sz(dst) > sz(plain) + 100_000, (
+        f"bloomed={sz(dst)} plain={sz(plain)}: no bloom bytes written"
+    )
+    assert spark.read.parquet(dst).count() == li.count()
+
+    # low-NDV column: fully dict-encoded -> bloom intentionally absent
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    d2 = str(tmp_path / "lowndv")
+    p2 = str(tmp_path / "lowndv_plain")
+    write_with_bloom_filters(o, d2, ("o_custkey",), n_files=1)
+    o.repartition(1).write.mode("overwrite").parquet(p2)
+    assert abs(sz(d2) - sz(p2)) < 10_000
