@@ -1,0 +1,588 @@
+"""Experimentation & distribution analytics: A/B testing statistics,
+winsorized robust stats, KL-divergence domain balance, mergeable
+partial-state algebra (variance, quantile sketch).
+
+North-star scale notes (this module is pure built-ins, no Python UDFs):
+
+- A/B arm assignment is md5(user_id) — a pure function of the key, so
+  membership is identical on every engine/run/retry (the rand() trap).
+- Test statistics (chi-square, Welch t) reduce to exact integer "cents"
+  sums (`round(value*100)` — the fixture's 2-decimal values are exact in
+  cents), so the two-phase distributed aggregation cannot perturb the
+  hash vs the oracle's single-phase sum: the same DECIMAL-style fix the
+  round-2 verdict mandated for money columns, in integer form.
+- The variance merge and the binned quantile sketch demonstrate the
+  algebraic-mergeability property that makes aggregates scale: partial
+  states (n, Σx, Σx²) / per-bin counts combine associatively, so 1000
+  executors each ship O(1) state, never rows.
+
+Reference parity: the reference delegates its stats to BigQuery SQL
+(``analysis.py``, README §SQL); these are the engine-side equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_table as _t
+
+#: Deterministic A/B arm: first hex digit of md5(user_id) < '8' → ~50/50.
+def _arm():
+    return F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+
+
+_ARM_SQL = """CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END"""
+
+
+@register(
+    "ab_chi_square_conversion",
+    oracle=f"""
+    WITH counts AS (
+      SELECT {_ARM_SQL} AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt
+      FROM events
+      GROUP BY user_id
+    ),
+    tot AS (
+      SELECT count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS total
+      FROM counts
+    ),
+    per_user AS (
+      -- "converted" = above-average purchaser: cnt·n_users > total is
+      -- the exact-integer form of cnt > total/n_users (no float mean).
+      SELECT arm,
+             CASE WHEN cnt * n_users > total THEN 1 ELSE 0 END AS conv
+      FROM counts, tot
+    ),
+    cells AS (
+      SELECT
+        sum(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS a1,
+        sum(CASE WHEN arm = 'A' AND conv = 0 THEN 1 ELSE 0 END) AS a0,
+        sum(CASE WHEN arm = 'B' AND conv = 1 THEN 1 ELSE 0 END) AS b1,
+        sum(CASE WHEN arm = 'B' AND conv = 0 THEN 1 ELSE 0 END) AS b0
+      FROM per_user
+    )
+    SELECT CAST(a1 AS BIGINT) AS conv_a, CAST(a0 AS BIGINT) AS nonconv_a,
+           CAST(b1 AS BIGINT) AS conv_b, CAST(b0 AS BIGINT) AS nonconv_b,
+           round(CAST(a1 AS DOUBLE) / nullif(a1 + a0, 0)
+                 - CAST(b1 AS DOUBLE) / nullif(b1 + b0, 0), 6) AS rate_diff,
+           round(CAST(a1 + a0 + b1 + b0 AS DOUBLE)
+                 * (CAST(a1 AS DOUBLE) * b0 - CAST(a0 AS DOUBLE) * b1)
+                 * (CAST(a1 AS DOUBLE) * b0 - CAST(a0 AS DOUBLE) * b1)
+                 / nullif((a1 + a0) * (b1 + b0) * (a1 + b1) * (a0 + b0), 0), 6)
+             AS chi2
+    FROM cells
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def ab_chi_square_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 Pearson chi-square on conversion (user is an above-average
+    purchaser — an exact integer predicate, non-degenerate at every SF)
+    by deterministic md5 arm. Pipeline: user-grain reduce (arm is a pure
+    key function → partial-aggregable), then a 4-cell global reduce —
+    the whole test statistic flows through two tiny shuffles of exact
+    integers; the single float division happens once, on the driver-side
+    4-cell row, identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cnt")
+    )
+    glob = counts.agg(
+        F.count("*").alias("n_users"), F.sum("cnt").alias("total")
+    )
+    per_user = counts.crossJoin(F.broadcast(glob)).select(
+        _arm().alias("arm"),
+        F.when(F.col("cnt") * F.col("n_users") > F.col("total"), 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("arm") == "A") & (F.col("conv") == 1), 1).otherwise(0)).alias("a1"),
+        F.sum(F.when((F.col("arm") == "A") & (F.col("conv") == 0), 1).otherwise(0)).alias("a0"),
+        F.sum(F.when((F.col("arm") == "B") & (F.col("conv") == 1), 1).otherwise(0)).alias("b1"),
+        F.sum(F.when((F.col("arm") == "B") & (F.col("conv") == 0), 1).otherwise(0)).alias("b0"),
+    )
+    a1, a0, b1, b0 = (F.col(c).cast("double") for c in ("a1", "a0", "b1", "b0"))
+    det = a1 * F.col("b0").cast("double") - a0 * F.col("b1").cast("double")
+    return cells.select(
+        F.col("a1").alias("conv_a"),
+        F.col("a0").alias("nonconv_a"),
+        F.col("b1").alias("conv_b"),
+        F.col("b0").alias("nonconv_b"),
+        F.round(
+            a1 / F.nullif(F.col("a1") + F.col("a0"), F.lit(0))
+            - b1 / F.nullif(F.col("b1") + F.col("b0"), F.lit(0)),
+            6,
+        ).alias("rate_diff"),
+        F.round(
+            (F.col("a1") + F.col("a0") + F.col("b1") + F.col("b0")).cast("double")
+            * det
+            * det
+            / F.nullif(
+                (F.col("a1") + F.col("a0"))
+                * (F.col("b1") + F.col("b0"))
+                * (F.col("a1") + F.col("b1"))
+                * (F.col("a0") + F.col("b0")),
+                F.lit(0),
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "ab_welch_t_purchase_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT {_ARM_SQL} AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT arm,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM cents GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS na,
+        max(CASE WHEN arm = 'A' THEN s1 END) AS sa,
+        max(CASE WHEN arm = 'A' THEN s2 END) AS qa,
+        max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        max(CASE WHEN arm = 'B' THEN s1 END) AS sb,
+        max(CASE WHEN arm = 'B' THEN s2 END) AS qb
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sa AS DOUBLE) / na / 100, 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / nb / 100, 6) AS mean_b,
+           round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100
+                 / sqrt(
+                     ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                      / (na - 1) / na
+                      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                      / (nb - 1) / nb) / 10000
+                   ), 6) AS welch_t
+    FROM wide
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def ab_welch_t_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic comparing mean purchase value between md5
+    arms. All moments are exact integer cents sums (n, Σc, Σc²) — the
+    mergeable partial state — so distributed accumulation order cannot
+    move the hash; the float algebra runs once over six exact integers."""
+    e = _t(spark, sf_dir, "events")
+    cents = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            _arm().alias("arm"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    s = cents.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("s1"))).alias("sa"),
+        F.max(F.when(F.col("arm") == "A", F.col("s2"))).alias("qa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("s1"))).alias("sb"),
+        F.max(F.when(F.col("arm") == "B", F.col("s2"))).alias("qb"),
+    )
+    na, sa, qa = F.col("na"), F.col("sa").cast("double"), F.col("qa").cast("double")
+    nb, sb, qb = F.col("nb"), F.col("sb").cast("double"), F.col("qb").cast("double")
+    var_term = (
+        (qa - sa * F.col("sa") / na) / (na - 1) / na
+        + (qb - sb * F.col("sb") / nb) / (nb - 1) / nb
+    ) / 10000
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(sa / na / 100, 6).alias("mean_a"),
+        F.round(sb / nb / 100, 6).alias("mean_b"),
+        F.round((sa / na - sb / nb) / 100 / F.sqrt(var_term), 6).alias("welch_t"),
+    )
+
+
+@register(
+    "winsorized_event_value_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cents
+    ),
+    bounds AS (
+      -- ranks in EXACT integer arithmetic: ceil(n/20) = (n+19)//20 and
+      -- ceil(19n/20) = (19n+19)//20 — DuckDB parses 0.05 as DECIMAL
+      -- while Spark lits are DOUBLE, so float rank formulas can
+      -- disagree at integer boundaries; integers cannot.
+      SELECT event_type,
+             min(CASE WHEN rn = greatest(1, (n + 19) // 20)
+                      THEN c END) AS lo,
+             min(CASE WHEN rn = (19 * n + 19) // 20
+                      THEN c END) AS hi
+      FROM ranked GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT r.event_type,
+             least(greatest(r.c, b.lo), b.hi) AS c
+      FROM ranked r JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(min(CAST(c AS DOUBLE)) / 100, 6) AS lo_bound,
+           round(max(CAST(c AS DOUBLE)) / 100, 6) AS hi_bound,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100, 6) AS wins_mean,
+           round(sqrt((CAST(sum(c * c) AS DOUBLE)
+                       - CAST(sum(c) AS DOUBLE) * sum(c) / count(*))
+                      / count(*)) / 100, 6) AS wins_std
+    FROM clipped
+    GROUP BY event_type
+    """,
+    tags=("experiment", "agg", "stats", "window"),
+)
+def winsorized_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) mean and population std of event value
+    per type — the robust-stats preprocessing step before outlier-heavy
+    metrics. Bounds are DISCRETE order statistics (the value at rank
+    ⌈q·n⌉), not interpolated quantiles: the bound is an actual data
+    value (exact in cents), so clipping and the downstream moments stay
+    in exact integer arithmetic end-to-end — hash-stable by
+    construction. The rank window partitions by event_type (parallel
+    across groups; an in-group sort is inherent to order statistics)."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    ranked = cents.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k05 = F.floor((F.col("n") + 19) / 20).cast("long")
+    k95 = F.floor((19 * F.col("n") + 19) / 20).cast("long")
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.greatest(F.lit(1).cast("long"), k05), F.col("c"))
+        ).alias("lo"),
+        F.min(F.when(F.col("rn") == k95, F.col("c"))).alias("hi"),
+    )
+    clipped = ranked.join(bounds, "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")).alias("c"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min(F.col("c").cast("double")) / 100, 6).alias("lo_bound"),
+        F.round(F.max(F.col("c").cast("double")) / 100, 6).alias("hi_bound"),
+        F.round(F.sum("c").cast("double") / F.count("*") / 100, 6).alias("wins_mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("c") * F.col("c")).cast("double")
+                    - F.sum("c").cast("double") * F.sum("c") / F.count("*")
+                )
+                / F.count("*")
+            )
+            / 100,
+            6,
+        ).alias("wins_std"),
+    )
+
+
+@register(
+    "kl_domain_balance",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n_docs,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM per_source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+           round(CAST(1.0 AS DOUBLE) / k, 6) AS target_share,
+           round(CAST(n_docs AS DOUBLE) / n_total
+                 * ln(CAST(n_docs AS DOUBLE) / n_total * k), 6) AS kl_term
+    FROM tot
+    """,
+    tags=("experiment", "agg", "quality"),
+)
+def kl_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix balance report: per source, its share of the corpus vs
+    a uniform target and its KL-divergence contribution p·ln(p/q) —
+    the number a data-mixing stage watches when rebalancing sources
+    (total KL = Σ kl_term). One shuffle to source grain (10 rows); the
+    global total is a window over the already-tiny aggregate, not a
+    second pass over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    tot = per_source.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_total"),
+        F.count("*").over(w).alias("k"),
+    )
+    p = F.col("n_docs").cast("double") / F.col("n_total")
+    return tot.select(
+        "source",
+        "n_docs",
+        F.round(p, 6).alias("share"),
+        F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+        F.round(p * F.log(p * F.col("k")), 6).alias("kl_term"),
+    )
+
+
+@register(
+    "mergeable_variance_states",
+    oracle="""
+    WITH partials AS (
+      SELECT source, lang,
+             count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source, lang
+    ),
+    merged AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(sum(s2) AS BIGINT) AS s2
+      FROM partials GROUP BY source
+    ),
+    direct AS (
+      SELECT source, round(var_pop(n_chars), 6) AS var_direct
+      FROM documents GROUP BY source
+    )
+    SELECT m.source,
+           n AS n_docs,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n, 6)
+             AS var_merged,
+           d.var_direct,
+           CAST(abs((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+                    - d.var_direct) < 1e-6 AS INTEGER) AS merge_exact
+    FROM merged m JOIN direct d ON m.source = d.source
+    """,
+    tags=("experiment", "agg", "merge"),
+)
+def mergeable_variance_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-mergeability proof for variance: fine-grain partial
+    states (n, Σx, Σx²) per (source, lang) combine by plain integer sums
+    to source grain, and the variance recovered from the merged state
+    equals the directly-computed var_pop — the property that lets 1000
+    executors aggregate 100 TB shipping 24 bytes each instead of rows.
+    All sums are exact BIGINTs; the float division happens once per
+    output row."""
+    d = _t(spark, sf_dir, "documents")
+    partials = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    merged = partials.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+    direct = d.groupBy("source").agg(
+        F.round(F.var_pop("n_chars"), 6).alias("var_direct")
+    )
+    var_merged = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.col("n")
+    return (
+        merged.join(direct, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(var_merged, 6).alias("var_merged"),
+            "var_direct",
+            (F.abs(var_merged - F.col("var_direct")) < 1e-6)
+            .cast("int")
+            .alias("merge_exact"),
+        )
+    )
+
+
+@register(
+    "binned_quantile_sketch",
+    oracle="""
+    WITH ext AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+             count(*) AS n
+      FROM orders
+    ),
+    binned AS (
+      SELECT least(CAST(floor((o_totalprice - e.lo) / ((e.hi - e.lo) / 1024))
+                        AS BIGINT), 1023) AS bin,
+             e.lo, e.hi, e.n
+      FROM orders, ext e
+    ),
+    counts AS (
+      SELECT bin, lo, hi, n, count(*) AS c
+      FROM binned GROUP BY bin, lo, hi, n
+    ),
+    cum AS (
+      SELECT bin, lo, hi, n, c,
+             CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum_c
+      FROM counts
+    ),
+    hit AS (
+      -- targets in EXACT integer arithmetic: ceil(num·n/den) =
+      -- (num·n + den − 1) // den (float q·n would differ between
+      -- DuckDB DECIMAL literals and Spark DOUBLE literals).
+      SELECT min(lo) AS lo, min(hi) AS hi,
+             min(CASE WHEN cum_c >= (n + 1) // 2 THEN bin END) AS b50,
+             min(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN bin END) AS b90,
+             min(CASE WHEN cum_c >= (99 * n + 99) // 100 THEN bin END) AS b99
+      FROM cum
+    )
+    SELECT CAST(v.q AS DOUBLE) AS q,
+           CAST(CASE v.i WHEN 1 THEN b50 WHEN 2 THEN b90 ELSE b99 END
+                AS BIGINT) AS bin,
+           round(lo + (CASE v.i WHEN 1 THEN b50 WHEN 2 THEN b90 ELSE b99 END)
+                 * ((hi - lo) / 1024), 6) AS est_lo_edge,
+           round(lo + (CASE v.i WHEN 1 THEN b50 WHEN 2 THEN b90 ELSE b99 END
+                       + 1) * ((hi - lo) / 1024), 6) AS est_hi_edge
+    FROM hit, (VALUES (0.5, 1), (0.9, 2), (0.99, 3)) v(q, i)
+    """,
+    tags=("experiment", "sketch", "approx", "agg"),
+)
+def binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width quantile sketch: 1024 fixed bins over
+    [min, max] of o_totalprice; a quantile estimate is the first bin
+    whose cumulative count reaches ⌈q·n⌉, reported as the bin's edge
+    interval. Per-partition bin counts merge by addition (the scale
+    story — each executor ships ≤1024 longs); the cumulative pass runs
+    over the 1024-row aggregate, not the data. Bin assignment is pure
+    integer/IEEE arithmetic on identical inputs → engine-identical,
+    unlike interpolated t-digest estimates."""
+    o = _t(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 1024)
+            ).cast("long"),
+            F.lit(1023),
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    counts = binned.groupBy("bin", "lo", "hi", "n").agg(F.count("*").alias("c"))
+    cum = counts.select(
+        "bin",
+        "lo",
+        "hi",
+        "n",
+        "c",
+        F.sum("c").over(Window.partitionBy().orderBy("bin")).alias("cum_c"),
+    )
+    def _target(num: int, den: int):
+        # exact-integer ceil(num·n/den) — see oracle comment
+        return F.floor((num * F.col("n") + den - 1) / den).cast("long")
+
+    hit = cum.agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.min(F.when(F.col("cum_c") >= _target(1, 2), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cum_c") >= _target(9, 10), F.col("bin"))).alias("b90"),
+        F.min(F.when(F.col("cum_c") >= _target(99, 100), F.col("bin"))).alias("b99"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 1024
+    unpivoted = hit.select(
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("b50").alias("bin")),
+                F.struct(F.lit(0.9).alias("q"), F.col("b90").alias("bin")),
+                F.struct(F.lit(0.99).alias("q"), F.col("b99").alias("bin")),
+            )
+        ).alias("v"),
+    )
+    return unpivoted.select(
+        F.col("v.q").alias("q"),
+        F.col("v.bin").alias("bin"),
+        F.round(F.col("lo") + F.col("v.bin") * width, 6).alias("est_lo_edge"),
+        F.round(F.col("lo") + (F.col("v.bin") + 1) * width, 6).alias("est_hi_edge"),
+    )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tags=("experiment", "text", "quality", "agg"),
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution —
+    H = ln(n) − Σc·ln(c)/n — the repetition/quality signal that
+    separates natural text (high entropy) from boilerplate and
+    keyword-stuffing (low). Two partial-aggregable shuffles
+    ((doc, token) grain then doc grain); counts are exact integers so
+    only the final ln/÷ is float."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

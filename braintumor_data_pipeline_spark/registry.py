@@ -103,9 +103,14 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_returning_supplier",
     # analytics (scalar function surfaces, Arrow UDAF)
     "geomean_grouped_agg_udf",
-    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
-    "imaging_udf_stats",
+    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL).
+    # imaging_udf_stats (once-green r2, formulation unchanged) vacated
+    # for the new experiments family; ssim_window_map keeps the
+    # applyInPandas hash surface in-window.
     "ssim_window_map",
+    # experiments family rep: 500-row per-doc entropy — the widest hash
+    # signal of the new module (A/B stats emit 1-row outputs)
+    "token_entropy_quality",
     # text analysis (bm25 keeps the family's slot; lang_id_heuristic —
     # once-green, formulation unchanged — vacated for the new
     # schema-evolution source family)
@@ -262,6 +267,7 @@ def _load_all() -> None:
         recursive,
         indexing,
         intervals,
+        experiments,
     )
     from .plans import app_flow  # noqa: F401
     from .sources import csv_io as _csv_io  # noqa: F401
