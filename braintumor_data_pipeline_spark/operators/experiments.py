@@ -586,3 +586,222 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+@register(
+    "ols_price_on_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 100, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sx / n) / 100, 6) AS intercept,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("experiment", "agg", "stats", "regression"),
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (extendedprice ~ quantity) from the five exact
+    moment sums — the regr_slope/regr_intercept/regr_r2 family computed
+    the mergeable way: quantity is integer-valued and price is exact in
+    cents, so (n, Σx, Σx², Σy, Σy², Σxy) are exact integers (Σy² through
+    DECIMAL(38,0) — it overflows BIGINT at sf≥1) and the regression
+    algebra runs once per group over exact inputs. One map-side-combined
+    shuffle of six numbers per group — the 100 TB plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n_d * F.col("sxy") - sx_d * F.col("sy")
+    varx_n = n_d * F.col("sxx") - sx_d * F.col("sx")
+    vary_n = n_d * F.col("syy").cast("double") - sy_d * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.round(cov_n / varx_n / 100, 6).alias("slope"),
+        F.round((sy_d / F.col("n") - cov_n / varx_n * F.col("sx") / F.col("n")) / 100, 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+@register(
+    "ks_two_sample_purchase_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT {_ARM_SQL} AS arm,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    per_v AS (
+      SELECT c,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+      FROM cents GROUP BY c
+    ),
+    cum AS (
+      SELECT c,
+             CAST(sum(ca) OVER (ORDER BY c) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY c) AS BIGINT) AS cumb,
+             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             CAST(sum(cb) OVER () AS BIGINT) AS nb
+      FROM per_v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_numer,
+           round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                 / (max(na) * max(nb)), 6) AS ks_d
+    FROM cum
+    """,
+    tags=("experiment", "agg", "stats", "window"),
+)
+def ks_two_sample_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov D between the md5 arms'
+    purchase-value distributions: D = max|F_A − F_B| evaluated as the
+    integer max |cumA·n_B − cumB·n_A| over the value-grain relation —
+    no float CDFs, so the statistic is bit-identical on any engine.
+    The cumulative window runs over the aggregated per-value relation
+    (≤ #distinct cents rows), not the raw events — the benign prefix-sum
+    pattern; everything before it is partial-aggregable."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.filter(F.col("event_type") == "purchase").select(
+        _arm().alias("arm"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    per_v = cents.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    wc = Window.partitionBy().orderBy("c")
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        "c",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d_num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return cum.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(d_num).alias("d_numer"),
+        F.round(
+            F.max(d_num).cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "mann_whitney_u_purchase_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT {_ARM_SQL} AS arm,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    per_v AS (
+      SELECT c,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM cents GROUP BY c
+    ),
+    ranked AS (
+      -- 2·avg_rank of a tied block = 2·(rows before) + block + 1,
+      -- so 2·R_A stays an exact integer under ties.
+      SELECT ca, ct,
+             CAST(2 * (CAST(sum(ct) OVER (ORDER BY c) AS BIGINT) - ct)
+                  + ct + 1 AS BIGINT) AS two_avg_rank,
+             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             CAST(sum(ct - ca) OVER () AS BIGINT) AS nb
+      FROM per_v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(sum(ca * two_avg_rank) - max(na) * (max(na) + 1) AS BIGINT)
+             AS two_u_a,
+           round((CAST(sum(ca * two_avg_rank) AS DOUBLE)
+                  - max(na) * (CAST(max(na) AS DOUBLE) + 1)) / 2
+                 / (max(na) * max(nb)), 6) AS u_a_frac
+    FROM ranked
+    """,
+    tags=("experiment", "agg", "stats", "window"),
+)
+def mann_whitney_u_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann-Whitney U (rank-sum) between the md5 arms. Ranks use
+    the average-of-ties convention, kept integral by carrying 2·rank:
+    2·R_A = Σ_v ca(v)·(2·cum_before(v) + block(v) + 1), then
+    2·U_A = 2·R_A − n_A(n_A+1). u_a_frac = U_A/(n_A·n_B) is the
+    common-language effect size. Same value-grain prefix-sum shape as
+    the KS query — integers end-to-end, one float division at the end."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.filter(F.col("event_type") == "purchase").select(
+        _arm().alias("arm"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    per_v = cents.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("ca"),
+        F.count("*").alias("ct"),
+    )
+    wc = Window.partitionBy().orderBy("c")
+    wall = Window.partitionBy()
+    ranked = per_v.select(
+        "ca",
+        "ct",
+        (2 * (F.sum("ct").over(wc) - F.col("ct")) + F.col("ct") + 1).alias(
+            "two_avg_rank"
+        ),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).over(wall).alias("nb"),
+    )
+    two_r_a = F.sum(F.col("ca") * F.col("two_avg_rank"))
+    return ranked.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        (two_r_a - F.max("na") * (F.max("na") + 1)).alias("two_u_a"),
+        F.round(
+            (two_r_a.cast("double") - F.max("na") * (F.max("na").cast("double") + 1))
+            / 2
+            / (F.max("na") * F.max("nb")),
+            6,
+        ).alias("u_a_frac"),
+    )

@@ -1,0 +1,139 @@
+"""Invariants for the experiments module (A/B stats, robust stats,
+mergeable sketches) — mathematical properties the oracle hash can't
+express, checked at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from braintumor_data_pipeline_spark.operators import experiments as X
+from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+
+def test_chi_square_cells_partition_users(spark, sf_dir):
+    row = X.ab_chi_square_conversion(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert row.conv_a + row.nonconv_a + row.conv_b + row.nonconv_b == n_users
+    assert row.chi2 is None or row.chi2 >= 0.0
+
+
+def test_welch_t_sign_matches_means(spark, sf_dir):
+    row = X.ab_welch_t_purchase_value(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert (row.welch_t > 0) == (row.mean_a > row.mean_b)
+
+
+def test_winsorized_bounds_and_moments(spark, sf_dir):
+    rows = X.winsorized_event_value_stats(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    raw = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert raw[r.event_type].lo <= r.lo_bound <= r.hi_bound
+        assert r.hi_bound <= raw[r.event_type].hi
+        assert r.lo_bound <= r.wins_mean <= r.hi_bound
+        assert r.wins_std >= 0.0
+        # clipping can only shrink population std
+        full_std = (
+            e.filter(F.col("event_type") == r.event_type)
+            .agg(F.stddev_pop("value"))
+            .collect()[0][0]
+        )
+        assert r.wins_std <= full_std + 1e-9
+
+
+def test_kl_terms_sum_nonnegative_and_shares_partition(spark, sf_dir):
+    rows = X.kl_domain_balance(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # Gibbs: total KL >= 0 (individual terms may be negative)
+    assert sum(r.kl_term for r in rows) >= -1e-9
+
+
+def test_variance_merge_is_exact_everywhere(spark, sf_dir):
+    rows = X.mergeable_variance_states(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merge_exact == 1 for r in rows)
+
+
+def test_binned_quantile_brackets_exact_quantile(spark, sf_dir):
+    rows = {r.q: r for r in X.binned_quantile_sketch(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    vals = sorted(r[0] for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    for q, r in rows.items():
+        exact = vals[max(0, math.ceil(q * n) - 1)]
+        assert r.est_lo_edge <= exact <= r.est_hi_edge + 1e-6
+        assert 0 <= r.bin <= 1023
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    rows = X.token_entropy_quality(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # entropy is rounded to 6dp in-query → allow the half-ulp slack
+        assert -1e-6 <= r.entropy <= math.log(r.n_tokens) + 1e-6
+        if r.n_distinct == 1:
+            assert abs(r.entropy) < 1e-6
+        # max entropy iff all tokens distinct
+        if r.n_distinct == r.n_tokens and r.n_tokens > 1:
+            assert abs(r.entropy - math.log(r.n_tokens)) < 1e-6
+
+
+def test_ols_r2_in_unit_interval_and_slope_positive(spark, sf_dir):
+    import numpy as np
+
+    rows = X.ols_price_on_quantity(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        # cross-check the sum algebra against numpy's lstsq per group
+        xy = li.filter(F.col("l_returnflag") == r.l_returnflag).select(
+            "l_quantity", "l_extendedprice"
+        ).collect()
+        x = np.array([v[0] for v in xy])
+        y = np.array([v[1] for v in xy])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) < 1e-3
+        assert abs(r.intercept - intercept) < 1e-2
+
+
+def test_ks_and_mwu_ranges(spark, sf_dir):
+    ks = X.ks_two_sample_purchase_value(spark, sf_dir).collect()[0]
+    assert 0.0 <= ks.ks_d <= 1.0
+    assert ks.d_numer <= ks.n_a * ks.n_b
+
+    mwu = X.mann_whitney_u_purchase_value(spark, sf_dir).collect()[0]
+    assert 0 <= mwu.two_u_a <= 2 * mwu.n_a * mwu.n_b
+    assert 0.0 <= mwu.u_a_frac <= 1.0
+    # same arms → same sample sizes across the two tests
+    assert (mwu.n_a, mwu.n_b) == (ks.n_a, ks.n_b)
+
+
+def test_ks_detects_identical_distributions_as_zero(spark, sf_dir):
+    """Sanity of the KS algebra: comparing an arm against itself must
+    give D = 0 — replay the integer formula on a degenerate split."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = e.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    # duplicate every row into both pseudo-arms
+    both = cents.withColumn("arm", F.explode(F.array(F.lit("A"), F.lit("B"))))
+    per_v = both.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    row = per_v.agg(
+        F.max(F.abs(F.col("ca") - F.col("cb"))).alias("maxdiff")
+    ).collect()[0]
+    assert row.maxdiff == 0
