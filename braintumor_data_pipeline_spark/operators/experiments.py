@@ -805,3 +805,318 @@ def mann_whitney_u_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("u_a_frac"),
     )
+
+
+@register(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM daily
+    ),
+    dev AS (
+      -- n·x_i − S: the mean-centered deviation scaled by n, EXACT in
+      -- integers (x_i − S/n would be float). ACF is a ratio of
+      -- deviation products, so the n² scale cancels.
+      SELECT d, CAST(n AS BIGINT) * cents - s AS dev
+      FROM daily, tot
+    ),
+    lagged AS (
+      SELECT l.lag_k,
+             CAST(sum(CAST(a.dev AS DECIMAL(38,0))
+                      * CAST(b.dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) l(lag_k)
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.d = a.d + to_days(CAST(l.lag_k AS INTEGER))
+      GROUP BY l.lag_k
+    ),
+    denom AS (
+      SELECT CAST(sum(CAST(dev AS DECIMAL(38,0))
+                      * CAST(dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den
+      FROM dev
+    )
+    SELECT CAST(lag_k AS INTEGER) AS lag_k,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM lagged, denom
+    ORDER BY lag_k
+    """,
+    tags=("experiment", "timeseries", "stats"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-7) of daily revenue in EXACT fixed point:
+    deviations are carried as n·x_i − S (integer; the n² scale cancels
+    in the ratio) and products sum through DECIMAL(38,0), so the ACF is
+    bit-identical to the single-threaded oracle at any parallelism. The
+    self-join runs on the per-DAY aggregate (≤ calendar days rows) — the
+    raw events are touched once, in a partial-aggregable rollup."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
+    )
+    a = dev.select(
+        "d", "dev", F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag_k")
+    ).alias("a")
+    b = dev.alias("b")
+    lagged = (
+        a.join(b, F.col("b.d") == F.expr("date_add(a.d, lag_k)"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(
+                F.col("a.dev").cast("decimal(38,0)")
+                * F.col("b.dev").cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    denom = dev.agg(
+        F.sum(
+            F.col("dev").cast("decimal(38,0)") * F.col("dev").cast("decimal(38,0)")
+        ).alias("den")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(denom))
+        .select(
+            "lag_k",
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag_k")
+    )
+
+
+@register(
+    "dow_seasonality_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    by_dow AS (
+      -- ISO day number: DuckDB isodow(), Spark dayofweek() is 1=Sunday
+      SELECT isodow(d) AS dow,
+             count(*) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY isodow(d)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_days) AS BIGINT) AS all_days,
+             CAST(sum(cents) AS BIGINT) AS all_cents
+      FROM by_dow
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(cents AS DOUBLE) / n_days / 100, 6) AS avg_daily_revenue,
+           round((CAST(cents AS DOUBLE) / n_days)
+                 / (CAST(all_cents AS DOUBLE) / all_days), 6) AS seasonal_index
+    FROM by_dow, tot
+    ORDER BY dow
+    """,
+    tags=("experiment", "timeseries", "agg"),
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: average daily revenue per ISO weekday
+    and its ratio to the overall daily average (the multiplicative
+    seasonal index a forecaster divides out). Exact integer cents end
+    to end; two tiny rollups above the one events scan. Spark's
+    dayofweek() is 1=Sunday — mapped to ISO 1=Monday to match isodow."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    iso_dow = ((F.dayofweek("d") + 5) % 7) + 1
+    by_dow = daily.groupBy(iso_dow.alias("dow")).agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("cents")
+    )
+    tot = by_dow.agg(
+        F.sum("n_days").alias("all_days"), F.sum("cents").alias("all_cents")
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.round(F.col("cents").cast("double") / F.col("n_days") / 100, 6).alias(
+                "avg_daily_revenue"
+            ),
+            F.round(
+                (F.col("cents").cast("double") / F.col("n_days"))
+                / (F.col("all_cents").cast("double") / F.col("all_days")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "time_to_conversion_stats",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    durs AS (
+      -- whole seconds via epoch micros: exact integers both engines
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+               AS dur_s
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    ),
+    per_d AS (
+      SELECT dur_s, count(*) AS c FROM durs GROUP BY dur_s
+    ),
+    cum AS (
+      SELECT dur_s,
+             CAST(sum(c) OVER (ORDER BY dur_s) AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM per_d
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(dur_s) AS BIGINT) AS min_s,
+           CAST(min(CASE WHEN cum_c >= (n + 1) // 2 THEN dur_s END) AS BIGINT)
+             AS median_s,
+           CAST(min(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN dur_s END)
+                AS BIGINT) AS p90_s,
+           CAST(max(dur_s) AS BIGINT) AS max_s
+    FROM cum
+    """,
+    tags=("experiment", "timeseries", "funnel", "window"),
+)
+def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution: seconds from a user's first view to
+    their first purchase (converters only), summarized by discrete
+    order statistics (the value at rank ⌈q·n⌉ — an actual datum, exact
+    in integer seconds). One user-grain conditional-min rollup, then
+    the rank window over the already-aggregated per-user durations."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    durs = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.floor(
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            )
+            / 1000000
+        ).alias("dur_s")
+    )
+    per_d = durs.groupBy("dur_s").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy().orderBy("dur_s")
+    cum = per_d.select(
+        "dur_s",
+        F.sum("c").over(wc).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2).cast("long")
+    p90_rank = F.floor((9 * F.col("n") + 9) / 10).cast("long")
+    return cum.agg(
+        F.max("n").alias("n_converted"),
+        F.min("dur_s").alias("min_s"),
+        F.min(F.when(F.col("cum_c") >= med_rank, F.col("dur_s"))).alias("median_s"),
+        F.min(F.when(F.col("cum_c") >= p90_rank, F.col("dur_s"))).alias("p90_s"),
+        F.max("dur_s").alias("max_s"),
+    )
+
+
+@register(
+    "bootstrap_ci_mean_purchase",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS r),
+    sampled AS (
+      -- replicate r keeps ~50% of purchases: md5(r || ':' || event_id)
+      -- first hex < '8'. Pure key function → identical membership on
+      -- every engine/run (the deterministic bootstrap).
+      SELECT r.r,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN reps r
+        ON substring(md5(CAST(r.r AS VARCHAR) || ':'
+                         || CAST(e.event_id AS VARCHAR)), 1, 1) < '8'
+      WHERE e.event_type = 'purchase'
+    ),
+    means AS (
+      SELECT r, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM sampled GROUP BY r
+    ),
+    ranked AS (
+      SELECT round(CAST(s AS DOUBLE) / n / 100, 6) AS m,
+             row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n) AS rn,
+             count(*) OVER () AS b
+      FROM means
+    )
+    SELECT CAST(max(b) AS BIGINT) AS n_replicates,
+           min(m) AS lo_rep,
+           min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           min(CASE WHEN rn = b - 1 THEN m END) AS ci_hi,
+           max(m) AS hi_rep
+    FROM ranked
+    """,
+    tags=("experiment", "stats", "sampling"),
+)
+def bootstrap_ci_mean_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling CI for mean purchase value: 32 half-
+    subsample replicates, membership a pure md5 function of
+    (replicate, event_id) — reproducible under retries and identical
+    across engines, unlike rand-seeded bootstraps. The CI is the
+    [2nd, 31st] order statistic of the replicate means. One fan-out
+    join (32× the purchase rows, each replicate partial-aggregable) →
+    32 exact (n, Σcents) states → float math on 32 tiny rows."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    sampled = (
+        e.select(
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+        )
+        .filter(keep)
+        .select("r", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    means = sampled.groupBy("r").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.partitionBy().orderBy(F.col("s").cast("double") / F.col("n"))
+    ranked = means.select(
+        F.round(F.col("s").cast("double") / F.col("n") / 100, 6).alias("m"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("b"),
+    )
+    return ranked.agg(
+        F.max("b").alias("n_replicates"),
+        F.min("m").alias("lo_rep"),
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == F.col("b") - 1, F.col("m"))).alias("ci_hi"),
+        F.max("m").alias("hi_rep"),
+    )

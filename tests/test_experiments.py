@@ -137,3 +137,43 @@ def test_ks_detects_identical_distributions_as_zero(spark, sf_dir):
         F.max(F.abs(F.col("ca") - F.col("cb"))).alias("maxdiff")
     ).collect()[0]
     assert row.maxdiff == 0
+
+
+def test_acf_bounded_and_complete(spark, sf_dir):
+    rows = X.acf_daily_revenue(spark, sf_dir).collect()
+    assert [r.lag_k for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.acf <= 1.0 + 1e-6
+
+
+def test_dow_seasonality_weighted_mean_is_one(spark, sf_dir):
+    rows = X.dow_seasonality_profile(spark, sf_dir).collect()
+    assert len(rows) == 7
+    total_days = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonal_index * r.n_days for r in rows) / total_days
+    assert abs(weighted - 1.0) < 1e-4
+    assert all(r.seasonal_index > 0 for r in rows)
+
+
+def test_time_to_conversion_order_stats_monotone(spark, sf_dir):
+    r = X.time_to_conversion_stats(spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert r.min_s <= r.median_s <= r.p90_s <= r.max_s
+    assert r.min_s >= 0
+    e = load_table(spark, sf_dir, "events")
+    assert r.n_converted <= e.select("user_id").distinct().count()
+
+
+def test_bootstrap_ci_brackets_and_replicates(spark, sf_dir):
+    r = X.bootstrap_ci_mean_purchase(spark, sf_dir).collect()[0]
+    assert r.n_replicates == 32
+    assert r.lo_rep <= r.ci_lo <= r.ci_hi <= r.hi_rep
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    true_mean = e.agg(F.avg("value")).collect()[0][0]
+    # replicate means are half-samples of the same population — the
+    # full-sample mean must land inside (or within a hair of) the
+    # replicate envelope
+    spread = max(r.hi_rep - r.lo_rep, 0.01)
+    assert r.lo_rep - spread <= true_mean <= r.hi_rep + spread
