@@ -1212,3 +1212,165 @@ def semantic_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     kills = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
     return e.join(kills, "vec_id", "left_anti")
+
+
+@register(
+    "hybrid_rrf_fusion_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(doc_len) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'shuffle')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sparse AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))
+             AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    sparse_rank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+      FROM sparse
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             max(round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), qv), 4)) AS sim
+      FROM embeddings, q
+      GROUP BY vec_id
+    ),
+    dense_rank_t AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS rd
+      FROM dense
+    ),
+    fused AS (
+      SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+             s.rs, d.rd,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rs), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rd), 0.0), 6)
+               AS rrf
+      FROM sparse_rank s FULL OUTER JOIN dense_rank_t d
+        ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rs AS BIGINT) AS sparse_rank,
+           CAST(rd AS BIGINT) AS dense_rank,
+           rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("similarity", "search", "ranking", "join"),
+)
+def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (k=60) of a sparse BM25
+    ranking (query {spark, join, shuffle} over documents) and a dense
+    cosine ranking (query = embedding 0 over the aligned vec_id space).
+    Each signal is ranked independently — the BM25 relation and the
+    per-doc max-sim relation are aggregates, so the unpartitioned rank
+    windows run over reduced inputs (the benign prefix-sum class); the
+    fusion itself is a doc_id-keyed FULL OUTER join and the final top-10
+    is TakeOrdered. RRF sums two fixed-order reciprocals of integer
+    ranks → deterministic; BM25 rounds 6 and cosine rounds 4 BEFORE
+    ranking so both engines rank identical doubles.
+
+    Reference parity: the reference's search is a single BigQuery LIKE
+    scan (app.py); this is the modern two-tower retrieval counterpart.
+    """
+    from .text import _BM25_B, _BM25_K1, _BM25_TERMS, _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = dl.agg(F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("doc_len") / F.col("avgdl")
+    )
+    sparse = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                6,
+            ).alias("bm25")
+        )
+    )
+    ws = Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
+    sparse_rank = sparse.select("doc_id", F.row_number().over(ws).alias("rs"))
+
+    vec = _vectors(spark, sf_dir)
+    # groupless aggregate over the 1-row filter → the plan broadcasts a
+    # scalar (IdentityBroadcastMode over HashAggregate(keys=[])), the
+    # same shape as a scalar subquery — one row moved at any scale
+    q = vec.filter(F.col("vec_id") == 0).agg(
+        F.max("v").alias("qv"), F.max("nrm").alias("qn")
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("nrm") * F.col("qn")),
+        4,
+    )
+    dense = (
+        vec.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .groupBy("doc_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    wd = Window.partitionBy().orderBy(F.desc("sim"), "doc_id")
+    dense_ranked = dense.select("doc_id", F.row_number().over(wd).alias("rd"))
+
+    fused = sparse_rank.join(dense_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "rs",
+        "rd",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("rs")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rd")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rs").alias("sparse_rank"),
+            F.col("rd").alias("dense_rank"),
+            "rrf",
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

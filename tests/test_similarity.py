@@ -145,3 +145,30 @@ def test_pq_codes_pack_unpack(spark, sf_dir):
     )
     bad = codes.filter((F.col("code") < 0) | (F.col("code") > 15)).count()
     assert bad == 0
+
+
+def test_hybrid_rrf_formula_and_ordering(spark, sf_dir):
+    """RRF scores must equal the formula applied to the reported ranks,
+    descend monotonically, and dense rank 1 must be the query vector
+    itself (cosine 1.0 with vec_id 0)."""
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        hybrid_rrf_fusion_topk,
+    )
+
+    rows = hybrid_rrf_fusion_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    prev = float("inf")
+    for r in rows:
+        expect = 0.0
+        if r.sparse_rank is not None:
+            assert r.sparse_rank >= 1
+            expect += 1.0 / (60 + r.sparse_rank)
+        if r.dense_rank is not None:
+            assert r.dense_rank >= 1
+            expect += 1.0 / (60 + r.dense_rank)
+        assert abs(r.rrf - expect) < 1e-6
+        assert r.rrf <= prev + 1e-12
+        prev = r.rrf
+    by_dense = {r.dense_rank: r.doc_id for r in rows if r.dense_rank}
+    if 1 in by_dense:
+        assert by_dense[1] == 0
