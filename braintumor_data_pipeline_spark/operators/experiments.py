@@ -1120,3 +1120,216 @@ def bootstrap_ci_mean_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == F.col("b") - 1, F.col("m"))).alias("ci_hi"),
         F.max("m").alias("hi_rep"),
     )
+
+
+@register(
+    "psi_value_drift_halves",
+    oracle="""
+    WITH mid AS (
+      SELECT min(epoch_us(ts))
+             + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN epoch_us(ts) < mid_us THEN 0 ELSE 1 END AS half
+      FROM events, mid
+    ),
+    cum AS (
+      SELECT c,
+             CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM (SELECT c, count(*) AS cnt FROM cents WHERE half = 0 GROUP BY c)
+    ),
+    edges AS (
+      -- decile edges from the REFERENCE half (discrete order stats —
+      -- actual data values, exact in cents; duplicates KEPT so the
+      -- 9-element array matches the engine side element-for-element)
+      SELECT [min(CASE WHEN cum >= (1 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (2 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (3 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (4 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (5 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (6 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (7 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (8 * n + 9) // 10 THEN c END),
+              min(CASE WHEN cum >= (9 * n + 9) // 10 THEN c END)] AS cs
+      FROM cum
+    ),
+    binned AS (
+      SELECT half,
+             len(list_filter(e.cs, x -> x < c)) AS bin
+      FROM cents, edges e
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+      FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(c0 AS BIGINT) AS n_ref,
+           CAST(c1 AS BIGINT) AS n_cur,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 * ln((CAST(c1 AS DOUBLE) / n1)
+                      / (CAST(c0 AS DOUBLE) / n0)), 6) AS psi_term
+    FROM counts, tot
+    WHERE c0 > 0 AND c1 > 0
+    ORDER BY bin
+    """,
+    tags=("experiment", "quality", "drift", "agg"),
+)
+def psi_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report: decile bins learned from
+    the first half of the event stream (reference window), populated by
+    both halves; per-bin PSI contribution (p_cur − p_ref)·ln(p_cur/p_ref)
+    — total PSI = Σ terms, the standard drift alarm (>0.2 = shifted).
+    Bin edges are DISCRETE order statistics in exact cents (no float
+    interpolation), carried as a 9-element plan constant into a
+    codegen'd comparison fan — at 100 TB the reference edges come from
+    yesterday's aggregate, and the binning pass is one scan with
+    partial aggregation. Empty bins are excluded (PSI undefined)."""
+    e = _t(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            ).cast("long")
+        ).alias("mid_us")
+    )
+    cents = e.crossJoin(F.broadcast(mid)).select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 0).otherwise(1).alias("half"),
+    )
+    ref = cents.filter(F.col("half") == 0).groupBy("c").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = Window.partitionBy().orderBy("c")
+    ranked = ref.select(
+        "c",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    # value at rank ⌈k·n/10⌉ for k = 1..9 (min value whose cum reaches it)
+    edge_cols = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((k * F.col("n") + 9) / 10).cast("long"),
+                F.col("c"),
+            )
+        ).alias(f"e{k}")
+        for k in range(1, 10)
+    ]
+    edges = ranked.agg(*edge_cols).select(
+        F.array(*[F.col(f"e{k}") for k in range(1, 10)]).alias("cs")
+    )
+    binned = cents.crossJoin(F.broadcast(edges)).select(
+        "half",
+        F.size(F.filter(F.col("cs"), lambda x: x < F.col("c"))).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = counts.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("c0") > 0) & (F.col("c1") > 0))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("c0").alias("n_ref"),
+            F.col("c1").alias("n_cur"),
+            F.round((p1 - p0) * F.log(p1 / p0), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "decile_lift_table",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+      FROM spend
+    ),
+    per_d AS (
+      SELECT decile,
+             count(*) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS all_cents,
+             CAST(sum(n_users) AS BIGINT) AS all_users
+      FROM per_d
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(cents AS DOUBLE) / all_cents, 6) AS revenue_share,
+           round(CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / all_cents, 6) AS cum_share,
+           round((CAST(cents AS DOUBLE) / all_cents)
+                 / (CAST(n_users AS DOUBLE) / all_users), 6) AS lift
+    FROM per_d, tot
+    ORDER BY decile
+    """,
+    tags=("experiment", "agg", "window", "ranking"),
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: users ranked by purchase spend, split
+    into 10 equal buckets; per decile — revenue share, cumulative share
+    (the Lorenz/gains curve) and lift vs uniform. The ntile runs over
+    the user-grain AGGREGATE (one row per user, not per event); all
+    monetary math is exact cents with one float division per output
+    cell. Deterministic tie-break: (cents DESC, user_id)."""
+    e = _t(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    wr = Window.partitionBy().orderBy(F.desc("cents"), "user_id")
+    ranked = spend.select("cents", F.ntile(10).over(wr).alias("decile"))
+    per_d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("cents").alias("cents")
+    )
+    tot = per_d.agg(
+        F.sum("cents").alias("all_cents"), F.sum("n_users").alias("all_users")
+    )
+    wcum = Window.partitionBy().orderBy("decile")
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+            F.round(F.col("cents").cast("double") / F.col("all_cents"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                F.sum("cents").over(wcum).cast("double") / F.col("all_cents"), 6
+            ).alias("cum_share"),
+            F.round(
+                (F.col("cents").cast("double") / F.col("all_cents"))
+                / (F.col("n_users").cast("double") / F.col("all_users")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

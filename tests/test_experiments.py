@@ -177,3 +177,26 @@ def test_bootstrap_ci_brackets_and_replicates(spark, sf_dir):
     # replicate envelope
     spread = max(r.hi_rep - r.lo_rep, 0.01)
     assert r.lo_rep - spread <= true_mean <= r.hi_rep + spread
+
+
+def test_psi_terms_and_bins(spark, sf_dir):
+    rows = X.psi_value_drift_halves(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert r.n_ref > 0 and r.n_cur > 0
+        # each PSI term is nonnegative by construction (p−q)ln(p/q) ≥ 0
+        assert r.psi_term >= -1e-6
+    # two halves of the same stationary stream → low drift
+    assert sum(r.psi_term for r in rows) < 0.25
+
+
+def test_decile_lift_partitions_and_lorenz(spark, sf_dir):
+    rows = X.decile_lift_table(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    # deciles ordered by spend desc → monotone nonincreasing share
+    shares = [r.revenue_share for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert rows[0].lift >= 1.0
