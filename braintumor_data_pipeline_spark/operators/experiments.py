@@ -1333,3 +1333,179 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "feature_scaling_stats",
+    oracle="""
+    WITH q AS (
+      -- float32 → double is exact and ×2^24 is a power-of-two scale, so
+      -- round() lands on the same integer in both engines: the feature
+      -- matrix becomes exact fixed-point for the moment sums.
+      SELECT d.d AS dim,
+             CAST(round(CAST(embedding[d.d] AS DOUBLE) * 16777216.0)
+                  AS BIGINT) AS v
+      FROM embeddings, range(1, 65) d(d)
+    ),
+    s AS (
+      SELECT dim,
+             count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2,
+             CAST(min(v) AS BIGINT) AS mn,
+             CAST(max(v) AS BIGINT) AS mx
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(CAST(s1 AS DOUBLE) / n / 16777216.0, 6) AS mean,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                 / 16777216.0, 6) AS std,
+           round(CAST(mn AS DOUBLE) / 16777216.0, 6) AS min_v,
+           round(CAST(mx AS DOUBLE) / 16777216.0, 6) AS max_v
+    FROM s
+    ORDER BY dim
+    """,
+    tags=("experiment", "agg", "features", "array"),
+)
+def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store profiling: per-dimension mean/std/min/max of the
+    embedding matrix — the statistics a StandardScaler fits. Values are
+    quantized by 2^24 (power-of-two: float32→double→×2^24→round is
+    bit-identical everywhere) so the moment sums are exact integers; at
+    100 TB this is one posexplode shuffle keyed on 64 dims, each
+    executor contributing 64 partial (n, Σv, Σv², min, max) states."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 16777216.0).cast("long").alias("v"),
+    )
+    s = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    Q = 16777216.0
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("s1").cast("double") / F.col("n") / Q, 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / F.col("n")
+            )
+            / Q,
+            6,
+        ).alias("std"),
+        F.round(F.col("mn").cast("double") / Q, 6).alias("min_v"),
+        F.round(F.col("mx").cast("double") / Q, 6).alias("max_v"),
+    ).orderBy("dim")
+
+
+@register(
+    "label_uniformity_chi2",
+    oracle="""
+    WITH c AS (
+      SELECT label, count(*) AS obs FROM embeddings GROUP BY label
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(obs) AS BIGINT) AS n,
+             CAST(sum(obs * obs) AS BIGINT) AS ss
+      FROM c
+    )
+    SELECT CAST(k AS BIGINT) AS n_labels,
+           CAST(n AS BIGINT) AS n_rows,
+           -- Σ(obs−n/k)²/(n/k) = k·Σobs²/n − n : exact ints, one division
+           round(CAST(k AS DOUBLE) * ss / n - n, 6) AS chi2,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM t
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def label_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit chi-square of the label distribution against
+    uniform — the class-balance gate before training. The identity
+    Σ(obs−n/k)²/(n/k) = k·Σobs²/n − n keeps everything in exact
+    integers until one final float expression."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count("*").alias("obs"))
+    t = c.agg(
+        F.count("*").alias("k"),
+        F.sum("obs").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).alias("ss"),
+    )
+    return t.select(
+        F.col("k").alias("n_labels"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("k").cast("double") * F.col("ss") / F.col("n") - F.col("n"), 6
+        ).alias("chi2"),
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+@register(
+    "mutual_information_lang_source",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ),
+    m AS (
+      SELECT source, lang, c,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS cs,
+             CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM cell
+    )
+    SELECT source, lang,
+           CAST(c AS BIGINT) AS n_docs,
+           -- p(x,y)·ln(p(x,y)/(p(x)p(y))) = (c/n)·ln(c·n/(cs·cl))
+           round(CAST(c AS DOUBLE) / n
+                 * ln(CAST(c AS DOUBLE) * n
+                      / (CAST(cs AS DOUBLE) * cl)), 6) AS mi_term
+    FROM m
+    ORDER BY source, lang
+    """,
+    tags=("experiment", "agg", "stats", "window"),
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) reported per contingency cell
+    (total MI = Σ mi_term ≥ 0) — the dependence screen that tells a
+    corpus curator whether language mix varies by source (it should be
+    near 0 for a well-shuffled crawl). One shuffle to the ~|sources|×
+    |langs| cell grid; marginals are windows over that tiny aggregate.
+    All counts exact; one ln per cell."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    m = cell.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return m.select(
+        "source",
+        "lang",
+        F.col("c").alias("n_docs"),
+        F.round(
+            F.col("c").cast("double")
+            / F.col("n")
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("cs").cast("double") * F.col("cl"))
+            ),
+            6,
+        ).alias("mi_term"),
+    ).orderBy("source", "lang")

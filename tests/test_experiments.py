@@ -200,3 +200,32 @@ def test_decile_lift_partitions_and_lorenz(spark, sf_dir):
     shares = [r.revenue_share for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
     assert rows[0].lift >= 1.0
+
+
+def test_feature_scaling_stats_shape_and_bounds(spark, sf_dir):
+    rows = X.feature_scaling_stats(spark, sf_dir).collect()
+    assert [r.dim for r in rows] == list(range(1, 65))
+    for r in rows:
+        assert r.min_v <= r.mean <= r.max_v
+        assert r.std >= 0.0
+
+
+def test_label_chi2_identity_vs_direct(spark, sf_dir):
+    r = X.label_uniformity_chi2(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "embeddings")
+    obs = [x[1] for x in e.groupBy("label").count().collect()]
+    n, k = sum(obs), len(obs)
+    direct = sum((o - n / k) ** 2 / (n / k) for o in obs)
+    assert abs(r.chi2 - direct) < 1e-4
+    assert r.dof == k - 1
+
+
+def test_mutual_information_nonnegative_total(spark, sf_dir):
+    rows = X.mutual_information_lang_source(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.mi_term for r in rows)
+    assert total >= -1e-6
+    # MI ≤ min(H(lang), H(source)) ≤ ln(cell count) — loose sanity cap
+    import math
+
+    assert total <= math.log(len(rows)) + 1e-6
