@@ -306,3 +306,21 @@ def test_streaming_hll_registers_equal_batch(spark, sf_dir, tmp_path):
     assert got == want
     # sketch state is bounded by construction: exactly m rows
     assert len(got) == 64
+
+
+def test_streaming_psi_equals_batch_operator(spark, sf_dir, tmp_path):
+    """The streaming drift monitor must reproduce the batch PSI report
+    row-for-row (counts exactly, terms to the same 6dp rounding)."""
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        psi_value_drift_halves,
+    )
+    from braintumor_data_pipeline_spark.streaming.sketches import (
+        run_streaming_psi_bins,
+    )
+
+    got = run_streaming_psi_bins(spark, sf_dir, str(tmp_path / "ckpt")).collect()
+    want = psi_value_drift_halves(spark, sf_dir).collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g.bin, g.n_ref, g.n_cur) == (w.bin, w.n_ref, w.n_cur)
+        assert abs(g.psi_term - w.psi_term) < 1e-9
