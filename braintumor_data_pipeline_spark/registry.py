@@ -129,10 +129,17 @@ PRIORITY: tuple[str, ...] = (
     "simhash_hamming_pairs",
     # similarity / kNN
     "knn_bruteforce_cosine",
-    # sketches (count-min / bloom / HLL) — first driver checks
+    # sketches (count-min / bloom / HLL) — first driver checks.
+    # hll_register_sketch vacated for the generator family rep: its
+    # global register build is a strict sub-computation of
+    # hll_mergeable_groups (per-group registers + merge ≡ union
+    # identity), so the vacated hash signal survives transitively.
     "countmin_heavy_hitters",
     "bloom_semijoin_reduction",
-    "hll_register_sketch",
+    "hll_mergeable_groups",
+    # zero-I/O in-plan generator (dbgen-style source; 3-group pricing
+    # rollup over LCG-mixed integer columns — widest generator output)
+    "synthetic_lineitem_pricing",
     # multimodal image near-dup (pHash; signatures is a strict subplan
     # of the pairs query, so its hash signal survives transitively)
     "phash_hamming_pairs",
@@ -168,7 +175,6 @@ PRIORITY: tuple[str, ...] = (
     "interval_overlap_attribution",
     "bfs_levels_from_min_vertex",
     "shingle_containment_pairs",
-    "hll_mergeable_groups",
     "incremental_dedup_new_batch",
     "filter_cascade_report",
     # streaming (batch-equivalent forms)
@@ -273,6 +279,7 @@ def _load_all() -> None:
     from .sources import csv_io as _csv_io  # noqa: F401
     from .sources import jsonl as _jsonl  # noqa: F401
     from .sources import orc_io as _orc_io  # noqa: F401
+    from .sources import generator as _generator  # noqa: F401
     from .sources import maintenance as _maintenance  # noqa: F401
     from .streaming import events as _events  # noqa: F401
 

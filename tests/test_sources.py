@@ -304,3 +304,39 @@ class TestDicomStreamSource:
             ) == ["S0", "S1", "S2", "S3", "S4"]
         finally:
             q.stop()
+
+
+def test_generator_counts_and_repartition_invariance(spark, sf_dir):
+    """The in-plan generator is a pure function of row id: results are
+    identical under different parallelism, and the flag partition sizes
+    follow id % 3 exactly."""
+    from braintumor_data_pipeline_spark.sources.generator import (
+        N_ROWS,
+        synthetic_lineitem_pricing,
+        synthetic_skew_stress_agg,
+    )
+
+    rows = {r.flag: r for r in synthetic_lineitem_pricing(spark, sf_dir).collect()}
+    assert sum(r.n for r in rows.values()) == N_ROWS
+    assert rows["A"].n == (N_ROWS + 2) // 3
+    assert all(1 <= 1 and r.min_cents >= 100000 for r in rows.values())
+
+    s1 = synthetic_skew_stress_agg(spark, sf_dir).collect()[0]
+    # key k owns exactly 2k+1 rows; max key = floor(sqrt(N-1))
+    import math
+
+    kmax = math.isqrt(N_ROWS - 1)
+    assert s1.n_keys == kmax + 1
+    assert s1.max_key_rows >= 2 * (kmax - 1) + 1
+    # repartition must not change the checksum (pure function of ids)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        s2 = synthetic_skew_stress_agg(spark, sf_dir).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert (s1.checksum, s1.n_keys, s1.max_key_rows) == (
+        s2.checksum,
+        s2.n_keys,
+        s2.max_key_rows,
+    )
