@@ -1509,3 +1509,151 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("mi_term"),
     ).orderBy("source", "lang")
+
+
+@register(
+    "median_imputation_report",
+    oracle="""
+    WITH masked AS (
+      -- deterministically knock out ~12.5% of values (md5 of the key,
+      -- not rand) so the imputation path is replayable cross-engine
+      SELECT l_returnflag,
+             CASE WHEN substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                  || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                       < '2'
+                  THEN NULL
+                  ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+             END AS c
+      FROM lineitem
+    ),
+    med AS (
+      -- group median in exact halved-cents: 2·median = c@k1 + c@k2
+      SELECT l_returnflag,
+             CAST(min(CASE WHEN rn = (n + 1) // 2 THEN c END)
+                  + min(CASE WHEN rn = (n + 2) // 2 THEN c END) AS BIGINT)
+               AS med2
+      FROM (
+        SELECT l_returnflag, c,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+                 AS rn,
+               count(c) OVER (PARTITION BY l_returnflag) AS n
+        FROM masked WHERE c IS NOT NULL
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag,
+           count(*) AS n_rows,
+           sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+           round(CAST(d.med2 AS DOUBLE) / 200, 6) AS imputed_value,
+           round(CAST(sum(coalesce(2 * m.c, d.med2)) AS DOUBLE) / count(*)
+                 / 200, 6) AS mean_after_impute
+    FROM masked m JOIN med d USING (l_returnflag)
+    GROUP BY m.l_returnflag, d.med2
+    """,
+    tags=("experiment", "quality", "imputation", "window"),
+)
+def median_imputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair: deterministically mask ~12.5% of prices
+    (md5 of the row key — replayable corruption), impute each NULL with
+    its group's exact median, and report the per-group imputation count
+    and post-impute mean. The median is carried as 2·median (sum of the
+    two middle order statistics) so even-count groups stay in exact
+    integer cents; sums use coalesce(2c, med2) in the doubled domain.
+    The rank window partitions by group — parallel across groups, and
+    the downstream mean is one partial-aggregable rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    key_hash = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    masked = li.select(
+        "l_returnflag",
+        F.when(key_hash < "2", F.lit(None).cast("long"))
+        .otherwise(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("c"),
+    )
+    present = masked.filter(F.col("c").isNotNull())
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    ranked = present.select(
+        "l_returnflag",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("c").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    k1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    k2 = F.floor((F.col("n") + 2) / 2).cast("long")
+    med = ranked.groupBy("l_returnflag").agg(
+        (
+            F.min(F.when(F.col("rn") == k1, F.col("c")))
+            + F.min(F.when(F.col("rn") == k2, F.col("c")))
+        ).alias("med2")
+    )
+    return (
+        masked.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med2")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_imputed"),
+            F.round(F.first("med2").cast("double") / 200, 6).alias("imputed_value"),
+            F.round(
+                F.sum(F.coalesce(2 * F.col("c"), F.col("med2"))).cast("double")
+                / F.count("*")
+                / 200,
+                6,
+            ).alias("mean_after_impute"),
+        )
+        .drop("med2")
+        .select(
+            "l_returnflag", "n_rows", "n_imputed", "imputed_value",
+            "mean_after_impute",
+        )
+    )
+
+
+@register(
+    "event_path_trigrams_top10",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, count(*) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY event_type, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+    """,
+    tags=("experiment", "timeseries", "window", "topk"),
+)
+def event_path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 10 most frequent 3-event sequences
+    across user journeys (lead-window trigrams, per-user ordering with
+    an event_id tie-break so both engines chain identical sequences).
+    The window partitions by user — embarrassingly parallel; the
+    trigram count is a partial-aggregable rollup over ≤|types|³ keys."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(10)
+    )

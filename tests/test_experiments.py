@@ -229,3 +229,31 @@ def test_mutual_information_nonnegative_total(spark, sf_dir):
     import math
 
     assert total <= math.log(len(rows)) + 1e-6
+
+
+def test_median_imputation_counts_and_mean_shift(spark, sf_dir):
+    rows = X.median_imputation_report(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = {
+        r[0]: r[1] for r in li.groupBy("l_returnflag").count().collect()
+    }
+    for r in rows:
+        assert r.n_rows == totals[r.l_returnflag]
+        # ~12.5% masked (md5 first hex < '2' = 2/16)
+        frac = r.n_imputed / r.n_rows
+        assert 0.05 < frac < 0.22
+        # imputed value is the median of survivors → within group range
+        assert r.imputed_value > 0
+        assert abs(r.mean_after_impute - r.imputed_value) < r.mean_after_impute
+
+
+def test_event_path_trigrams_counts(spark, sf_dir):
+    rows = X.event_path_trigrams_top10(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.n >= rows[-1].n for r in rows)
+    e = load_table(spark, sf_dir, "events")
+    # total trigrams = sum over users of max(0, n_events - 2)
+    per_user = e.groupBy("user_id").count().collect()
+    total_tri = sum(max(0, r[1] - 2) for r in per_user)
+    assert sum(r.n for r in rows) <= total_tri
