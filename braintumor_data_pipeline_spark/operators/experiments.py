@@ -1657,3 +1657,63 @@ def event_path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "backtest_naive_wmape",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT cents,
+             lag(cents, 1) OVER (ORDER BY d) AS f1,
+             lag(cents, 7) OVER (ORDER BY d) AS f7
+      FROM daily
+    ),
+    scored AS (SELECT * FROM seq WHERE f7 IS NOT NULL)
+    SELECT count(*) AS n_days_scored,
+           round(CAST(sum(abs(cents - f1)) AS DOUBLE)
+                 / sum(cents), 6) AS wmape_naive1,
+           round(CAST(sum(abs(cents - f7)) AS DOUBLE)
+                 / sum(cents), 6) AS wmape_naive7,
+           round(CAST(sum(cents - f7) AS DOUBLE) / sum(cents), 6)
+             AS bias_naive7,
+           CAST(CASE WHEN sum(abs(cents - f7)) < sum(abs(cents - f1))
+                     THEN 1 ELSE 0 END AS INTEGER) AS seasonal_wins
+    FROM scored
+    """,
+    tags=("experiment", "timeseries", "forecast", "window"),
+)
+def backtest_naive_wmape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: naive (ŷ_d = y_{d−1}) vs seasonal-naive
+    (ŷ_d = y_{d−7}) on daily revenue, scored by WMAPE = Σ|y−ŷ|/Σy and
+    signed bias — RATIOS OF INTEGER SUMS, not averages of per-day float
+    ratios, so the metric is exact and scale-free. Both baselines score
+    the same day set (where the 7-lag exists) for a fair comparison;
+    the lag window runs over the ~30-row daily aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy().orderBy("d")
+    seq = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("f1"),
+        F.lag("cents", 7).over(w).alias("f7"),
+    )
+    scored = seq.filter(F.col("f7").isNotNull())
+    abs1 = F.sum(F.abs(F.col("cents") - F.col("f1")))
+    abs7 = F.sum(F.abs(F.col("cents") - F.col("f7")))
+    return scored.agg(
+        F.count("*").alias("n_days_scored"),
+        F.round(abs1.cast("double") / F.sum("cents"), 6).alias("wmape_naive1"),
+        F.round(abs7.cast("double") / F.sum("cents"), 6).alias("wmape_naive7"),
+        F.round(
+            F.sum(F.col("cents") - F.col("f7")).cast("double") / F.sum("cents"), 6
+        ).alias("bias_naive7"),
+        F.when(abs7 < abs1, 1).otherwise(0).cast("int").alias("seasonal_wins"),
+    )

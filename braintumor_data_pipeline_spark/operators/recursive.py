@@ -78,3 +78,69 @@ def rcte_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and final floor-clamped balance in exact integer cents."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RCTE_SQL)
+
+
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY d) AS INT) AS t,
+             CAST(count(*) OVER () AS INT) AS n
+      FROM daily
+    ),
+    -- Holt linear smoothing, alpha = beta = 1/2, carried EXACTLY at
+    -- scale 4^t:  S_t = 4^t*level, T_t = 4^t*trend
+    --   S_t = 2*4^(t-1)*y_t + 2*(S_(t-1) + T_(t-1))
+    --   T_t = S_t/2 - 2*S_(t-1) + 2*T_(t-1)      (S_t is always even)
+    -- seeded at t=2 with level = y_2, trend = y_2 - y_1.
+    holt(t, n, s, tr) AS (
+      SELECT a.t, a.n,
+             CAST(16 AS DECIMAL(38,0)) * a.cents,
+             CAST(16 AS DECIMAL(38,0)) * (a.cents - b.cents)
+      FROM seq a JOIN seq b ON a.t = 2 AND b.t = 1
+      UNION ALL
+      SELECT y.t, h.n,
+             2 * CAST(power(4, y.t - 1) AS DECIMAL(38,0)) * y.cents
+               + 2 * (h.s + h.tr),
+             (2 * CAST(power(4, y.t - 1) AS DECIMAL(38,0)) * y.cents
+               + 2 * (h.s + h.tr)) / 2 - 2 * h.s + 2 * h.tr
+      FROM holt h JOIN seq y ON y.t = h.t + 1
+    )
+    SELECT CAST(n AS INT) AS n_days,
+           round(CAST(s AS DOUBLE) / CAST(power(4, n) AS DOUBLE) / 100, 6)
+             AS level_final,
+           round(CAST(tr AS DOUBLE) / CAST(power(4, n) AS DOUBLE) / 100, 6)
+             AS trend_final,
+           round((CAST(s AS DOUBLE) + 7 * CAST(tr AS DOUBLE))
+                 / CAST(power(4, n) AS DOUBLE) / 100, 6) AS forecast_7d
+    FROM holt WHERE t = n
+"""
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=_HOLT_SQL,
+    tags=("recursive", "timeseries", "forecast"),
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over daily revenue,
+    EXACT: with dyadic alpha = beta = 1/2 the recurrence stays integral
+    at scale 4^t (DECIMAL(38,0) holds 4^31·1e9 comfortably), so the
+    smoothed level/trend and the 7-day-ahead forecast are bit-identical
+    on any engine — the forecast analog of the fixed-point
+    PageRank/CUSUM doctrine. Byte-identical ``WITH RECURSIVE`` SQL on
+    both engines (the oracle IS this query's text); the recursion walks
+    ~30 daily rows, never raw events."""
+    from ..sources.fixtures import load_table
+
+    # the recursion re-evaluates the anchor CTE (events scan + daily
+    # rollup) each step; caching the 6-column source turns 30 parquet
+    # scans into memory reads (~4x wall on sf0.01)
+    ev = load_table(spark, sf_dir, "events").cache()
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_HOLT_SQL)

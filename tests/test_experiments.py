@@ -257,3 +257,12 @@ def test_event_path_trigrams_counts(spark, sf_dir):
     per_user = e.groupBy("user_id").count().collect()
     total_tri = sum(max(0, r[1] - 2) for r in per_user)
     assert sum(r.n for r in rows) <= total_tri
+
+
+def test_backtest_wmape_ranges(spark, sf_dir):
+    r = X.backtest_naive_wmape(spark, sf_dir).collect()[0]
+    assert r.n_days_scored > 0
+    assert 0.0 <= r.wmape_naive1
+    assert 0.0 <= r.wmape_naive7
+    assert abs(r.bias_naive7) <= r.wmape_naive7 + 1e-9
+    assert r.seasonal_wins in (0, 1)

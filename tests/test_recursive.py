@@ -63,3 +63,33 @@ def test_fixture_run_clamps_somewhere(spark, sf_dir):
     assert any(
         finals[c] != max(0, s) for c, s in sums.items()
     ), "clamp never changed an intermediate state on this fixture"
+
+
+def test_holt_forecast_matches_float_replay(spark, sf_dir):
+    """The exact fixed-point recurrence must agree with a plain float
+    Holt replay (alpha=beta=0.5) to float precision."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.recursive import (
+        holt_linear_forecast,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    row = holt_linear_forecast(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r.c / 100 for r in daily]
+    lvl, tr = ys[1], ys[1] - ys[0]
+    for y in ys[2:]:
+        prev = lvl
+        lvl = 0.5 * y + 0.5 * (lvl + tr)
+        tr = 0.5 * (lvl - prev) + 0.5 * tr
+    assert row.n_days == len(ys)
+    assert abs(row.level_final - lvl) < 1e-3
+    assert abs(row.trend_final - tr) < 1e-3
+    assert abs(row.forecast_7d - (lvl + 7 * tr)) < 1e-2
