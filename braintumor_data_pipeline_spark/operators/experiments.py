@@ -1717,3 +1717,190 @@ def backtest_naive_wmape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bias_naive7"),
         F.when(abs7 < abs1, 1).otherwise(0).cast("int").alias("seasonal_wins"),
     )
+
+
+@register(
+    "kaplan_meier_user_lifetime",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(epoch_us(ts)) AS stream_end FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+               AS life_h,
+             CASE WHEN max(epoch_us(ts))
+                       >= (SELECT stream_end FROM bounds) - 86400000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT life_h,
+             sum(1 - censored) AS d,
+             count(*) AS total_here
+      FROM users GROUP BY life_h
+    ),
+    risk AS (
+      -- at-risk = users with lifetime >= t: a SUFFIX sum over the grid
+      SELECT life_h, d,
+             CAST(sum(total_here) OVER (
+                   ORDER BY life_h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n_at_risk
+      FROM grid
+    )
+    SELECT CAST(life_h AS BIGINT) AS t_hours,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY life_h)), 6) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY t_hours
+    """,
+    tags=("experiment", "stats", "survival", "window"),
+)
+def kaplan_meier_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (hours between a
+    user's first and last event), right-censoring users still active in
+    the stream's final 24h. Risk sets and event counts are exact
+    integers from the lifetime-grain aggregate; the product-limit
+    estimator runs as exp(Σ ln(1 − d/n)) over an ORDERED prefix window
+    — a sequential left-to-right fold in both engines, so the float
+    path is order-pinned, not shuffle-ordered. Windows run over the
+    ≤|distinct lifetimes| grid, never raw events."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.unix_micros("ts")).alias("stream_end"))
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / 3600000000
+            ).alias("life_h"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "life_h",
+            F.when(
+                F.col("last_us") >= F.col("stream_end") - 86400000000, 1
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    grid = users.groupBy("life_h").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.count("*").alias("total_here"),
+    )
+    w_suffix = (
+        Window.partitionBy()
+        .orderBy("life_h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = grid.select(
+        "life_h",
+        "d",
+        F.sum("total_here").over(w_suffix).alias("n_at_risk"),
+    )
+    w_cum = Window.partitionBy().orderBy("life_h")
+    return (
+        risk.select(
+            F.col("life_h").alias("t_hours"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+                    ).over(w_cum)
+                ),
+                6,
+            ).alias("survival"),
+            F.col("d").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("t_hours")
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) // 604800000000 AS BIGINT)
+               AS cohort_w,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_w,
+             CAST((epoch_us(e.ts) - f.first_us) // 604800000000 AS BIGINT)
+               AS week_idx,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT cohort_w, week_idx,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM rev GROUP BY cohort_w, week_idx
+    ),
+    sizes AS (
+      SELECT cohort_w, count(*) AS n_users FROM firsts GROUP BY cohort_w
+    )
+    SELECT w.cohort_w, w.week_idx,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           round(CAST(sum(w.cents) OVER (
+                   PARTITION BY w.cohort_w ORDER BY w.week_idx)
+                 AS DOUBLE) / s.n_users / 100, 6) AS cum_ltv_per_user
+    FROM weekly w JOIN sizes s USING (cohort_w)
+    ORDER BY cohort_w, week_idx
+    """,
+    tags=("experiment", "timeseries", "cohort", "window"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen epoch-week; per
+    cohort and weeks-since-first-seen, the CUMULATIVE purchase revenue
+    per cohort user — the curve a growth team extrapolates payback
+    from. Exact integer cents and epoch-microsecond week indexing; the
+    cumulative window partitions by cohort over the ~cohorts×weeks
+    aggregate. One fact shuffle (user join), one rollup."""
+    e = _t(spark, sf_dir, "events")
+    wk = 604800000000
+    firsts = e.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_micros("ts")) / wk).cast("long").alias("cohort_w"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_w",
+            F.floor((F.unix_micros("ts") - F.col("first_us")) / wk)
+            .cast("long")
+            .alias("week_idx"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    weekly = rev.groupBy("cohort_w", "week_idx").agg(
+        F.sum("cents").alias("cents")
+    )
+    sizes = firsts.groupBy("cohort_w").agg(F.count("*").alias("n_users"))
+    w_cum = Window.partitionBy("cohort_w").orderBy("week_idx")
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            "cohort_w",
+            "week_idx",
+            "n_users",
+            F.round(
+                F.sum("cents").over(w_cum).cast("double") / F.col("n_users") / 100,
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_w", "week_idx")
+    )

@@ -266,3 +266,31 @@ def test_backtest_wmape_ranges(spark, sf_dir):
     assert 0.0 <= r.wmape_naive7
     assert abs(r.bias_naive7) <= r.wmape_naive7 + 1e-9
     assert r.seasonal_wins in (0, 1)
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    rows = X.kaplan_meier_user_lifetime(spark, sf_dir).collect()
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9
+        prev = r.survival
+        assert r.n_events >= 1
+        assert r.n_at_risk >= r.n_events
+    # risk sets shrink over time
+    risks = [r.n_at_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
+    rows = X.cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_w].append(r)
+    for members in by_cohort.values():
+        ltvs = [m.cum_ltv_per_user for m in members]
+        assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+        assert all(m.week_idx >= 0 for m in members)
