@@ -1904,3 +1904,103 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_w", "week_idx")
     )
+
+
+@register(
+    "top_orders_with_ties",
+    oracle="""
+    SELECT o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_totalprice,
+             rank() OVER (ORDER BY round(o_totalprice * 100) DESC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 10
+    ORDER BY rnk, o_custkey
+    """,
+    tags=("experiment", "topk", "window"),
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST 10 WITH TIES semantics: rank() ≤ k keeps every row
+    tied with the k-th — the correct answer when "top 10 prices" must
+    not arbitrarily drop ties (row_number-based top-k is the other,
+    order-dependent contract; both now exist in the catalog). Ranking
+    on exact integer cents so tie groups are engine-identical.
+
+    The PLAN is the scale-correct rewrite, not a global rank over raw
+    rows: ranks are computed on the price-GRID aggregate (rank of a
+    price = 1 + Σ counts of higher prices, a prefix window over ≤
+    |distinct prices| rows), the ≤k surviving grid rows broadcast back
+    onto the fact side, and only matching rows are emitted — no
+    all-rows single-partition sort anywhere."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    grid = o.groupBy("price_cents").agg(F.count("*").alias("c"))
+    w_prev = (
+        Window.partitionBy()
+        .orderBy(F.desc("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grid.select(
+        "price_cents",
+        (F.coalesce(F.sum("c").over(w_prev), F.lit(0)) + 1).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    return (
+        o.join(F.broadcast(ranked), "price_cents")
+        .select("o_custkey", "price_cents", "rnk")
+        .orderBy("rnk", "o_custkey")
+    )
+
+
+@register(
+    "dau_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT a.d,
+           count(*) AS dau,
+           sum(CASE WHEN f.first_d = a.d THEN 1 ELSE 0 END) AS new_users,
+           sum(CASE WHEN f.first_d < a.d THEN 1 ELSE 0 END)
+             AS returning_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY a.d
+    ORDER BY a.d
+    """,
+    tags=("experiment", "timeseries", "agg"),
+)
+def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting split: daily active users decomposed into
+    first-ever-seen (new) vs returning — all integer counts from one
+    (day, user) dedup plus a broadcastable first-seen dimension. At
+    100 TB first_seen is an incrementally-maintained table, and the
+    split is one fact-side join with no extra shuffle."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    active = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("dau"),
+            F.sum(F.when(F.col("first_d") == F.col("d"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("first_d") < F.col("d"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("d")
+    )

@@ -474,3 +474,157 @@ def hll_mergeable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("register").cast("int").alias("register")
     ).select(F.lit("__merged__").alias("grp"), "bucket", "register")
     return per_group.unionAll(merged)
+
+
+def _hll_z(keys: DataFrame) -> DataFrame:
+    """Distinct-keys frame → 1-row scalar aggregate: the harmonic-mean
+    denominator Z = Σ_buckets 2^(43 − register) as an EXACT BIGINT
+    (2^43 per empty bucket; registers ≤ 43). Keeping Z integral makes
+    the HLL estimate a single deterministic float division instead of
+    an order-dependent float sum — the same doctrine as the integer
+    money sums. Returned as a groupless aggregate so joining it is a
+    scalar broadcast in the plan."""
+    regs = hll_spine_registers(hll_bucket_rho(keys))
+    return regs.agg(
+        F.sum(
+            F.expr("CAST(power(2, 43 - register) AS BIGINT)")
+        ).alias("z"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+
+
+_HLL_EST = "0.709 * 64.0 * 64.0 * CAST(power(2, 43) AS DOUBLE)"
+
+
+@register(
+    "hll_set_intersection_estimate",
+    oracle=f"""
+    WITH va AS (SELECT DISTINCT user_id AS key FROM events
+                WHERE event_type = 'view'),
+    vb AS (SELECT DISTINCT user_id AS key FROM events
+           WHERE event_type = 'purchase'),
+    vu AS (SELECT key FROM va UNION SELECT key FROM vb),
+    reg AS (
+      SELECT st.tag, st.b AS bucket,
+             CAST(coalesce(max(r.rho), 0) AS INT) AS register
+      FROM (SELECT s.tag, t.b
+            FROM (VALUES ('a'), ('b'), ('u')) s(tag),
+                 range({HLL_M}) t(b)) st
+      LEFT JOIN (
+        SELECT tag,
+               h % {HLL_M} AS bucket,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                    ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+               END AS rho
+        FROM (
+          SELECT 'a' AS tag, ('0x' || substr(md5('hll|' ||
+                   CAST(key AS VARCHAR)), 1, 12))::BIGINT AS h FROM va
+          UNION ALL
+          SELECT 'b', ('0x' || substr(md5('hll|' ||
+                   CAST(key AS VARCHAR)), 1, 12))::BIGINT FROM vb
+          UNION ALL
+          SELECT 'u', ('0x' || substr(md5('hll|' ||
+                   CAST(key AS VARCHAR)), 1, 12))::BIGINT FROM vu
+        )
+      ) r ON r.tag = st.tag AND r.bucket = st.b
+      GROUP BY st.tag, st.b
+    ),
+    z AS (
+      SELECT tag,
+             CAST(sum(CAST(power(2, 43 - register) AS BIGINT)) AS BIGINT)
+               AS z,
+             CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v
+      FROM reg GROUP BY tag
+    ),
+    wide AS (
+      SELECT max(CASE WHEN tag = 'a' THEN z END) AS za,
+             max(CASE WHEN tag = 'b' THEN z END) AS zb,
+             max(CASE WHEN tag = 'u' THEN z END) AS zu,
+             max(CASE WHEN tag = 'a' THEN v END) AS va0,
+             max(CASE WHEN tag = 'b' THEN v END) AS vb0,
+             max(CASE WHEN tag = 'u' THEN v END) AS vu0
+      FROM z
+    ),
+    -- standard HLL small-range fix: raw <= 2.5m with empty buckets ->
+    -- linear counting m*ln(m/V)
+    corr AS (
+      SELECT
+        CASE WHEN {_HLL_EST} / za <= 160.0 AND va0 > 0
+             THEN 64.0 * ln(64.0 / va0) ELSE {_HLL_EST} / za END AS ea,
+        CASE WHEN {_HLL_EST} / zb <= 160.0 AND vb0 > 0
+             THEN 64.0 * ln(64.0 / vb0) ELSE {_HLL_EST} / zb END AS eb,
+        CASE WHEN {_HLL_EST} / zu <= 160.0 AND vu0 > 0
+             THEN 64.0 * ln(64.0 / vu0) ELSE {_HLL_EST} / zu END AS eu
+      FROM wide
+    )
+    SELECT (SELECT count(*) FROM va) AS exact_a,
+           (SELECT count(*) FROM vb) AS exact_b,
+           (SELECT count(*) FROM va JOIN vb USING (key)) AS exact_inter,
+           round(ea, 6) AS est_a,
+           round(eb, 6) AS est_b,
+           round(ea + eb - eu, 6) AS est_inter
+    FROM corr
+    """,
+    tags=("sketch", "approx", "setop", "agg"),
+)
+def hll_set_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate |viewers ∩ purchasers| by
+    inclusion-exclusion over three HLL sketches (|A|+|B|−|A∪B|) beside
+    the exact semijoin counts — the pattern that answers audience-
+    overlap questions over 100 TB with 3×64 integers of state. The
+    harmonic denominators are exact BIGINTs (Σ 2^(43−register)), so
+    the raw-HLL estimates are single float divisions — hash-stable,
+    unlike a float Σ2^-r accumulation. (Raw estimator, no
+    linear-counting correction — documented, tests bound the error.)"""
+    from ..sources.fixtures import load_table as _lt
+
+    e = load_table_events = _lt(spark, sf_dir, "events")
+    va = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    vb = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    vu = va.union(vb).distinct()
+    za = _hll_z(va).select(F.col("z").alias("za"), F.col("v").alias("va0"))
+    zb = _hll_z(vb).select(F.col("z").alias("zb"), F.col("v").alias("vb0"))
+    zu = _hll_z(vu).select(F.col("z").alias("zu"), F.col("v").alias("vu0"))
+    na = va.agg(F.count("*").alias("exact_a"))
+    nb = vb.agg(F.count("*").alias("exact_b"))
+    inter = va.join(vb, "key").agg(F.count("*").alias("exact_inter"))
+    est = F.lit(0.709 * 64.0 * 64.0) * F.expr("CAST(power(2, 43) AS DOUBLE)")
+
+    def corrected(zc, vc):
+        # standard HLL small-range fix: raw <= 2.5m and empty buckets
+        # exist -> linear counting m*ln(m/V); both branches are single
+        # deterministic float expressions over exact integers
+        raw = est / F.col(zc)
+        return F.when(
+            (raw <= 160.0) & (F.col(vc) > 0),
+            64.0 * F.log(64.0 / F.col(vc)),
+        ).otherwise(raw)
+    return (
+        za.crossJoin(F.broadcast(zb))
+        .crossJoin(F.broadcast(zu))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            F.round(corrected("za", "va0"), 6).alias("est_a"),
+            F.round(corrected("zb", "vb0"), 6).alias("est_b"),
+            F.round(
+                corrected("za", "va0")
+                + corrected("zb", "vb0")
+                - corrected("zu", "vu0"),
+                6,
+            ).alias("est_inter"),
+        )
+    )

@@ -294,3 +294,28 @@ def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
         ltvs = [m.cum_ltv_per_user for m in members]
         assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
         assert all(m.week_idx >= 0 for m in members)
+
+
+def test_with_ties_includes_full_tie_group(spark, sf_dir):
+    rows = X.top_orders_with_ties(spark, sf_dir).collect()
+    assert len(rows) >= 10
+    # every price at the boundary rank appears fully: rank gaps follow
+    # tie-group sizes
+    from collections import Counter
+
+    by_rank = Counter(r.rnk for r in rows)
+    seen = 1
+    for rnk in sorted(by_rank):
+        assert rnk == seen
+        seen += by_rank[rnk]
+
+
+def test_dau_split_partitions(spark, sf_dir):
+    rows = X.dau_new_vs_returning(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau == r.new_users + r.returning_users
+    # all users are new on day 1; new-user counts sum to user total
+    assert rows[0].returning_users == 0
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r.new_users for r in rows) == e.select("user_id").distinct().count()

@@ -138,3 +138,19 @@ def test_containment_catches_doc_in_doc_where_jaccard_cannot(spark):
     jac = inter / (n_short + n_long - inter)
     assert cont >= 0.9  # the short doc is (almost) fully contained
     assert jac < 0.2    # Jaccard would never flag this pair
+
+
+def test_hll_intersection_estimate_error_bounded(spark, sf_dir):
+    """Raw-HLL inclusion-exclusion: each set estimate within ~3 std
+    errors (1.04/sqrt(64) ≈ 13% per sketch) of exact; the intersection
+    (difference of three estimates) gets a looser additive bound."""
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        hll_set_intersection_estimate,
+    )
+
+    r = hll_set_intersection_estimate(spark, sf_dir).collect()[0]
+    for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b)):
+        assert abs(est - exact) / max(exact, 1) < 0.5
+    assert abs(r.est_inter - r.exact_inter) <= 0.5 * max(
+        r.exact_a, r.exact_b, 1
+    )
