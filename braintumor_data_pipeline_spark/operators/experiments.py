@@ -2004,3 +2004,279 @@ def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "weighted_median_price_by_qty",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT l_returnflag, c, CAST(sum(w) AS BIGINT) AS w
+      FROM vals GROUP BY l_returnflag, c
+    ),
+    cum AS (
+      SELECT l_returnflag, c,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY c)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM grid
+    )
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           round(CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS DOUBLE)
+                 / 100, 6) AS weighted_median
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+    tags=("experiment", "agg", "percentile", "window"),
+)
+def weighted_median_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per group — the order statistic
+    where half the UNITS (not half the rows) sit below. Entirely
+    integer: the first price whose cumulative weight reaches half the
+    total (2·cw ≥ tw avoids any division). Cumulative window runs over
+    the (group, price)-grid aggregate, partitioned by group."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    grid = vals.groupBy("l_returnflag", "c").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("l_returnflag").orderBy("c")
+    wall = Window.partitionBy("l_returnflag")
+    cum = grid.select(
+        "l_returnflag",
+        "c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("c"))
+            ).cast("double")
+            / 100,
+            6,
+        ).alias("weighted_median"),
+    )
+
+
+@register(
+    "string_agg_top_suppliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_name, s_name, s_acctbal,
+             row_number() OVER (
+               PARTITION BY n_name
+               ORDER BY round(s_acctbal * 100) DESC, s_name
+             ) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           count(*) AS n_top,
+           string_agg(s_name, '|' ORDER BY rn) AS top_suppliers
+    FROM ranked
+    WHERE rn <= 3
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("experiment", "agg", "string", "window"),
+)
+def string_agg_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per nation,
+    the top-3 suppliers by account balance joined into one
+    '|'-separated string — the report-friendly denormalization
+    surface. Order inside the aggregate is pinned (balance cents desc,
+    name) so the concatenated value is engine-identical; Spark builds
+    it as sort_array(collect_list(struct(rn, name))) → transform →
+    concat_ws, the shuffle-safe ordered-collect idiom."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc(F.round(F.col("s_acctbal") * 100)), "s_name"
+    )
+    ranked = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("rn"), F.col("s_name")))
+                    ),
+                    lambda x: x["s_name"],
+                ),
+            ).alias("top_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "hash_key_collision_audit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    widths AS (SELECT unnest([4, 6, 8]) AS w),
+    hashed AS (
+      SELECT w.w,
+             substring(md5(CAST(k AS VARCHAR)), 1, w.w) AS h
+      FROM keys, widths w
+    )
+    SELECT CAST(w AS INTEGER) AS prefix_hex_chars,
+           count(*) AS n_keys,
+           count(DISTINCT h) AS n_distinct_hashes,
+           count(*) - count(DISTINCT h) AS n_collisions
+    FROM hashed
+    GROUP BY w
+    ORDER BY w
+    """,
+    tags=("experiment", "quality", "agg"),
+)
+def hash_key_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key safety audit: how many collisions a truncated
+    md5 key would cause at 4/6/8 hex chars — the birthday-problem
+    check to run BEFORE adopting short hash keys on a 100 TB join
+    (8 hex = 32 bits collides around 2^16 keys). Pure counts; the
+    width fan-out is a projection explode, one distinct-agg per
+    width."""
+    o = _t(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    hashed = keys.select(
+        F.explode(F.array(F.lit(4), F.lit(6), F.lit(8))).alias("w"),
+        F.md5(F.col("k").cast("string")).alias("full"),
+    ).select("w", F.expr("substring(full, 1, w)").alias("h"))
+    return (
+        hashed.groupBy("w")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.countDistinct("h").alias("n_distinct_hashes"),
+            (F.count("*") - F.countDistinct("h")).alias("n_collisions"),
+        )
+        .select(
+            F.col("w").cast("int").alias("prefix_hex_chars"),
+            "n_keys",
+            "n_distinct_hashes",
+            "n_collisions",
+        )
+        .orderBy("prefix_hex_chars")
+    )
+
+
+@register(
+    "xcorr_views_purchases_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nv,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             CAST(sum(nv) AS BIGINT) AS sv,
+             CAST(sum(np) AS BIGINT) AS sp
+      FROM daily
+    ),
+    dev AS (
+      SELECT d,
+             CAST(n AS BIGINT) * nv - sv AS dv,
+             CAST(n AS BIGINT) * np - sp AS dp
+      FROM daily, tot
+    ),
+    num AS (
+      SELECT l.lag_k,
+             CAST(sum(CAST(a.dv AS DECIMAL(38,0))
+                      * CAST(b.dp AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS num
+      FROM (VALUES (-2), (-1), (0), (1), (2)) l(lag_k)
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.d = a.d + to_days(CAST(l.lag_k AS INTEGER))
+      GROUP BY l.lag_k
+    ),
+    den AS (
+      SELECT sqrt(CAST((SELECT CAST(sum(CAST(dv AS DECIMAL(38,0))
+                                     * CAST(dv AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) FROM dev) AS DOUBLE)
+                  * CAST((SELECT CAST(sum(CAST(dp AS DECIMAL(38,0))
+                                          * CAST(dp AS DECIMAL(38,0)))
+                               AS DECIMAL(38,0)) FROM dev) AS DOUBLE))
+        AS den
+    )
+    SELECT CAST(lag_k AS INTEGER) AS lag_k,
+           round(CAST(num AS DOUBLE) / den, 6) AS xcorr
+    FROM num, den
+    ORDER BY lag_k
+    """,
+    tags=("experiment", "timeseries", "stats"),
+)
+def xcorr_views_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily view and purchase
+    counts (lags −2..+2): does view volume LEAD purchase volume? Same
+    exact fixed-point recipe as the ACF — scaled integer deviations
+    (n·x − S), DECIMAL(38,0) product sums, one sqrt/division at the
+    end — so the lead-lag profile is engine-identical. Joins and
+    windows touch only the ~30-row daily aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "np"
+        ),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("nv").alias("sv"), F.sum("np").alias("sp")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (F.col("n") * F.col("nv") - F.col("sv")).alias("dv"),
+        (F.col("n") * F.col("np") - F.col("sp")).alias("dp"),
+    )
+    a = dev.select(
+        "d",
+        "dv",
+        F.explode(F.array(*[F.lit(k) for k in range(-2, 3)])).alias("lag_k"),
+    ).alias("a")
+    b = dev.alias("b")
+    num = (
+        a.join(b, F.col("b.d") == F.expr("date_add(a.d, lag_k)"))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(
+                F.col("a.dv").cast("decimal(38,0)")
+                * F.col("b.dp").cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    den = dev.agg(
+        F.sqrt(
+            F.sum(
+                F.col("dv").cast("decimal(38,0)") * F.col("dv").cast("decimal(38,0)")
+            ).cast("double")
+            * F.sum(
+                F.col("dp").cast("decimal(38,0)") * F.col("dp").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("den")
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag_k").cast("int").alias("lag_k"),
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("xcorr"),
+        )
+        .orderBy("lag_k")
+    )

@@ -319,3 +319,44 @@ def test_dau_split_partitions(spark, sf_dir):
     assert rows[0].returning_users == 0
     e = load_table(spark, sf_dir, "events")
     assert sum(r.new_users for r in rows) == e.select("user_id").distinct().count()
+
+
+def test_weighted_median_between_minmax(spark, sf_dir):
+    rows = X.weighted_median_price_by_qty(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = {
+        r[0]: (r[1], r[2])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice"), F.max("l_extendedprice"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = rng[r.l_returnflag]
+        assert lo <= r.weighted_median <= hi
+        assert r.total_weight > 0
+
+
+def test_string_agg_shapes(spark, sf_dir):
+    rows = X.string_agg_top_suppliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        parts = r.top_suppliers.split("|")
+        assert len(parts) == r.n_top <= 3
+        assert all(p.startswith("Supplier") for p in parts)
+
+
+def test_hash_collision_monotone_in_width(spark, sf_dir):
+    rows = X.hash_key_collision_audit(spark, sf_dir).collect()
+    assert [r.prefix_hex_chars for r in rows] == [4, 6, 8]
+    # wider prefixes can only reduce collisions
+    colls = [r.n_collisions for r in rows]
+    assert colls[0] >= colls[1] >= colls[2] >= 0
+    assert all(r.n_keys == rows[0].n_keys for r in rows)
+
+
+def test_xcorr_bounded_and_complete(spark, sf_dir):
+    rows = X.xcorr_views_purchases_daily(spark, sf_dir).collect()
+    assert [r.lag_k for r in rows] == [-2, -1, 0, 1, 2]
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.xcorr <= 1.0 + 1e-6
