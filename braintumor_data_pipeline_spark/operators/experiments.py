@@ -2280,3 +2280,79 @@ def xcorr_views_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+@register(
+    "cep_view_click_purchase_chain",
+    oracle="""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'purchase'),
+    qual_clicks AS (
+      -- clicks preceded by a view within 5 minutes (EXISTS, per user)
+      SELECT DISTINCT c.user_id, c.t
+      FROM c JOIN v ON v.user_id = c.user_id
+                   AND v.t <= c.t AND c.t - v.t <= 300000000
+    ),
+    matches AS (
+      -- purchases preceded by a qualifying click within 1 hour
+      SELECT DISTINCT p.user_id, p.event_id
+      FROM p JOIN qual_clicks q
+        ON q.user_id = p.user_id
+       AND q.t <= p.t AND p.t - q.t <= 3600000000
+    )
+    SELECT count(*) AS n_matches,
+           count(DISTINCT user_id) AS n_users_matched,
+           (SELECT count(*) FROM p) AS n_purchases_total
+    FROM matches
+    """,
+    tags=("experiment", "cep", "join", "timeseries"),
+)
+def cep_view_click_purchase_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped complex-event pattern: purchases whose
+    user chained view →(≤5 min) click →(≤1 h) purchase — the funnel
+    with per-step time constraints that plain funnels ignore. Each
+    step is a user-keyed equi-join with a band predicate (shuffle on
+    user_id, never a nested loop), deduplicated per step so a burst of
+    views doesn't multiply matches. Exact epoch-microsecond integers
+    throughout."""
+    e = _t(spark, sf_dir, "events")
+
+    def typed(t: str, *extra: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select(
+            "user_id", F.unix_micros("ts").alias("t"), *extra
+        )
+
+    v = typed("view")
+    c = typed("click")
+    p = typed("purchase", "event_id")
+    qual_clicks = (
+        c.alias("c")
+        .join(
+            v.alias("v"),
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("v.t") <= F.col("c.t"))
+            & (F.col("c.t") - F.col("v.t") <= 300000000),
+        )
+        .select(F.col("c.user_id").alias("user_id"), F.col("c.t").alias("t"))
+        .distinct()
+    )
+    matches = (
+        p.alias("p")
+        .join(
+            qual_clicks.alias("q"),
+            (F.col("q.user_id") == F.col("p.user_id"))
+            & (F.col("q.t") <= F.col("p.t"))
+            & (F.col("p.t") - F.col("q.t") <= 3600000000),
+        )
+        .select(F.col("p.user_id").alias("user_id"), F.col("p.event_id").alias("event_id"))
+        .distinct()
+    )
+    totals = p.agg(F.count("*").alias("n_purchases_total"))
+    return matches.agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users_matched"),
+    ).crossJoin(F.broadcast(totals))

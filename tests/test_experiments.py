@@ -360,3 +360,8 @@ def test_xcorr_bounded_and_complete(spark, sf_dir):
     assert [r.lag_k for r in rows] == [-2, -1, 0, 1, 2]
     for r in rows:
         assert -1.0 - 1e-6 <= r.xcorr <= 1.0 + 1e-6
+
+
+def test_cep_chain_subset_of_purchases(spark, sf_dir):
+    r = X.cep_view_click_purchase_chain(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_users_matched <= r.n_matches <= r.n_purchases_total
