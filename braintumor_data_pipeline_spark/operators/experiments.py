@@ -2356,3 +2356,241 @@ def cep_view_click_purchase_chain(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_matches"),
         F.countDistinct("user_id").alias("n_users_matched"),
     ).crossJoin(F.broadcast(totals))
+
+
+@register(
+    "diff_in_diff_purchase_value",
+    oracle=f"""
+    WITH mid AS (
+      SELECT min(epoch_us(ts))
+             + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    cells AS (
+      SELECT {_ARM_SQL} AS arm,
+             CASE WHEN epoch_us(ts) < mid_us THEN 0 ELSE 1 END AS period,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events, mid
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' AND period = 0 THEN s END) AS sa0,
+        max(CASE WHEN arm = 'A' AND period = 0 THEN n END) AS na0,
+        max(CASE WHEN arm = 'A' AND period = 1 THEN s END) AS sa1,
+        max(CASE WHEN arm = 'A' AND period = 1 THEN n END) AS na1,
+        max(CASE WHEN arm = 'B' AND period = 0 THEN s END) AS sb0,
+        max(CASE WHEN arm = 'B' AND period = 0 THEN n END) AS nb0,
+        max(CASE WHEN arm = 'B' AND period = 1 THEN s END) AS sb1,
+        max(CASE WHEN arm = 'B' AND period = 1 THEN n END) AS nb1
+      FROM cells
+    )
+    SELECT round(CAST(sa0 AS DOUBLE) / na0 / 100, 6) AS mean_a_pre,
+           round(CAST(sa1 AS DOUBLE) / na1 / 100, 6) AS mean_a_post,
+           round(CAST(sb0 AS DOUBLE) / nb0 / 100, 6) AS mean_b_pre,
+           round(CAST(sb1 AS DOUBLE) / nb1 / 100, 6) AS mean_b_post,
+           round((CAST(sa1 AS DOUBLE) / na1 - CAST(sa0 AS DOUBLE) / na0
+                  - (CAST(sb1 AS DOUBLE) / nb1 - CAST(sb0 AS DOUBLE) / nb0))
+                 / 100, 6) AS did_estimate
+    FROM wide
+    """,
+    tags=("experiment", "stats", "causal", "agg"),
+)
+def diff_in_diff_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in mean purchase value of
+    arm A across the stream's half-split, net of arm B's change — the
+    workhorse causal estimator when only one group is treated. A 2×2
+    (arm, period) grid of exact integer cents sums; four divisions and
+    one subtraction on the 1-row grid."""
+    e = _t(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            ).cast("long")
+        ).alias("mid_us")
+    )
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            _arm().alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("period"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("arm", "period")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+
+    def cell(arm, period, col):
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell("A", 0, "s").alias("sa0"), cell("A", 0, "n").alias("na0"),
+        cell("A", 1, "s").alias("sa1"), cell("A", 1, "n").alias("na1"),
+        cell("B", 0, "s").alias("sb0"), cell("B", 0, "n").alias("nb0"),
+        cell("B", 1, "s").alias("sb1"), cell("B", 1, "n").alias("nb1"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return wide.select(
+        F.round(m("sa0", "na0") / 100, 6).alias("mean_a_pre"),
+        F.round(m("sa1", "na1") / 100, 6).alias("mean_a_post"),
+        F.round(m("sb0", "nb0") / 100, 6).alias("mean_b_pre"),
+        F.round(m("sb1", "nb1") / 100, 6).alias("mean_b_post"),
+        F.round(
+            (m("sa1", "na1") - m("sa0", "na0") - (m("sb1", "nb1") - m("sb0", "nb0")))
+            / 100,
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    ma AS (
+      SELECT d, cents,
+             CAST(sum(cents) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS win_sum,
+             CAST(count(*) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS win_n
+      FROM daily
+    )
+    SELECT d,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+           CAST(win_sum AS BIGINT) AS trend7_sum_cents,
+           CAST(win_n AS BIGINT) AS trend7_n,
+           -- residual vs the centered MA, carried EXACTLY scaled by
+           -- the window size: win_n*y - win_sum (full 7 only interior)
+           CAST(win_n * cents - win_sum AS BIGINT) AS resid_scaled_cents
+    FROM ma
+    ORDER BY d
+    """,
+    tags=("experiment", "timeseries", "window"),
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition scaffold: per day, revenue, the centered
+    7-day moving-window trend carried as an EXACT (sum, count) pair,
+    and the detrended residual scaled by the window size
+    (win_n·y − win_sum — no float division inside the data path, so
+    every column is integer-exact; trend = sum/n is one client-side
+    division). The window is a ROWS frame over the ~30-row daily
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w7 = Window.partitionBy().orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w7).alias("win_sum"),
+        F.count("*").over(w7).alias("win_n"),
+    )
+    return ma.select(
+        "d",
+        F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+        F.col("win_sum").alias("trend7_sum_cents"),
+        F.col("win_n").alias("trend7_n"),
+        (F.col("win_n") * F.col("cents") - F.col("win_sum")).alias(
+            "resid_scaled_cents"
+        ),
+    ).orderBy("d")
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    firsts AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM tok GROUP BY token
+    ),
+    doc_tokens AS (
+      SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    checkpoints AS (
+      SELECT CAST(max(doc_id) * k // 10 AS BIGINT) AS cp
+      FROM doc_tokens, (SELECT unnest([2, 4, 6, 8, 10]) AS k)
+      GROUP BY k
+    )
+    SELECT cp AS checkpoint_doc,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_tokens
+            WHERE doc_id <= cp) AS total_tokens,
+           (SELECT count(*) FROM firsts WHERE first_doc <= cp) AS vocab
+    FROM checkpoints
+    ORDER BY cp
+    """,
+    tags=("experiment", "text", "agg"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: at 5 corpus checkpoints (by
+    doc_id prefix), the total token count vs the distinct-vocabulary
+    size — the diagnostic that says whether a crawl is still finding
+    new language or re-crawling itself (vocab ~ tokens^β, β≈0.5 for
+    natural text). The trick that makes it one pass instead of 5
+    distinct-counts: a token is in the prefix-vocab iff its FIRST
+    document is ≤ the checkpoint — min(doc_id) per token, then 5 tiny
+    conditional counts. All integers."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    max_doc = doc_tokens.agg(F.max("doc_id").alias("md"))
+    ks = (2, 4, 6, 8, 10)
+
+    def cp(k):
+        return F.floor(F.col("md") * k / 10).cast("long")
+
+    # one conditional-aggregation pass per relation (scalar broadcast of
+    # md, never a non-equi join): 5 filtered sums/counts side by side
+    tot = doc_tokens.crossJoin(F.broadcast(max_doc)).agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= cp(k), F.col("n_tok"))).alias(f"t{k}")
+            for k in ks
+        ],
+        *[F.max(cp(k)).alias(f"c{k}") for k in ks],
+    )
+    voc = firsts.crossJoin(F.broadcast(max_doc)).agg(
+        *[
+            F.sum(F.when(F.col("first_doc") <= cp(k), 1).otherwise(0)).alias(
+                f"v{k}"
+            )
+            for k in ks
+        ]
+    )
+    wide = tot.crossJoin(F.broadcast(voc))
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"c{k}").alias("checkpoint_doc"),
+                        F.col(f"t{k}").alias("total_tokens"),
+                        F.col(f"v{k}").alias("vocab"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("r")
+    ).select("r.checkpoint_doc", "r.total_tokens", "r.vocab").orderBy(
+        "checkpoint_doc"
+    )

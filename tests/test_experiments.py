@@ -365,3 +365,33 @@ def test_xcorr_bounded_and_complete(spark, sf_dir):
 def test_cep_chain_subset_of_purchases(spark, sf_dir):
     r = X.cep_view_click_purchase_chain(spark, sf_dir).collect()[0]
     assert 0 <= r.n_users_matched <= r.n_matches <= r.n_purchases_total
+
+
+def test_did_consistent_with_cell_means(spark, sf_dir):
+    r = X.diff_in_diff_purchase_value(spark, sf_dir).collect()[0]
+    expect = (r.mean_a_post - r.mean_a_pre) - (r.mean_b_post - r.mean_b_pre)
+    assert abs(r.did_estimate - expect) < 1e-5
+
+
+def test_seasonal_decompose_window_algebra(spark, sf_dir):
+    rows = X.seasonal_decompose_daily(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 4 <= r.trend7_n <= 7  # edges shrink, interior full
+        # resid identity: win_n*y - win_sum
+        y_cents = round(r.revenue * 100)
+        assert r.resid_scaled_cents == r.trend7_n * y_cents - r.trend7_sum_cents
+    # interior days have full windows
+    assert sum(1 for r in rows if r.trend7_n == 7) == len(rows) - 6
+
+
+def test_heaps_growth_monotone_concave(spark, sf_dir):
+    rows = X.heaps_vocab_growth(spark, sf_dir).collect()
+    assert len(rows) == 5
+    toks = [r.total_tokens for r in rows]
+    vocab = [r.vocab for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    assert all(v <= t for v, t in zip(vocab, toks))
+    # sub-linear growth: vocab/token ratio decreases as corpus grows
+    ratios = [v / t for v, t in zip(vocab, toks)]
+    assert ratios[0] >= ratios[-1]
