@@ -2594,3 +2594,189 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.checkpoint_doc", "r.total_tokens", "r.vocab").orderBy(
         "checkpoint_doc"
     )
+
+
+@register(
+    "daily_value_percentile_bands",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    grid AS (
+      SELECT d, c, count(*) AS cnt FROM cents GROUP BY d, c
+    ),
+    cum AS (
+      SELECT d, c,
+             CAST(sum(cnt) OVER (PARTITION BY d ORDER BY c) AS BIGINT)
+               AS cw,
+             CAST(sum(cnt) OVER (PARTITION BY d) AS BIGINT) AS n
+      FROM grid
+    )
+    SELECT d,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(CAST(min(CASE WHEN cw >= (1 * n + 9) // 10 THEN c END)
+                      AS DOUBLE) / 100, 6) AS p10,
+           round(CAST(min(CASE WHEN cw >= (n + 1) // 2 THEN c END)
+                      AS DOUBLE) / 100, 6) AS p50,
+           round(CAST(min(CASE WHEN cw >= (9 * n + 9) // 10 THEN c END)
+                      AS DOUBLE) / 100, 6) AS p90
+    FROM cum
+    GROUP BY d
+    ORDER BY d
+    """,
+    tags=("experiment", "timeseries", "percentile", "window"),
+)
+def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily latency-report archetype: p10/p50/p90 of event value
+    per day as discrete order statistics — cumulative counts over the
+    per-(day, value) grid, partitioned by day (embarrassingly parallel
+    across days; no global window anywhere). Integer ranks via
+    ⌈k·n/10⌉ = (k·n+9)//10."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    grid = cents.groupBy("d", "c").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("d").orderBy("c")
+    wd = Window.partitionBy("d")
+    cum = grid.select(
+        "d",
+        "c",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wd).alias("n"),
+    )
+
+    def at_rank(num, den):
+        rank = F.floor((num * F.col("n") + den - 1) / den).cast("long")
+        return F.round(
+            F.min(F.when(F.col("cw") >= rank, F.col("c"))).cast("double") / 100, 6
+        )
+
+    return (
+        cum.groupBy("d")
+        .agg(
+            F.max("n").alias("n_events"),
+            at_rank(1, 10).alias("p10"),
+            at_rank(1, 2).alias("p50"),
+            at_rank(9, 10).alias("p90"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "event_debounce_5s",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+             ) AS prev_t
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN prev_t IS NULL OR t - prev_t > 5000000
+                    THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 5000000
+                    THEN 1 ELSE 0 END) AS n_debounced
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("experiment", "timeseries", "quality", "window"),
+)
+def event_debounce_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing — the double-click/retry-storm cleaner: an
+    event is dropped when the SAME user fired the SAME type within the
+    previous 5 s. One lag window partitioned by (user, type) with an
+    event_id tie-break, exact microsecond arithmetic; per-type
+    kept/debounced counts quantify the noise before it inflates every
+    downstream funnel."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_t"),
+    )
+    keep = F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > 5000000)
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "trimmed_mean_event_values",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cents
+    ),
+    -- drop the bottom and top 10% BY ROW RANK (ranks are integers, so
+    -- the kept band [lo+1, n-lo] is engine-identical even with ties)
+    kept AS (
+      SELECT event_type, c, n
+      FROM ranked
+      WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_total,
+           count(*) AS n_kept,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100, 6)
+             AS trimmed_mean
+    FROM kept
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("experiment", "agg", "stats", "window"),
+)
+def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per event type — the robust-location sibling of
+    the winsorized stats: the tail rows are DROPPED, not clipped. The
+    trim band is defined on integer row ranks (deterministic under
+    ties: rank ties broken by the stable value order), so membership —
+    and therefore the exact integer sum — is engine-identical."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    ranked = cents.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10).cast("long")
+    kept = ranked.filter(
+        (F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo)
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum("c").cast("double") / F.count("*") / 100, 6
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -395,3 +395,31 @@ def test_heaps_growth_monotone_concave(spark, sf_dir):
     # sub-linear growth: vocab/token ratio decreases as corpus grows
     ratios = [v / t for v, t in zip(vocab, toks)]
     assert ratios[0] >= ratios[-1]
+
+
+def test_daily_bands_ordered(spark, sf_dir):
+    rows = X.daily_value_percentile_bands(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p10 <= r.p50 <= r.p90
+        assert r.n_events > 0
+
+
+def test_debounce_partitions_events(spark, sf_dir):
+    rows = X.event_debounce_5s(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events == r.n_kept + r.n_debounced
+        assert r.n_kept >= 1
+
+
+def test_trimmed_mean_tighter_than_range(spark, sf_dir):
+    rows = X.trimmed_mean_event_values(spark, sf_dir).collect()
+    assert rows
+    wins = {r.event_type: r for r in X.winsorized_event_value_stats(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.n_kept <= r.n_total
+        assert r.n_kept >= r.n_total - 2 * (r.n_total // 10)
+        w = wins[r.event_type]
+        # trimmed mean lives within the winsorized clip band
+        assert w.lo_bound - 1e-6 <= r.trimmed_mean <= w.hi_bound + 1e-6

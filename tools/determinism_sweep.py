@@ -9,8 +9,12 @@ under deliberately different ``spark.sql.shuffle.partitions`` — in two
 separate processes (sessions can't change partition count reliably
 mid-flight for AQE'd plans) and compares canonicalized results.
 
-Usage: python tools/determinism_sweep.py [sf_dir]
-Internal: ... --worker <sf_dir> <n_partitions> <out.json> runs one pass.
+Usage: python tools/determinism_sweep.py [sf_dir] [--all]
+  --all sweeps EVERY recomputing-oracle query (the full catalog), two
+  passes (5 vs 32 shuffle partitions, AQE on) — the catalog-wide
+  stability certificate; default sweeps the PRIORITY window with a
+  third AQE-off pass.
+Internal: ... --worker <sf_dir> <n_partitions> <out.json> [aqe] [all].
 """
 
 from __future__ import annotations
@@ -36,7 +40,10 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def worker(sf_dir: str, n_part: int, out_path: str, aqe: str = "on") -> None:
+def worker(
+    sf_dir: str, n_part: int, out_path: str, aqe: str = "on",
+    scope: str = "window",
+) -> None:
     from braintumor_data_pipeline_spark import registry
     from braintumor_data_pipeline_spark.session import get_spark
 
@@ -45,8 +52,15 @@ def worker(sf_dir: str, n_part: int, out_path: str, aqe: str = "on") -> None:
         shuffle_partitions=n_part,
         extra_conf={"spark.sql.adaptive.enabled": str(aqe == "on").lower()},
     )
+    specs = registry.all_queries()
+    if scope == "all":
+        names = [
+            n for n, sp in specs.items() if sp.oracle and not sp.pinned_sf
+        ]
+    else:
+        names = list(registry.PRIORITY)
     results = {}
-    for name in registry.PRIORITY:
+    for name in names:
         spec = registry.all_queries()[name]
         df = spec.fn(spark, sf_dir)
         results[name] = canon([tuple(r) for r in df.collect()], df.columns)
@@ -55,9 +69,14 @@ def worker(sf_dir: str, n_part: int, out_path: str, aqe: str = "on") -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    scope = "all" if "--all" in sys.argv[1:] else "window"
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     tmp = tempfile.mkdtemp(prefix="determinism_")
-    passes = [(5, "on"), (32, "on"), (17, "off")]  # AQE off = driver-env proxy
+    if scope == "all":
+        passes = [(5, "on"), (32, "on")]
+    else:
+        passes = [(5, "on"), (32, "on"), (17, "off")]  # AQE off = driver proxy
     outs = []
     for n_part, aqe in passes:
         out = os.path.join(tmp, f"pass_{n_part}_{aqe}.json")
@@ -65,7 +84,7 @@ def main() -> int:
         rc = subprocess.call(
             [
                 sys.executable, __file__, "--worker",
-                sf_dir, str(n_part), out, aqe,
+                sf_dir, str(n_part), out, aqe, scope,
             ]
         )
         if rc != 0:
@@ -91,6 +110,7 @@ if __name__ == "__main__":
             int(sys.argv[3]),
             sys.argv[4],
             sys.argv[5] if len(sys.argv) > 5 else "on",
+            sys.argv[6] if len(sys.argv) > 6 else "window",
         )
     else:
         raise SystemExit(main())
