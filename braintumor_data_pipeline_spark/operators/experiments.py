@@ -2780,3 +2780,139 @@ def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_explosion_audit",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS k, count(*) AS ca
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT o_orderkey AS k, count(*) AS cb
+      FROM orders GROUP BY o_orderkey
+    ),
+    j AS (
+      SELECT a.k, CAST(a.ca AS BIGINT) * b.cb AS fanout
+      FROM a JOIN b USING (k)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_right,
+           CAST(sum(fanout) AS BIGINT) AS join_output_rows,
+           CAST(max(fanout) AS BIGINT) AS max_key_fanout,
+           CAST(count(*) AS BIGINT) AS n_matching_keys
+    FROM j
+    """,
+    tags=("experiment", "join", "ops", "agg"),
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join blast-radius audit: the EXACT output cardinality of
+    lineitem ⋈ orders computed WITHOUT running the join —
+    Σ_k cA(k)·cB(k) over the two per-key count aggregates, plus the
+    hottest key's fan-out. At 100 TB this costs two cheap rollups and
+    prevents the one query that would have produced 10^13 rows; the
+    same relation feeds skew diagnosis (max_key_fanout) and broadcast
+    decisions (n_matching_keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    j = a.join(b, "k").select(
+        "k", (F.col("ca").cast("long") * F.col("cb")).alias("fanout")
+    )
+    la = li.agg(F.count("*").alias("rows_left"))
+    ra = o.agg(F.count("*").alias("rows_right"))
+    return (
+        j.agg(
+            F.sum("fanout").alias("join_output_rows"),
+            F.max("fanout").alias("max_key_fanout"),
+            F.count("*").alias("n_matching_keys"),
+        )
+        .crossJoin(F.broadcast(la))
+        .crossJoin(F.broadcast(ra))
+        .select(
+            "rows_left",
+            "rows_right",
+            "join_output_rows",
+            "max_key_fanout",
+            "n_matching_keys",
+        )
+    )
+
+
+@register(
+    "survivorship_golden_record",
+    oracle="""
+    WITH norm AS (
+      -- MDM blocking key: first two tokens + a 50-char length bucket
+      -- (exact-dup md5 of full text yields no clusters on this corpus;
+      -- blocking is also the real-world first stage of survivorship)
+      SELECT doc_id, n_chars, lang, source,
+             md5(lower(string_split(text, ' ')[1] || ' '
+                       || string_split(text, ' ')[2])
+                 || '|' || CAST(n_chars // 50 AS VARCHAR)) AS ckey
+      FROM documents
+    ),
+    clusters AS (
+      SELECT ckey FROM norm GROUP BY ckey HAVING count(*) > 1
+    )
+    SELECT n.ckey AS cluster_key,
+           count(*) AS cluster_size,
+           -- survivorship: longest text wins, ties to lowest doc_id
+           CAST(min(CASE WHEN (n.n_chars, -n.doc_id) >= ALL (
+                  SELECT (n2.n_chars, -n2.doc_id) FROM norm n2
+                  WHERE n2.ckey = n.ckey)
+                THEN n.doc_id END) AS BIGINT) AS survivor_doc,
+           CAST(max(n.n_chars) AS BIGINT) AS survivor_chars
+    FROM norm n JOIN clusters c ON n.ckey = c.ckey
+    GROUP BY n.ckey
+    ORDER BY n.ckey
+    """,
+    tags=("experiment", "dedup", "mdm", "agg"),
+)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: within each exact-duplicate cluster
+    (md5 of normalized text), elect the golden record by a
+    MULTI-CRITERIA rule — longest text wins, ties broken by lowest
+    doc_id — over clusters formed by an MDM blocking key (first two
+    normalized tokens + length bucket), expressed as one
+    max-of-struct aggregate
+    (max(struct(n_chars, −doc_id))), the associative/commutative form
+    that merges correctly across partitions. The cluster relation is
+    the same shuffle as exact dedup; no window, no self-join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    norm = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat(
+                F.lower(
+                    F.concat(
+                        toks.getItem(0), F.lit(" "), toks.getItem(1)
+                    )
+                ),
+                F.lit("|"),
+                F.floor(F.col("n_chars") / 50).cast("long").cast("string"),
+            )
+        ).alias("ckey"),
+    )
+    agg = norm.groupBy("ckey").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd")
+            )
+        ).alias("best"),
+    )
+    return (
+        agg.filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("ckey").alias("cluster_key"),
+            "cluster_size",
+            (-F.col("best.nd")).alias("survivor_doc"),
+            F.col("best.nc").alias("survivor_chars"),
+        )
+        .orderBy("cluster_key")
+    )

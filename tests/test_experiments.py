@@ -423,3 +423,21 @@ def test_trimmed_mean_tighter_than_range(spark, sf_dir):
         w = wins[r.event_type]
         # trimmed mean lives within the winsorized clip band
         assert w.lo_bound - 1e-6 <= r.trimmed_mean <= w.hi_bound + 1e-6
+
+
+def test_join_explosion_matches_actual_join(spark, sf_dir):
+    r = X.join_explosion_audit(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert r.join_output_rows == actual
+    assert r.max_key_fanout >= 1
+    assert r.n_matching_keys <= min(r.rows_left, r.rows_right)
+
+
+def test_survivorship_elects_longest_then_lowest(spark, sf_dir):
+    rows = X.survivorship_golden_record(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.survivor_chars > 0
