@@ -280,6 +280,7 @@ def _load_all() -> None:
     from .sources import jsonl as _jsonl  # noqa: F401
     from .sources import orc_io as _orc_io  # noqa: F401
     from .sources import generator as _generator  # noqa: F401
+    from .sources import textdir as _textdir  # noqa: F401
     from .sources import maintenance as _maintenance  # noqa: F401
     from .streaming import events as _events  # noqa: F401
 

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from .fixtures import load_table as _t
+from .textdir import read_text_dir, write_text_dir
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -117,4 +118,54 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(chk).alias("checksum"),
+    )
+
+
+@register(
+    "textdir_corpus_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || text
+                ), 1, 10))::BIGINT) AS BIGINT) AS checksum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("source", "text", "agg"),
+)
+def textdir_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one-file-per-doc text tree (executor-side writes,
+    hive-style lang= buckets) → wholetext read-back → per-lang count,
+    char total, and additive md5(doc_id|text) checksum. The oracle
+    computes the identical aggregate from the ORIGINAL parquet: a hash
+    match certifies every byte of every document survived the
+    filesystem round trip and the path metadata reconstructed doc_id
+    and lang exactly."""
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(tempfile.gettempdir(), "braintumor_textdir", tag)
+    docs = _t(spark, sf_dir, "documents")
+    write_text_dir(docs, path)
+    back = read_text_dir(spark, path)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(chk).alias("checksum"),
+        )
+        .orderBy("lang")
     )

@@ -186,3 +186,23 @@ class TestDenseIds:
                 for r in ix.dense_ids(docs, "lang", "doc_id").collect()
             }
             assert got == base, f"span={span} changed ids"
+
+
+def test_textdir_roundtrip_identity(spark, sf_dir):
+    """Every doc survives the one-file-per-doc tree byte-for-byte."""
+    import os
+    import tempfile
+
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.sources.textdir import (
+        read_text_dir,
+        write_text_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(), "txt")
+    write_text_dir(docs, path)
+    back = read_text_dir(spark, path)
+    orig = {(r.doc_id, r.lang, r.text) for r in docs.select("doc_id", "lang", "text").collect()}
+    got = {(r.doc_id, r.lang, r.text) for r in back.collect()}
+    assert got == orig
