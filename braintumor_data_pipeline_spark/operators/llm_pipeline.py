@@ -941,3 +941,130 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("long").alias("k"), "cells_below_k",
                 "docs_below_k")
     )
+
+
+@register(
+    "linear_quality_classifier_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    feat AS (
+      -- hashing trick: token → one of 1024 feature buckets
+      SELECT doc_id,
+             ('0x' || substr(md5('feat|' || token), 1, 6))::BIGINT % 1024
+               AS bucket,
+             count(*) AS tf
+      FROM tok GROUP BY doc_id, ('0x' || substr(md5('feat|' || token),
+                                 1, 6))::BIGINT % 1024
+    ),
+    -- deterministic dyadic weights in [-128, 127]/256: exact in binary,
+    -- so tf·w sums have no float rounding at all
+    weighted AS (
+      SELECT doc_id,
+             CAST(sum(tf * ((('0x' || substr(md5('w|' ||
+                      CAST(bucket AS VARCHAR)), 1, 4))::BIGINT % 256)
+                      - 128)) AS BIGINT) AS raw256,
+             CAST(sum(tf) AS BIGINT) AS n_tok
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           round(CAST(raw256 AS DOUBLE) / 256 / n_tok, 6) AS score,
+           CAST(CASE WHEN CAST(raw256 AS DOUBLE) / 256 / n_tok > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM weighted
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "classifier", "agg"),
+)
+def linear_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing (the fastText-classifier
+    stage of CCNet/RefinedWeb-style pipelines) as pure engine algebra:
+    hashing-trick features (md5 → 1024 buckets), a broadcast-scale
+    linear model whose weights here are md5-derived dyadic rationals
+    (k/256 — EXACT in binary, so the dot product is an integer sum;
+    swap in real trained weights as a 1024-row broadcast table and the
+    plan is unchanged), per-doc mean-pooled score and a keep/drop
+    decision. Two partial-aggregable shuffles; the model never leaves
+    the closure."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("feat|"), F.col("token"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 1024
+    )
+    feat = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("tf")
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    ) - 128
+    weighted = feat.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * weight).alias("raw256"),
+        F.sum("tf").alias("n_tok"),
+    )
+    score = F.col("raw256").cast("double") / 256 / F.col("n_tok")
+    return weighted.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.when(score > 0, 1).otherwise(0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "table_catalog_report",
+    oracle="""
+    SELECT 'customer' AS tbl, count(*) AS n_rows, 5 AS n_cols FROM customer
+    UNION ALL SELECT 'documents', count(*), 5 FROM documents
+    UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+    UNION ALL SELECT 'events', count(*), 6 FROM events
+    UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+    UNION ALL SELECT 'nation', count(*), 3 FROM nation
+    UNION ALL SELECT 'orders', count(*), 6 FROM orders
+    UNION ALL SELECT 'part', count(*), 6 FROM part
+    UNION ALL SELECT 'region', count(*), 2 FROM region
+    UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
+    ORDER BY tbl
+    """,
+    tags=("ops", "catalog", "agg"),
+)
+def table_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection: row and column counts for every fixture
+    table — the SHOW TABLES + DESCRIBE health report an operator runs
+    after an ingest. Column counts come from the live schemas (so a
+    fixture drift fails loudly); counts are parallel scans of parquet
+    footers (Spark answers count(*) from metadata when possible)."""
+    from ..sources.fixtures import TABLES
+
+    dfs = []
+    for t in sorted(TABLES):
+        df = _t(spark, sf_dir, t)
+        dfs.append(
+            df.agg(F.count("*").alias("n_rows")).select(
+                F.lit(t).alias("tbl"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out.orderBy("tbl")

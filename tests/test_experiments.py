@@ -441,3 +441,30 @@ def test_survivorship_elects_longest_then_lowest(spark, sf_dir):
     for r in rows:
         assert r.cluster_size >= 2
         assert r.survivor_chars > 0
+
+
+def test_linear_classifier_scores_bounded_and_deterministic(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        linear_quality_classifier_scores,
+    )
+
+    rows = linear_quality_classifier_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # weights are in [-128, 127]/256 → mean-pooled score in [-0.5, 0.5)
+        assert -0.5 - 1e-9 <= r.score <= 0.5 + 1e-9
+        assert r.keep == (1 if r.score > 0 else 0)
+    again = linear_quality_classifier_scores(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_table_catalog_counts(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        table_catalog_report,
+    )
+
+    rows = {r.tbl: r for r in table_catalog_report(spark, sf_dir).collect()}
+    assert len(rows) == 10
+    assert rows["nation"].n_rows == 25
+    assert rows["region"].n_rows == 5
+    assert all(r.n_cols >= 2 for r in rows.values())
