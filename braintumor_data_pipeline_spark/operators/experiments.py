@@ -1543,7 +1543,8 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT m.l_returnflag,
            count(*) AS n_rows,
-           sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+           CAST(sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
            round(CAST(d.med2 AS DOUBLE) / 200, 6) AS imputed_value,
            round(CAST(sum(coalesce(2 * m.c, d.med2)) AS DOUBLE) / count(*)
                  / 200, 6) AS mean_after_impute
@@ -1968,8 +1969,9 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.d,
            count(*) AS dau,
-           sum(CASE WHEN f.first_d = a.d THEN 1 ELSE 0 END) AS new_users,
-           sum(CASE WHEN f.first_d < a.d THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN f.first_d = a.d THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN f.first_d < a.d THEN 1 ELSE 0 END) AS BIGINT)
              AS returning_users
     FROM active a JOIN firsts f USING (user_id)
     GROUP BY a.d
@@ -2681,10 +2683,10 @@ def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_events,
-           sum(CASE WHEN prev_t IS NULL OR t - prev_t > 5000000
-                    THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 5000000
-                    THEN 1 ELSE 0 END) AS n_debounced
+           CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 5000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 5000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
     FROM seq
     GROUP BY event_type
     ORDER BY event_type
