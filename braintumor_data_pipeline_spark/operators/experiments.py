@@ -2918,3 +2918,88 @@ def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_key")
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST((now_us - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+               AS r_days,
+             count(*) AS f_cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM events, ref
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, now_us
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY r_days ASC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY f_cnt DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m_score,
+             m_cents
+      FROM per_user
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           count(*) AS n_users,
+           round(CAST(sum(m_cents) AS DOUBLE) / count(*) / 100, 6)
+             AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("experiment", "segmentation", "window", "agg"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing workhorse: per purchaser,
+    recency (days since last purchase, integer), frequency and monetary
+    (exact cents); each scored into quintiles (score 1 = best) with
+    user_id tie-breaks so bucket membership is engine-identical; then
+    the segment-grid rollup (counts + average spend). The ntile windows
+    run over the USER-grain aggregate — at 100 TB that relation is
+    |users|, not |events|, and each window is one ordered pass."""
+    e = _t(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(ref))
+        .groupBy("user_id", "now_us")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("f_cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("m_cents"),
+        )
+        .select(
+            "user_id",
+            F.floor((F.col("now_us") - F.col("last_us")) / 86400000000)
+            .cast("long")
+            .alias("r_days"),
+            "f_cnt",
+            "m_cents",
+        )
+    )
+    scored = per_user.select(
+        F.ntile(5).over(Window.partitionBy().orderBy("r_days", "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy(F.desc("f_cnt"), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy(F.desc("m_cents"), "user_id"))
+        .alias("m_score"),
+        "m_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum("m_cents").cast("double") / F.count("*") / 100, 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

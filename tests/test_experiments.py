@@ -468,3 +468,19 @@ def test_table_catalog_counts(spark, sf_dir):
     assert rows["nation"].n_rows == 25
     assert rows["region"].n_rows == 5
     assert all(r.n_cols >= 2 for r in rows.values())
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    rows = X.rfm_segments(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    n_purchasers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_purchasers
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.avg_monetary > 0
