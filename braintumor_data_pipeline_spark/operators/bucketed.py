@@ -57,18 +57,53 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     for name, key in _BUCKET_SPECS:
         full = f"{db}.{name}"
         path = os.path.join(base, name)
-        if spark.catalog.tableExists(full) and os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
+        done = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if spark.catalog.tableExists(full) and done:
             continue
+        if done:
+            # files are intact but this is a fresh session (empty
+            # catalog): REGISTER the existing layout instead of
+            # rewriting — a concurrent process may be reading it
+            # (overwrite-in-place was a cross-process race).
+            df = _t(spark, sf_dir, name)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {full}")
+            spark.sql(
+                f"CREATE TABLE {full} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+            continue
+        # first writer: stage under a per-process dir, atomic-rename in;
+        # if another process won the race, adopt its files
+        stage = f"{path}.tmp{os.getpid()}"
         spark.sql(f"DROP TABLE IF EXISTS {full}")
         (
             _t(spark, sf_dir, name)
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, key)
             .sortBy(key)
-            .option("path", path)
+            .option("path", stage)
             .saveAsTable(full)
+        )
+        try:
+            os.rename(stage, path)
+        except OSError:
+            pass  # lost the race — fall through to the registered stage
+        # re-point the catalog at the final path (or keep stage if the
+        # rename lost; both contain identical deterministic data)
+        final = path if os.path.exists(os.path.join(path, "_SUCCESS")) else stage
+        df = _t(spark, sf_dir, name)
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        spark.sql(
+            f"CREATE TABLE {full} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{final}'"
         )
     return db
 
