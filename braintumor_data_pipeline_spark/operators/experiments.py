@@ -3003,3 +3003,138 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "ratio_to_parent_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / sum(cents) OVER (PARTITION BY r_name), 6)
+             AS share_of_region,
+           round(CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+                 / sum(cents) OVER (), 6) AS region_share_of_total
+    FROM rev
+    ORDER BY r_name, n_name
+    """,
+    tags=("experiment", "agg", "window", "hierarchy"),
+)
+def ratio_to_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent over the region → nation hierarchy: each
+    nation's share of its region and each region's share of the total
+    — the drill-down normalization every BI hierarchy needs, as
+    windows over the ~|nations| aggregate (exact integer cents; one
+    float division per output cell). Dimension joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("cents").over(w_region).cast("double")
+            / F.sum("cents").over(w_all),
+            6,
+        ).alias("region_share_of_total"),
+    ).orderBy("r_name", "n_name")
+
+
+@register(
+    "linear_attribution_credit",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.event_id, tc.event_type
+      FROM p JOIN touch tc
+        ON tc.user_id = p.user_id
+       AND tc.t <= p.t AND p.t - tc.t <= 3600000000
+    ),
+    k AS (
+      SELECT event_id, count(*) AS n_touches FROM pairs GROUP BY event_id
+    ),
+    credit AS (
+      SELECT pr.event_type,
+             CAST(1.0 AS DOUBLE) / k.n_touches AS c
+      FROM pairs pr JOIN k ON pr.event_id = k.event_id
+    )
+    SELECT event_type,
+           count(*) AS n_touchpoints,
+           round(sum(c), 6) AS attributed_purchases
+    FROM credit
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("experiment", "attribution", "join", "agg"),
+)
+def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's credit splits
+    equally across the user's view/click touchpoints in the prior hour;
+    per-channel totals answer "which touch type drives purchases".
+    User-keyed band join (no nested loop), integer microsecond windows;
+    the only float is the 1/k credit share (k exact), summed at ~1e-1
+    magnitude where round-6 sits 10 orders above double noise. Total
+    attributed mass = number of attributed purchases (pinned in
+    tests)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("tt"),
+    )
+    pairs = p.join(
+        touch,
+        (F.col("tu") == F.col("user_id"))
+        & (F.col("tt") <= F.col("t"))
+        & (F.col("t") - F.col("tt") <= 3600000000),
+    ).select("event_id", "touch_type")
+    k = pairs.groupBy("event_id").agg(F.count("*").alias("n_touches"))
+    credit = pairs.join(F.broadcast(k), "event_id").select(
+        "touch_type", (F.lit(1.0) / F.col("n_touches")).alias("c")
+    )
+    return (
+        credit.groupBy(F.col("touch_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.round(F.sum("c"), 6).alias("attributed_purchases"),
+        )
+        .orderBy("event_type")
+    )

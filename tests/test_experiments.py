@@ -484,3 +484,42 @@ def test_rfm_segments_partition_users(spark, sf_dir):
     for r in rows:
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
         assert r.avg_monetary > 0
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark, sf_dir):
+    rows = X.ratio_to_parent_revenue(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_region = defaultdict(float)
+    region_share = {}
+    for r in rows:
+        by_region[r.r_name] += r.share_of_region
+        region_share[r.r_name] = r.region_share_of_total
+    for v in by_region.values():
+        assert abs(v - 1.0) < 1e-4
+    assert abs(sum(region_share.values()) - 1.0) < 1e-4
+
+
+def test_attribution_mass_conserved(spark, sf_dir):
+    rows = X.linear_attribution_credit(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.attributed_purchases for r in rows)
+    # total credit = number of purchases that had >= 1 touchpoint
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.unix_micros("ts").alias("tt")
+    )
+    attributed = (
+        p.join(
+            t,
+            (F.col("tu") == F.col("user_id"))
+            & (F.col("tt") <= F.col("t"))
+            & (F.col("t") - F.col("tt") <= 3600000000),
+            "left_semi",
+        )
+        .count()
+    )
+    assert abs(total - attributed) < 1e-3
