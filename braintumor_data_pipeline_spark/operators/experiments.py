@@ -3138,3 +3138,118 @@ def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "locf_gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    holey AS (
+      -- deterministically punch holes in ~25% of days (md5 of the date)
+      SELECT d,
+             CASE WHEN substring(md5(CAST(d AS VARCHAR)), 1, 1) < '4'
+                  THEN NULL ELSE cents END AS cents,
+             cents AS true_cents
+      FROM daily
+    ),
+    filled AS (
+      SELECT d, cents, true_cents,
+             last_value(cents IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled_cents
+      FROM holey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_holes,
+           CAST(sum(CASE WHEN cents IS NULL
+                         AND filled_cents IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN cents IS NULL THEN abs(filled_cents
+                         - true_cents) END) AS BIGINT) AS fill_abs_err_cents
+    FROM filled
+    """,
+    tags=("experiment", "timeseries", "imputation", "window"),
+)
+def locf_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap filling: punch
+    deterministic md5 holes in ~25% of daily revenue points, fill each
+    from the most recent observed day via an IGNORE NULLS last_value
+    window, and report hole/fill counts plus the exact absolute error
+    of the fill vs ground truth — the sensor/feed repair pattern, with
+    its quality quantified in the same query. The ignore-nulls frame
+    runs over the ~30-row daily aggregate; integers end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    holey = daily.select(
+        "d",
+        F.when(
+            F.substring(F.md5(F.col("d").cast("string")), 1, 1) < "4",
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.col("cents").alias("true_cents"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = holey.select(
+        "cents",
+        "true_cents",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+    return filled.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0)).alias("n_holes"),
+        F.sum(
+            F.when(
+                F.col("cents").isNull() & F.col("filled_cents").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_filled"),
+        F.sum(
+            F.when(
+                F.col("cents").isNull(),
+                F.abs(F.col("filled_cents") - F.col("true_cents")),
+            )
+        ).alias("fill_abs_err_cents"),
+    )
+
+
+@register(
+    "variant_props_analytics",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) % 10
+    ORDER BY k_mod
+    """,
+    tags=("experiment", "variant", "json", "agg"),
+)
+def variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type as the semi-structured column surface:
+    ``parse_json`` turns the props string into a variant once, and
+    ``variant_get`` extracts the typed path — the open-schema
+    ingestion pattern (vs from_json's fixed schema, already covered by
+    json_extract_props). Aggregates the extracted integer exactly; the
+    oracle reads the same path with DuckDB's JSON extraction."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select((k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_mod")
+    )

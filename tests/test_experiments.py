@@ -523,3 +523,21 @@ def test_attribution_mass_conserved(spark, sf_dir):
         .count()
     )
     assert abs(total - attributed) < 1e-3
+
+
+def test_locf_fills_all_but_leading_holes(spark, sf_dir):
+    r = X.locf_gap_fill_daily(spark, sf_dir).collect()[0]
+    assert r.n_days > 0
+    assert 0 < r.n_holes < r.n_days
+    # only holes BEFORE the first observation can stay unfilled
+    assert r.n_filled >= r.n_holes - 3
+    assert r.fill_abs_err_cents >= 0
+
+
+def test_variant_extraction_matches_from_json(spark, sf_dir):
+    rows = X.variant_props_analytics(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    total = sum(r.n for r in rows)
+    assert total == e.count()
+    ks = [r.k_mod for r in rows]
+    assert ks == sorted(ks)
