@@ -3253,3 +3253,141 @@ def variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
         .orderBy("k_mod")
     )
+
+
+@register(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w,
+             user_id
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(w) AS first_w FROM wk GROUP BY user_id
+    ),
+    states AS (
+      SELECT cur.w,
+             sum(CASE WHEN f.first_w = cur.w THEN 1 ELSE 0 END) AS new_u,
+             sum(CASE WHEN f.first_w < cur.w AND prev.user_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS retained,
+             sum(CASE WHEN f.first_w < cur.w AND prev.user_id IS NULL
+                      THEN 1 ELSE 0 END) AS resurrected
+      FROM wk cur
+      JOIN firsts f ON f.user_id = cur.user_id
+      LEFT JOIN wk prev
+        ON prev.user_id = cur.user_id AND prev.w = cur.w - 1
+      GROUP BY cur.w
+    ),
+    churn AS (
+      SELECT prev.w + 1 AS w, count(*) AS churned
+      FROM wk prev
+      LEFT JOIN wk cur
+        ON cur.user_id = prev.user_id AND cur.w = prev.w + 1
+      WHERE cur.user_id IS NULL
+      GROUP BY prev.w + 1
+    )
+    SELECT s.w AS week,
+           CAST(s.new_u AS BIGINT) AS new_users,
+           CAST(s.retained AS BIGINT) AS retained,
+           CAST(s.resurrected AS BIGINT) AS resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+    FROM states s LEFT JOIN churn c ON c.w = s.w
+    ORDER BY s.w
+    """,
+    tags=("experiment", "timeseries", "growth", "join"),
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified as NEW
+    (first week), RETAINED (also active last week) or RESURRECTED
+    (returning after a gap), plus last week's actives who CHURNED. The
+    algebra is user-keyed self-joins of the (week, user) dedup — exact
+    integers, shuffles on user_id; the identity
+    active(w) = new + retained + resurrected is pinned in tests."""
+    e = _t(spark, sf_dir, "events")
+    wk = e.select(
+        F.floor(F.unix_micros("ts") / 604800000000).cast("long").alias("w"),
+        "user_id",
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    prev = wk.select(F.col("user_id").alias("pu"), (F.col("w") + 1).alias("pw"))
+    states = (
+        wk.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("pu") == F.col("user_id")) & (F.col("pw") == F.col("w")),
+            "left",
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("first_w") == F.col("w"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("first_w") < F.col("w")) & F.col("pu").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("retained"),
+            F.sum(
+                F.when(
+                    (F.col("first_w") < F.col("w")) & F.col("pu").isNull(), 1
+                ).otherwise(0)
+            ).alias("resurrected"),
+        )
+    )
+    nxt = wk.select(F.col("user_id").alias("nu"), (F.col("w") - 1).alias("nw"))
+    churn = (
+        wk.join(
+            nxt,
+            (F.col("nu") == F.col("user_id")) & (F.col("nw") == F.col("w")),
+            "left_anti",
+        )
+        .select((F.col("w") + 1).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("churned"))
+    )
+    return (
+        states.join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0)).alias("churned"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "active_days_histogram",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(active_days AS BIGINT) AS active_days,
+           count(*) AS n_users
+    FROM per_user
+    GROUP BY active_days
+    ORDER BY active_days
+    """,
+    tags=("experiment", "agg", "growth"),
+)
+def active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L30 power-user curve: users bucketed by how many distinct
+    days they were active in the window — the engagement-depth shape
+    (bimodal = casual + power users) every growth team tracks. Two
+    partial-aggregable rollups, exact integers."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("active_days"))
+    )
+    return (
+        per_user.groupBy("active_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("active_days")
+    )

@@ -541,3 +541,24 @@ def test_variant_extraction_matches_from_json(spark, sf_dir):
     assert total == e.count()
     ks = [r.k_mod for r in rows]
     assert ks == sorted(ks)
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    rows = X.growth_accounting_weekly(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        F.floor(F.unix_micros("ts") / 604800000000).cast("long").alias("w"),
+        "user_id",
+    ).distinct()
+    actives = {r.w: r[1] for r in wk.groupBy("w").count().collect()}
+    for r in rows:
+        assert r.new_users + r.retained + r.resurrected == actives[r.week]
+    assert rows[0].retained == 0 and rows[0].resurrected == 0
+
+
+def test_active_days_histogram_totals(spark, sf_dir):
+    rows = X.active_days_histogram(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r.n_users for r in rows) == e.select("user_id").distinct().count()
+    assert all(r.active_days >= 1 for r in rows)
