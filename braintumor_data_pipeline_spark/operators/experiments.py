@@ -1,6 +1,12 @@
-"""Experimentation & distribution analytics: A/B testing statistics,
-winsorized robust stats, KL-divergence domain balance, mergeable
-partial-state algebra (variance, quantile sketch).
+"""Experimentation & platform analytics: A/B statistics (chi-square,
+Welch t, KS, Mann-Whitney, diff-in-diff, bootstrap CI), robust stats
+(winsorized/trimmed/weighted medians, imputation, LOCF), time-series
+(ACF, cross-correlation, seasonality, decomposition, backtests, PSI
+drift), growth analytics (DAU splits, growth accounting, cohort LTV,
+RFM, lift/gains, attribution, funnels/CEP, survival), information
+theory (entropy, KL, MI, Heaps), mergeable partial-state algebra
+(variance, quantile sketch), and warehouse ops (join blast-radius,
+hash-collision audits, survivorship, catalog, VARIANT).
 
 North-star scale notes (this module is pure built-ins, no Python UDFs):
 
