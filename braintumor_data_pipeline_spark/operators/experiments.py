@@ -3397,3 +3397,157 @@ def active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("active_days")
     )
+
+
+@register(
+    "qq_deciles_arms",
+    oracle=f"""
+    WITH cents AS (
+      SELECT {_ARM_SQL} AS arm,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (
+      SELECT arm, c, count(*) AS cnt FROM cents GROUP BY arm, c
+    ),
+    cum AS (
+      SELECT arm, c,
+             CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY c) AS BIGINT)
+               AS cw,
+             CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+      FROM grid
+    ),
+    q AS (
+      SELECT k.k,
+             min(CASE WHEN arm = 'A'
+                      AND cw >= (k.k * n + 9) // 10 THEN c END) AS qa,
+             min(CASE WHEN arm = 'B'
+                      AND cw >= (k.k * n + 9) // 10 THEN c END) AS qb
+      FROM cum, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) k(k)
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS INTEGER) AS decile,
+           round(CAST(qa AS DOUBLE) / 100, 6) AS q_a,
+           round(CAST(qb AS DOUBLE) / 100, 6) AS q_b,
+           round(CAST(qa - qb AS DOUBLE) / 100, 6) AS qq_gap
+    FROM q
+    ORDER BY k
+    """,
+    tags=("experiment", "stats", "percentile", "window"),
+)
+def qq_deciles_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table between the md5 arms' purchase values:
+    each arm's deciles side by side with the gap — WHERE the
+    distributions diverge, complementing the KS statistic's single
+    max-gap number. Discrete order statistics on the per-arm value
+    grids; integer ranks; 9 output rows."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.filter(F.col("event_type") == "purchase").select(
+        _arm().alias("arm"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    grid = cents.groupBy("arm", "c").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("arm").orderBy("c")
+    wa = Window.partitionBy("arm")
+    cum = grid.select(
+        "arm",
+        "c",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wa).alias("n"),
+    )
+    ks = cum.select(
+        "arm",
+        "c",
+        "cw",
+        "n",
+        F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"),
+    )
+    rank = F.floor((F.col("k") * F.col("n") + 9) / 10).cast("long")
+    q = ks.groupBy("k").agg(
+        F.min(
+            F.when((F.col("arm") == "A") & (F.col("cw") >= rank), F.col("c"))
+        ).alias("qa"),
+        F.min(
+            F.when((F.col("arm") == "B") & (F.col("cw") >= rank), F.col("c"))
+        ).alias("qb"),
+    )
+    return q.select(
+        F.col("k").cast("int").alias("decile"),
+        F.round(F.col("qa").cast("double") / 100, 6).alias("q_a"),
+        F.round(F.col("qb").cast("double") / 100, 6).alias("q_b"),
+        F.round((F.col("qa") - F.col("qb")).cast("double") / 100, 6).alias(
+            "qq_gap"
+        ),
+    ).orderBy("decile")
+
+
+@register(
+    "fact_consistency_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS li_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+             li.li_cents
+      FROM orders LEFT JOIN li ON o_orderkey = li.k
+    ),
+    dev AS (
+      -- per-mille absolute deviation as an exact integer
+      SELECT CASE
+               WHEN li_cents IS NULL THEN -1
+               ELSE abs(li_cents - o_cents) * 1000 // o_cents
+             END AS pm
+      FROM joined
+    )
+    SELECT CASE WHEN pm = -1 THEN 'no_lineitems'
+                WHEN pm = 0 THEN 'exact'
+                WHEN pm <= 10 THEN 'within_1pct'
+                WHEN pm <= 100 THEN 'within_10pct'
+                ELSE 'over_10pct' END AS bucket,
+           count(*) AS n_orders
+    FROM dev
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("experiment", "quality", "reconciliation", "agg"),
+)
+def fact_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fact VALUE reconciliation: does each order's header total
+    agree with the sum of its line items? Buckets of exact per-mille
+    deviation (integer arithmetic — |Σli − total|·1000 // total) plus
+    orphan headers. On this synthetic fixture the buckets loudly say
+    the two facts were generated independently — which is precisely
+    the report's job; on a consistent warehouse 'exact' would carry
+    every row. One lineitem rollup + one header-keyed join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li_sum = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "li_cents"
+        )
+    )
+    joined = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+        "o_orderkey",
+    ).join(li_sum, F.col("o_orderkey") == F.col("k"), "left")
+    pm = F.when(F.col("li_cents").isNull(), -1).otherwise(
+        F.floor(
+            F.abs(F.col("li_cents") - F.col("o_cents")) * 1000 / F.col("o_cents")
+        ).cast("long")
+    )
+    bucket = (
+        F.when(pm == -1, "no_lineitems")
+        .when(pm == 0, "exact")
+        .when(pm <= 10, "within_1pct")
+        .when(pm <= 100, "within_10pct")
+        .otherwise("over_10pct")
+    )
+    return (
+        joined.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("bucket")
+    )

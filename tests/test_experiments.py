@@ -562,3 +562,19 @@ def test_active_days_histogram_totals(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     assert sum(r.n_users for r in rows) == e.select("user_id").distinct().count()
     assert all(r.active_days >= 1 for r in rows)
+
+
+def test_qq_deciles_monotone(spark, sf_dir):
+    rows = X.qq_deciles_arms(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    qa = [r.q_a for r in rows]
+    qb = [r.q_b for r in rows]
+    assert qa == sorted(qa) and qb == sorted(qb)
+    for r in rows:
+        assert abs(r.qq_gap - (r.q_a - r.q_b)) < 1e-6
+
+
+def test_fact_consistency_buckets_partition_orders(spark, sf_dir):
+    rows = X.fact_consistency_audit(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == e.count()
