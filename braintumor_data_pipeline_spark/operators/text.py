@@ -932,3 +932,73 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+#: Domain polarity lexicon over the fixture vocabulary (AFINN-style
+#: integer weights; engine-agnostic CASE mapping on both sides).
+_SENTIMENT_LEXICON = (
+    ("fast", 2), ("slow", -2), ("big", 1), ("small", -1),
+    ("dup", -1), ("merge", 1), ("spark", 1), ("scan", -1),
+)
+_LEX_SQL = " ".join(
+    f"WHEN '{w}' THEN {s}" for w, s in _SENTIMENT_LEXICON
+)
+
+
+@register(
+    "sentiment_lexicon_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(CASE token {_LEX_SQL} ELSE 0 END) AS BIGINT)
+               AS polarity,
+             CAST(sum(CASE WHEN (CASE token {_LEX_SQL} ELSE 0 END) <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             count(*) AS n_tokens
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, polarity, n_matched,
+           round(CAST(polarity AS DOUBLE) / n_tokens, 6) AS score,
+           CAST(CASE WHEN polarity > 0 THEN 1
+                     WHEN polarity < 0 THEN -1 ELSE 0 END AS INTEGER)
+             AS label
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "sentiment", "agg"),
+)
+def sentiment_lexicon_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment/polarity scoring (the AFINN pattern of
+    large-scale Spark sentiment pipelines — see PAPERS.md, EDBT 2016):
+    integer word weights summed per document (exact), length-normalized
+    score and a ternary label. The lexicon is a plan literal — at scale
+    a real lexicon is a broadcast map; the plan shape is identical. The
+    weights cover this fixture's synthetic vocabulary so the scorer has
+    signal to exercise."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    w = F.lit(0)
+    for word, score in _SENTIMENT_LEXICON:
+        w = F.when(F.col("token") == word, score).otherwise(w)
+    scored = tok.groupBy("doc_id").agg(
+        F.sum(w).alias("polarity"),
+        F.sum(F.when(w != 0, 1).otherwise(0)).alias("n_matched"),
+        F.count("*").alias("n_tokens"),
+    )
+    return scored.select(
+        "doc_id",
+        "polarity",
+        "n_matched",
+        F.round(F.col("polarity").cast("double") / F.col("n_tokens"), 6).alias(
+            "score"
+        ),
+        F.when(F.col("polarity") > 0, 1)
+        .when(F.col("polarity") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("label"),
+    ).orderBy("doc_id")

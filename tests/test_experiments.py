@@ -578,3 +578,16 @@ def test_fact_consistency_buckets_partition_orders(spark, sf_dir):
     rows = X.fact_consistency_audit(spark, sf_dir).collect()
     e = load_table(spark, sf_dir, "orders")
     assert sum(r.n_orders for r in rows) == e.count()
+
+
+def test_sentiment_scores_consistent(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.text import (
+        sentiment_lexicon_scores,
+    )
+
+    rows = sentiment_lexicon_scores(spark, sf_dir).collect()
+    assert rows
+    assert any(r.label == 1 for r in rows) and any(r.label == -1 for r in rows)
+    for r in rows:
+        assert r.label == (0 if r.polarity == 0 else (1 if r.polarity > 0 else -1))
+        assert r.n_matched >= abs(r.polarity) / 2  # max |weight| = 2
