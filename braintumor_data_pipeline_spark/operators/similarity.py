@@ -1374,3 +1374,112 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "behavior_trajectory_pairs",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0 FROM events
+    ),
+    day_cnt AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) - t0) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, bounds
+      GROUP BY user_id, (epoch_us(ts) - t0) // 86400000000
+    ),
+    tot AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS total,
+             length(bin(CAST(sum(c) AS BIGINT))) AS blk
+      FROM day_cnt GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             a.total AS ta, b.total AS tb
+      FROM tot a JOIN tot b
+        ON a.blk = b.blk AND a.user_id < b.user_id
+    ),
+    overlap AS (
+      -- Σ min(c_a, c_b) over shared days: the only pairwise term in
+      -- L1 = total_a + total_b − 2·Σ min
+      SELECT x.user_id AS ua, y.user_id AS ub,
+             CAST(sum(least(x.c, y.c)) AS BIGINT) AS m
+      FROM day_cnt x JOIN day_cnt y
+        ON x.day = y.day AND x.user_id < y.user_id
+      GROUP BY x.user_id, y.user_id
+    )
+    SELECT p.ua, p.ub,
+           CAST(p.ta + p.tb - 2 * coalesce(o.m, 0) AS BIGINT) AS l1
+    FROM pairs p LEFT JOIN overlap o
+      ON o.ua = p.ua AND o.ub = p.ub
+    ORDER BY l1, p.ua, p.ub
+    LIMIT 10
+    """,
+    tags=("similarity", "trajectory", "join", "topk"),
+)
+def behavior_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-trajectory similarity (the REPOSE-shaped problem in
+    PAPERS.md, over activity space): users' daily event-count vectors
+    compared by EXACT integer L1 distance via the identity
+    L1 = total_a + total_b − 2·Σ_day min(c_a, c_b) — one day-keyed
+    equi self-join computes every pairwise overlap, no per-pair dense
+    vectors and no outer joins. Candidates are blocked by activity
+    magnitude (bit-length of total events: users an order of magnitude
+    apart cannot be L1-near), so the pair space is bucket-local.
+    Top-10 closest with total-order tie-breaks."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    day_cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.floor((F.unix_micros("ts") - F.col("t0")) / 86400000000)
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = day_cnt.groupBy("user_id").agg(F.sum("c").alias("total"))
+    tot = tot.select(
+        "user_id", "total", F.length(F.expr("bin(total)")).alias("blk")
+    )
+    pa = tot.select(
+        F.col("user_id").alias("ua"), F.col("total").alias("ta"), "blk"
+    )
+    pb = tot.select(
+        F.col("user_id").alias("ub"), F.col("total").alias("tb"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = pa.join(
+        pb, (F.col("blk") == F.col("blk_b")) & (F.col("ua") < F.col("ub"))
+    ).select("ua", "ub", "ta", "tb")
+    dx = day_cnt.select(
+        F.col("user_id").alias("ua"), "day", F.col("c").alias("ca")
+    )
+    dy = day_cnt.select(
+        F.col("user_id").alias("ub"),
+        F.col("day").alias("day_y"),
+        F.col("c").alias("cb"),
+    )
+    overlap = (
+        dx.join(
+            dy,
+            (F.col("day") == F.col("day_y")) & (F.col("ua") < F.col("ub")),
+        )
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("m"))
+    )
+    return (
+        pairs.join(overlap, ["ua", "ub"], "left")
+        .select(
+            "ua",
+            "ub",
+            (
+                F.col("ta") + F.col("tb") - 2 * F.coalesce(F.col("m"), F.lit(0))
+            ).alias("l1"),
+        )
+        .orderBy("l1", "ua", "ub")
+        .limit(10)
+    )

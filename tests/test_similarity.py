@@ -172,3 +172,29 @@ def test_hybrid_rrf_formula_and_ordering(spark, sf_dir):
     by_dense = {r.dense_rank: r.doc_id for r in rows if r.dense_rank}
     if 1 in by_dense:
         assert by_dense[1] == 0
+
+
+def test_trajectory_l1_identity(spark, sf_dir):
+    """The L1 identity must match a brute-force python computation."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        behavior_trajectory_pairs,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = behavior_trajectory_pairs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    vec = defaultdict(lambda: defaultdict(int))
+    for r in e.select("user_id", F.unix_micros("ts").alias("t")).collect():
+        vec[r.user_id][(r.t - t0) // 86400000000] += 1
+    for r in rows:
+        days = set(vec[r.ua]) | set(vec[r.ub])
+        l1 = sum(abs(vec[r.ua][d] - vec[r.ub][d]) for d in days)
+        assert r.l1 == l1
+    l1s = [r.l1 for r in rows]
+    assert l1s == sorted(l1s)
