@@ -3551,3 +3551,132 @@ def fact_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "chi2_independence_type_dow",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, isodow(CAST(ts AS DATE))
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cell
+    )
+    SELECT event_type,
+           CAST(dow AS INTEGER) AS dow,
+           o AS observed,
+           round(CAST(r AS DOUBLE) * c / n, 6) AS expected,
+           -- per-cell (o−e)²/e in the exact-sums form o²n/(rc) − 2o + rc/n
+           round(CAST(o AS DOUBLE) * o * n / (CAST(r AS DOUBLE) * c)
+                 - 2 * o + CAST(r AS DOUBLE) * c / n, 6) AS chi2_term
+    FROM m
+    ORDER BY event_type, dow
+    """,
+    tags=("experiment", "stats", "agg", "window"),
+)
+def chi2_independence_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of INDEPENDENCE (is event-type mix the same on
+    every weekday?) reported per contingency cell — observed, expected
+    r·c/n, and the (o−e)²/e term in the expanded form o²n/(rc) − 2o +
+    rc/n so every input is an exact integer and each term is a few
+    float ops (total χ² = Σ terms, dof = (types−1)(days−1)). Marginals
+    are windows over the ~35-cell aggregate."""
+    e = _t(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7) + 1
+    cell = e.groupBy("event_type", iso_dow.alias("dow")).agg(
+        F.count("*").alias("o")
+    )
+    m = cell.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    od, rd, cd, nd = (F.col(x).cast("double") for x in ("o", "r", "c", "n"))
+    return m.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("o").alias("observed"),
+        F.round(rd * F.col("c") / F.col("n"), 6).alias("expected"),
+        F.round(
+            od * F.col("o") * F.col("n") / (rd * F.col("c"))
+            - 2 * F.col("o")
+            + rd * F.col("c") / F.col("n"),
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("event_type", "dow")
+
+
+@register(
+    "token_burstiness_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) GROUP BY token, doc_id
+    ),
+    stats AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM tf GROUP BY token
+    ),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT token, df, s1 AS total_count,
+           -- variance-to-mean ratio over ALL docs (zeros included):
+           -- VMR = (n·Σc² − (Σc)²) / (n·Σc), exact integers in, one div
+           round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * s1), 6) AS vmr
+    FROM stats, n_docs
+    WHERE df >= 5
+    ORDER BY vmr DESC, token
+    LIMIT 20
+    """,
+    tags=("experiment", "text", "stats", "topk"),
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church/Gale): variance-to-mean ratio of a
+    token's per-document counts over the whole corpus — VMR ≈ 1 means
+    Poisson-scattered function words, VMR ≫ 1 means topical words that
+    cluster in few documents. The exact identity
+    VMR = (n·Σc² − (Σc)²)/(n·Σc) needs only integer sums (zero-count
+    docs enter via n, never materialized). Top-20 burstiest with
+    deterministic tie-breaks."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n_docs = d.agg(F.count("*").alias("n"))
+    vmr = (
+        F.col("n").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n").cast("double") * F.col("s1"))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= 5)
+        .select(
+            "token",
+            "df",
+            F.col("s1").alias("total_count"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "token")
+        .limit(20)
+    )

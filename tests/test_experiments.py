@@ -591,3 +591,23 @@ def test_sentiment_scores_consistent(spark, sf_dir):
     for r in rows:
         assert r.label == (0 if r.polarity == 0 else (1 if r.polarity > 0 else -1))
         assert r.n_matched >= abs(r.polarity) / 2  # max |weight| = 2
+
+
+def test_chi2_independence_terms_nonnegative(spark, sf_dir):
+    rows = X.chi2_independence_type_dow(spark, sf_dir).collect()
+    assert rows
+    total_obs = sum(r.observed for r in rows)
+    total_exp = sum(r.expected for r in rows)
+    assert abs(total_obs - total_exp) < 0.01  # marginals consistent
+    for r in rows:
+        assert r.chi2_term >= -1e-6
+        assert r.expected > 0
+
+
+def test_burstiness_function_vs_content_words(spark, sf_dir):
+    rows = X.token_burstiness_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    vmrs = [r.vmr for r in rows]
+    assert vmrs == sorted(vmrs, reverse=True)
+    # burstiness is at least Poisson-level for the top tokens
+    assert vmrs[0] >= 0.5
