@@ -3680,3 +3680,73 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr"), "token")
         .limit(20)
     )
+
+
+@register(
+    "interarrival_poisson_check",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_us) AS BIGINT) AS s1,
+             CAST(sum(CAST(gap_us AS DECIMAL(38,0))
+                      * CAST(gap_us AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_gaps,
+           round(CAST(s1 AS DOUBLE) / n / 1000000, 6) AS mean_gap_s,
+           -- coefficient of variation: ≈1 for a Poisson process,
+           -- <1 regular/heartbeat, >1 bursty
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n))
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+    FROM s
+    ORDER BY event_type
+    """,
+    tags=("experiment", "timeseries", "stats", "window"),
+)
+def interarrival_poisson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process diagnostics: per event type, the mean and
+    coefficient of variation of a user's inter-arrival gaps — CV ≈ 1
+    says Poisson (memoryless traffic), CV < 1 a scheduled heartbeat,
+    CV > 1 bursts; the number capacity planners and bot detectors both
+    read. Gaps are exact integer microseconds from a (user, type)-
+    partitioned lag window; moments through DECIMAL(38,0) (gap² can
+    reach 10^24 summed)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_us").alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mean / 1000000, 6).alias("mean_gap_s"),
+        F.round(
+            F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean) / mean,
+            6,
+        ).alias("cv"),
+    ).orderBy("event_type")

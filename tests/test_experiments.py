@@ -611,3 +611,13 @@ def test_burstiness_function_vs_content_words(spark, sf_dir):
     assert vmrs == sorted(vmrs, reverse=True)
     # burstiness is at least Poisson-level for the top tokens
     assert vmrs[0] >= 0.5
+
+
+def test_interarrival_cv_near_one_for_random_stream(spark, sf_dir):
+    rows = X.interarrival_poisson_check(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert r.mean_gap_s > 0
+        # synthetic uniform-random arrivals are approximately Poisson
+        assert 0.3 < r.cv < 3.0
