@@ -288,3 +288,74 @@ def bfs_levels_from_min_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         levels = levels.unionAll(frontier).localCheckpoint()
     return levels.groupBy("doc_id").agg(F.min("lvl").cast("int").alias("level"))
+
+
+@register(
+    "link_prediction_common_neighbors",
+    oracle=f"""
+    WITH pairs AS ({{LSH_PAIRS_SQL}}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    two_hop AS (
+      -- candidate (u, w): share neighbor v; count distinct v
+      SELECT a.src AS u, b.dst AS w, count(*) AS common
+      FROM edges a JOIN edges b
+        ON a.dst = b.src AND a.src < b.dst
+      GROUP BY a.src, b.dst
+    ),
+    non_edges AS (
+      SELECT t.u, t.w, t.common
+      FROM two_hop t
+      LEFT JOIN edges e ON e.src = t.u AND e.dst = t.w
+      WHERE e.src IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS doc_a,
+           CAST(w AS BIGINT) AS doc_b,
+           CAST(common AS BIGINT) AS common_neighbors
+    FROM non_edges
+    WHERE common >= 2
+    ORDER BY common DESC, u, w
+    LIMIT 20
+    """.format(LSH_PAIRS_SQL=LSH_PAIRS_SQL),
+    tags=("graph", "join", "topk"),
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the LSH near-dup graph by the
+    common-neighbors score: non-adjacent document pairs ranked by how
+    many neighbors they share — the classic "these two are probably
+    duplicates the bands missed" recovery pass (and the standard
+    baseline of the link-prediction literature). One two-hop self-join
+    on the symmetric edge list (cost Σ deg², bounded by LSH bucket
+    sizes), an anti-join to drop existing edges, exact integer counts,
+    top-20 with total-order tie-breaks."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    b = edges.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
+    two_hop = (
+        a.join(b, (F.col("v") == F.col("v2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+    )
+    non_edges = two_hop.join(
+        edges,
+        (two_hop.u == edges.src) & (two_hop.w == edges.dst),
+        "left_anti",
+    )
+    return (
+        non_edges.filter(F.col("common") >= 2)
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("w").alias("doc_b"),
+            F.col("common").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -198,3 +198,20 @@ def test_trajectory_l1_identity(spark, sf_dir):
         assert r.l1 == l1
     l1s = [r.l1 for r in rows]
     assert l1s == sorted(l1s)
+
+
+def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from braintumor_data_pipeline_spark.operators.graph import (
+        link_prediction_common_neighbors,
+    )
+
+    rows = link_prediction_common_neighbors(spark, sf_dir).collect()
+    edges = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    edges |= {(b, a) for a, b in edges}
+    for r in rows:
+        assert (r.doc_a, r.doc_b) not in edges
+        assert r.common_neighbors >= 2
+        assert r.doc_a < r.doc_b
