@@ -44,44 +44,50 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: (registration order). This explicit window samples every operator
 #: family of SURVEY §2.4-§2.11 plus the LLM-pipeline families and is
 #: oracle-backed throughout (rows-only queries carry no hash signal and
-#: are ordered last). Slots ROTATE round-over-round: a query green in two
-#: consecutive driver rounds vacates its slot for a never-driver-checked
-#: oracle-backed query, amortizing hash coverage across the catalog
-#: (round 3 rotated out setop_intersect_nations, proj_path_functions,
-#: proj_hash_null_scalars, agg_statistics — twice-green — plus
-#: group_stats_pop (twice-green), argmax_per_group, json_extract_props,
-#: pivot_event_type_counts and knn_within_label (once-green, formulation
-#: unchanged) for the eight first-time entries below plus the new
-#: bucketed_star_join). Late round 3 adds five NEW operator families
-#: (count-min, bloom, HLL, image pHash, JSONL round-trip) by vacating
-#: five once-green formulation-unchanged slots with in-window family
-#: coverage remaining: null_semantics_groups (relational core keeps 7
-#: entries), token_stats (bm25 + lang_id stay), dedup_exact_groups
-#: (4 dedup entries stay), mask_confusion (imaging_udf_confusion checks
-#: the same confusion algebra), events_tumbling_5m (session + as-of
-#: stay). Two invariants constrain the
-#: rotation: every bench HEADLINE query stays in-window so the perf and
-#: correctness gates cover the same surface, and queries whose
-#: formulation changed this round (decimal money sums) stay in-window so
-#: the new formulation gets driver confirmation.
+#: are ordered last). Slots ROTATE round-over-round: a query green in
+#: the driver's check vacates its slot for a never-driver-checked
+#: oracle-backed query, amortizing hash coverage across the catalog.
+#: Two invariants constrain every rotation: every bench HEADLINE query
+#: stays in-window so the perf and correctness gates cover the same
+#: surface, and queries whose formulation changed this round stay
+#: in-window so the new formulation gets driver confirmation; plus the
+#: test_queries_smoke invariant that every module with a recomputing
+#: oracle keeps ≥1 window slot.
 #:
-#: Final round-3 rotation: ten twice-green, formulation-unchanged,
-#: non-headline slots vacate for the session's nine new first-time
-#: families plus the ORC interchange rep — out: pixel_windowing
-#: (pixel_minmax stays), region_grow_capped (component + adaptive
-#: stay), q12 + q3 (q6/q21 keep tpch_shapes), train_test_split_documents
-#: + corpus_prep_end_to_end (filter_cascade keeps llm_pipeline),
-#: scd2_user_type_history (merge_upsert keeps CDC),
-#: imaging_udf_confusion (imaging_udf_stats keeps the Arrow-UDF
-#: surface; the confusion algebra stays checked via mask_metrics),
-#: rolling_7d_revenue (ohlc keeps timeseries), event-family spares —
-#: in: csv_roundtrip_stats, orc_roundtrip_stats,
-#: global_dense_ids_documents, interval_overlap_attribution,
-#: bfs_levels_from_min_vertex, shingle_containment_pairs,
-#: hll_mergeable_groups, incremental_dedup_new_batch,
-#: filter_cascade_report (dedup_connected_components stays as the
-#: components-module rep — the test_queries_smoke invariant that every
-#: recomputing-oracle module keeps a window slot).
+#: Rotation log —
+#: r3 (all green in CORRECTNESS_r03): rotated out setop_intersect,
+#: proj_* scalars, agg_statistics, group_stats_pop (twice-green),
+#: argmax/json_extract/pivot/knn_within_label, pixel_windowing,
+#: region_grow_capped, q3/q12, train_test_split, corpus_prep,
+#: scd2_user_type_history, imaging_udf_confusion/stats,
+#: rolling_7d_revenue, lang_id_heuristic, token_stats,
+#: dedup_exact_groups, mask_confusion, events_tumbling_5m,
+#: null_semantics_groups, latest_events, event_transition_matrix —
+#: each with in-window family coverage remaining or a strict-subplan
+#: transitivity argument (see git history for the full r3 notes).
+#:
+#: r4 rotation: ten green, formulation-unchanged, non-headline slots
+#: vacate for ten never-driver-checked recomputing-oracle queries
+#: (VERDICT r3 task 1) — out: bm25_search_topk (twice-green; text keeps
+#: winnowing_fingerprints), lateral_top2_orders_per_customer
+#: (relational keeps 7 entries), token_entropy_quality (experiments
+#: gains kaplan_meier + variant_props), filter_cascade_report
+#: (llm_pipeline gains weighted_sample + decontamination + line_dedup),
+#: merge_upsert_orders (cdc gains scd2_point_in_time_enrich),
+#: date_spine_daily_revenue + ohlc_hourly_downsample (timeseries keeps
+#: cohort_weekly_retention, gains cusum_changepoint_daily),
+#: q6_forecast_revenue (tpch_shapes keeps q21), simhash_hamming_pairs +
+#: shingle_containment_pairs (dedup keeps minhash/ngram/incremental) —
+#: in: scd2_point_in_time_enrich, cusum_changepoint_daily,
+#: kaplan_meier_user_lifetime, variant_props_analytics, triangle_stats,
+#: hybrid_rrf_fusion_topk, embedding_int8_quantize, weighted_sample_wor,
+#: decontamination_scan, line_dedup_documents.
+#: r4 second rotation (VERDICT r3 task 5): bfs_levels_from_min_vertex
+#: (graph keeps pagerank + triangle) and incremental_dedup_new_batch
+#: (dedup keeps minhash + ngram) vacate for the partition-pruning pair
+#: events_partition_pruned_daily + dpp_star_join_weekend (first-time
+#: queries — static PartitionFilters and dynamic partition pruning,
+#: the two 100 TB scan-elimination levers, now hash-checked).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -92,56 +98,41 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
-    # first-time driver checks (round-3 rotation)
-    "lateral_top2_orders_per_customer",
-    "merge_upsert_orders",
-    "date_spine_daily_revenue",
+    # CDC: SCD-2 point-in-time enrichment (first-time, r4)
+    "scd2_point_in_time_enrich",
+    # timeseries (cusum first-time, r4)
     "cohort_weekly_retention",
-    "ohlc_hourly_downsample",
-    "winnowing_fingerprints",
-    "q6_forecast_revenue",
+    "cusum_changepoint_daily",
+    # TPC-H shapes
     "q21_sole_returning_supplier",
     # analytics (scalar function surfaces, Arrow UDAF)
     "geomean_grouped_agg_udf",
-    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL).
-    # imaging_udf_stats (once-green r2, formulation unchanged) vacated
-    # for the new experiments family; ssim_window_map keeps the
-    # applyInPandas hash surface in-window.
+    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
     "ssim_window_map",
-    # experiments family rep: 500-row per-doc entropy — the widest hash
-    # signal of the new module (A/B stats emit 1-row outputs)
-    "token_entropy_quality",
-    # text analysis (bm25 keeps the family's slot; lang_id_heuristic —
-    # once-green, formulation unchanged — vacated for the new
-    # schema-evolution source family)
-    "bm25_search_topk",
+    # experiments (both first-time, r4): survival analysis + VARIANT
+    "kaplan_meier_user_lifetime",
+    "variant_props_analytics",
+    # text analysis
+    "winnowing_fingerprints",
+    # schema-evolution source family
     "schema_evolution_scan",
-    # dedup — simhash_hamming_pairs replaced simhash_signatures and
-    # pagerank_fixed_point (graph family) replaced minhash_lsh_pairs:
-    # each new entry computes its predecessor's relation as a strict
-    # subplan (signatures under the hamming bands; LSH pairs under the
-    # PageRank edge list), so the vacated query's hash signal survives
-    # transitively while the window gains the graph family and the
-    # banding+verify stages.
+    # graph (triangle_stats first-time, r4)
     "pagerank_fixed_point",
+    "triangle_stats",
+    # dedup
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    # similarity / kNN
+    # similarity / kNN (hybrid RRF + int8 quantization first-time, r4)
     "knn_bruteforce_cosine",
-    # sketches (count-min / bloom / HLL) — first driver checks.
-    # hll_register_sketch vacated for the generator family rep: its
-    # global register build is a strict sub-computation of
-    # hll_mergeable_groups (per-group registers + merge ≡ union
-    # identity), so the vacated hash signal survives transitively.
+    "hybrid_rrf_fusion_topk",
+    "embedding_int8_quantize",
+    # sketches (count-min / bloom / HLL)
     "countmin_heavy_hitters",
     "bloom_semijoin_reduction",
     "hll_mergeable_groups",
-    # zero-I/O in-plan generator (dbgen-style source; 3-group pricing
-    # rollup over LCG-mixed integer columns — widest generator output)
+    # zero-I/O in-plan generator (dbgen-style source)
     "synthetic_lineitem_pricing",
-    # multimodal image near-dup (pHash; signatures is a strict subplan
-    # of the pairs query, so its hash signal survives transitively)
+    # multimodal image near-dup (pHash)
     "phash_hamming_pairs",
     # JSONL round-trip (source/sink fidelity)
     "jsonl_roundtrip_stats",
@@ -158,25 +149,24 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     # bucketed co-located join (zero-shuffle layout)
     "bucketed_star_join",
-    # ORC interchange (csv slot below; both are lossless-egress gates)
+    # ORC + CSV interchange (lossless-egress gates)
     "orc_roundtrip_stats",
-    # multimodal audio (oracle recomputes features from raw bytes; a
-    # hash match certifies the WAV round trip — takes the slot vacated
-    # by latest_events, the lowest-information once-green relational
-    # query, since bench HEADLINE queries may not leave the window and
-    # no twice-green slot remained after this round's rotation)
-    "multimodal_audio_features",
-    # engine-native recursion (byte-identical SQL on both engines) —
-    # takes the slot of event_transition_matrix (once-green, unchanged)
-    "rcte_clamped_balance",
-    # final round-3 rotation: eight new first-time families
     "csv_roundtrip_stats",
+    # multimodal audio (oracle recomputes features from raw bytes)
+    "multimodal_audio_features",
+    # engine-native recursion (byte-identical SQL on both engines)
+    "rcte_clamped_balance",
+    # indexing / intervals
     "global_dense_ids_documents",
     "interval_overlap_attribution",
-    "bfs_levels_from_min_vertex",
-    "shingle_containment_pairs",
-    "incremental_dedup_new_batch",
-    "filter_cascade_report",
+    # partition pruning pair (first-time, r4): static PartitionFilters
+    # over the day-partitioned events layout + DPP star join
+    "events_partition_pruned_daily",
+    "dpp_star_join_weekend",
+    # LLM corpus pipeline (all three first-time, r4)
+    "weighted_sample_wor",
+    "decontamination_scan",
+    "line_dedup_documents",
     # streaming (batch-equivalent forms)
     "events_session_30m",
     "events_asof_last_view",

@@ -254,6 +254,149 @@ def _register_zorder_query():
 _register_zorder_query()
 
 
+# ---------------------------------------------------------------------------
+# Hive-style day partitioning + partition pruning (static and dynamic)
+# ---------------------------------------------------------------------------
+_PARTITIONED_WRITTEN: set[str] = set()
+
+
+def _partitioned_events_dir(sf_dir: str) -> str:
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return os.path.join(tempfile.gettempdir(), "braintumor_events_by_day", tag)
+
+
+def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned Hive layout of the events table
+    (``event_date=YYYY-MM-DD/`` directories) — THE canonical 100 TB fact
+    layout: a filter on the partition column eliminates whole
+    directories before a single parquet footer is opened (static
+    pruning), and a join against a filtered dim does the same at
+    runtime (dynamic partition pruning). ``repartition("event_date")``
+    first so each day lands as one file, not one per input task —
+    small-file count is the classic partitionBy failure mode."""
+    from pyspark.sql import functions as F
+
+    from .fixtures import load_table
+
+    base = _partitioned_events_dir(sf_dir)
+    if base in _PARTITIONED_WRITTEN and os.path.isdir(base):
+        return base
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(base)
+    )
+    _PARTITIONED_WRITTEN.add(base)
+    return base
+
+
+def _register_partition_pruning_queries():
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+
+    @register(
+        "events_partition_pruned_daily",
+        # Oracle recomputes the day split from raw ts; counts are exact
+        # integers, the double sum is round(6) on both sides.
+        oracle="""
+        SELECT CAST(ts AS DATE) AS event_date,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                   AND DATE '2024-01-09'
+        GROUP BY 1, 2
+        """,
+        tags=("layout", "partition-pruning", "agg"),
+    )
+    def events_partition_pruned_daily(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Static partition pruning: the date filter resolves against
+        directory names only — the physical scan's PartitionFilters
+        carries the predicate and PartitionCount drops from 30 days to
+        5 (pinned in test_plans). At 100 TB this is the difference
+        between scanning 5/30ths of the table and all of it; no footer,
+        page, or row-group machinery is even consulted for pruned
+        days."""
+        base = write_events_partitioned(spark, sf_dir)
+        e = spark.read.parquet(base)
+        return (
+            e.filter(
+                (F.col("event_date") >= F.lit("2024-01-05").cast("date"))
+                & (F.col("event_date") <= F.lit("2024-01-09").cast("date"))
+            )
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+
+    @register(
+        "dpp_star_join_weekend",
+        # DuckDB dayofweek(): 0=Sunday..6=Saturday; Spark dayofweek():
+        # 1=Sunday..7=Saturday. Weekend = {Sat, Sun} on both.
+        oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        GROUP BY event_type
+        """,
+        tags=("layout", "dpp", "join", "agg"),
+    )
+    def dpp_star_join_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dynamic partition pruning: the fact table is day-partitioned
+        and joined to a runtime-computed calendar dim filtered to
+        weekends. The dim's filter is NOT a static predicate on the
+        partition column, so Catalyst injects a
+        ``dynamicpruningexpression`` into the fact scan's
+        PartitionFilters (pinned in test_plans), reusing the dim's
+        broadcast exchange as the pruning subquery. At 100 TB this is
+        how a star join reads 8/30 day directories instead of 30
+        without the user ever naming a date."""
+        base = write_events_partitioned(spark, sf_dir)
+        fact = spark.read.parquet(base)
+        dim = (
+            spark.range(0, 30)
+            .select(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+                ).alias("cal_date")
+            )
+            .withColumn("dow", F.dayofweek("cal_date"))
+        )
+        weekend = dim.filter(F.col("dow").isin(1, 7))
+        return (
+            fact.join(
+                F.broadcast(weekend),
+                fact.event_date == weekend.cal_date,
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+
+    return events_partition_pruned_daily, dpp_star_join_weekend
+
+
+_register_partition_pruning_queries()
+
+
 def write_with_bloom_filters(
     df, dst: str, cols: tuple[str, ...], n_files: int = 4, ndv: int = 100_000
 ) -> None:

@@ -79,6 +79,105 @@ def test_no_python_row_udf_anywhere(spark, sf_dir):
     assert not bad, f"row-at-a-time Python UDFs in: {bad}"
 
 
+def test_static_partition_pruning_in_scan(spark, sf_dir):
+    """The date filter on the day-partitioned events layout must land in
+    PartitionFilters (directory elimination — no footer I/O for pruned
+    days), NOT in a post-scan Filter or the row-group PushedFilters."""
+    import re
+
+    plan = _plan(spark, sf_dir, "events_partition_pruned_daily")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:1500]
+    pf = m.group(1)
+    assert "2024-01-05" in pf and "2024-01-09" in pf, pf
+
+
+def test_dynamic_partition_pruning_subquery(spark, sf_dir):
+    """The weekend star join must carry a dynamicpruningexpression in
+    the fact scan's PartitionFilters — the runtime dim filter prunes
+    day directories without any static date predicate."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dpp_star_join_weekend")
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m, plan[:1500]
+    assert "dynamicpruning" in plan, plan[:2000]
+    # and the dim side is broadcast (DPP reuses that exchange)
+    assert "BroadcastExchange" in plan
+
+
+def test_partition_pruning_reads_fewer_files(spark, sf_dir):
+    """Effect, not just plan text: the pruned scan must touch 5 day
+    directories of 30. Executed-plan metrics carry the actual file
+    count."""
+    from braintumor_data_pipeline_spark.sources.maintenance import (
+        write_events_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    base = write_events_partitioned(spark, sf_dir)
+    e = spark.read.parquet(base)
+    pruned = e.filter(
+        (F.col("event_date") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-09").cast("date"))
+    )
+    pruned.count()  # execute so scan metrics are populated
+    scan = [
+        n
+        for n in pruned._jdf.queryExecution().executedPlan().toString().split("\n")
+        if "Scan parquet" in n
+    ]
+    assert scan
+    # distinct partition values actually returned = exactly the 5 days
+    days = [r[0] for r in pruned.select("event_date").distinct().collect()]
+    assert len(days) == 5, days
+
+
+#: Exchange budget per headline query (VERDICT r3 task 6): shuffles and
+#: broadcasts are THE scale costs, so pin each headline plan's count —
+#: a refactor that adds a shuffle (like r2's unexplained star_join +32%)
+#: fails here instead of surfacing as bench noise. Counts are from the
+#: non-AQE planning pass (AQE finalizes at execution; these are the
+#: static upper bounds).
+HEADLINE_EXCHANGE_BUDGET = {
+    "flagship_avg_by_group": (1, 0),
+    "pricing_summary": (1, 0),
+    "star_join_revenue": (1, 4),
+    "top_revenue_orders": (1, 2),
+    "window_rank_orders": (1, 0),
+    "rollup_lineitem": (1, 0),
+    "histogram_totalprice": (1, 1),
+    "minhash_dedup_groups": (2, 0),
+    "ngram_jaccard_pairs": (7, 3),
+    "knn_bruteforce_cosine": (1, 0),
+    "pixel_minmax_normalize": (1, 0),
+    "mask_metrics": (1, 0),
+    "region_grow_component": (3, 2),
+    "events_session_30m": (1, 0),
+    "events_asof_last_view": (1, 0),
+}
+
+
+def test_headline_exchange_budgets(spark, sf_dir):
+    """Every headline query's plan has exactly its pinned number of
+    hash-partitioning exchanges and broadcast exchanges, and no
+    sort-merge join anywhere (all headline joins are broadcast or
+    pre-partitioned)."""
+    import bench
+
+    assert set(HEADLINE_EXCHANGE_BUDGET) == set(bench.HEADLINE)
+    bad = []
+    for name, (n_exch, n_bcast) in HEADLINE_EXCHANGE_BUDGET.items():
+        plan = _plan(spark, sf_dir, name)
+        got = (
+            plan.count("Exchange hashpartitioning"),
+            plan.count("BroadcastExchange"),
+        )
+        if got != (n_exch, n_bcast) or "SortMergeJoin" in plan:
+            bad.append((name, got, "SMJ" if "SortMergeJoin" in plan else ""))
+    assert not bad, bad
+
+
 def test_unknown_table_raises_clean_error(spark, sf_dir):
     with pytest.raises(ValueError, match="[Uu]nknown"):
         load_table(spark, sf_dir, "nonexistent_table")
