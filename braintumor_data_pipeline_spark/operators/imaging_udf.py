@@ -165,11 +165,20 @@ def _to_arrays(pdf: pd.DataFrame, cols=("v",)) -> list[np.ndarray]:
     return out
 
 
-@register("mask_regionprops", oracle=None, tags=("masks", "imaging", "udf"))
 def mask_regionprops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regionprops of the pred mask's first region per image
-    (`evaluation.py:41-58`): eccentricity, axis lengths, solidity.
-    Moment math is not SQL-tractable → rows-only check + golden tests."""
+    (`evaluation.py:41-58`): eccentricity, axis lengths, solidity —
+    the float surface the reference app renders.
+
+    TEST-TIER, deliberately NOT registered (VERDICT r3 item 9): its
+    mean-based float moments have a different summation order than the
+    exact integer DAG, so a round-6 oracle could flip on decimal-
+    boundary ties; the registered companion ``mask_regionprops_exact``
+    hash-checks the identical physics (same region, same moments, same
+    hull) through tie-safe floor-micro integers, and the float surface
+    here is pinned by golden tests (test_multimodal_regionprops) plus
+    the cross-check test that floor(float·1e6) agrees with the exact
+    path within 1 ulp-widened bound."""
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         (v,) = _to_arrays(pdf)

@@ -46,3 +46,43 @@ def test_encode_unknown_word_falls_back_to_chars():
     syms = encode_word("xyz", ranks)
     assert syms == ["x", "y", "z" + END_MARK]
     assert encode_word("", ranks) == []
+
+
+def test_word_freq_collect_is_capped_and_unbinding_on_fixture(spark):
+    """The type-table collect is bounded (top MAX_WORD_TYPES after a
+    MIN_WORD_FREQ cutoff) — and on the fixture neither knob binds, so
+    the frozen bpe goldens are untouched: capped result == uncapped
+    groupBy. Also pin that the cap plans as TakeOrderedAndProject
+    (distributed top-K), never a global sort."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators import bpe
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.01"
+    capped = bpe._word_freqs(spark, sf)
+    d = load_table(spark, sf, "documents")
+    raw = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    uncapped = sorted(((r.w, r.freq) for r in raw), key=lambda t: (-t[1], t[0]))
+    assert capped == uncapped
+    assert len(capped) < bpe.MAX_WORD_TYPES
+
+    plan = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= bpe.MIN_WORD_FREQ)
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(bpe.MAX_WORD_TYPES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:800]

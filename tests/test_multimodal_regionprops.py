@@ -387,3 +387,30 @@ def test_spectral_bands_concentrate_on_pure_tone():
     # silence → all zeros; short input (no complete window) → all zeros
     assert spectral_band_energy_np(np.zeros((n, 1), np.int16)) == [0] * 4
     assert spectral_band_energy_np(np.zeros((3, 1), np.int16)) == [0] * 4
+
+
+def test_float_regionprops_builder_is_test_tier(spark, sf_dir):
+    """mask_regionprops (float surface) is deliberately NOT registered
+    (VERDICT r3 item 9) — the exact companion carries the hash check —
+    but the builder itself must keep working and agree with the exact
+    query's floor-micro values."""
+    from braintumor_data_pipeline_spark import registry
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        mask_regionprops,
+    )
+
+    qs = registry.all_queries()
+    assert "mask_regionprops" not in qs
+    assert "mask_regionprops_exact" in qs
+    fl = {r.image_id: r for r in mask_regionprops(spark, sf_dir).collect()}
+    ex = {
+        r.image_id: r
+        for r in qs["mask_regionprops_exact"].fn(spark, sf_dir).collect()
+    }
+    assert fl and set(ex) <= set(fl)
+    for iid, e in ex.items():
+        f = fl[iid]
+        # float path rounds to 6dp, exact path floors ·1e6 — agree to 1e-5
+        assert abs(f.eccentricity - e.ecc_micro / 1e6) < 1e-5
+        assert abs(f.major_axis_length - e.major_micro / 1e6) < 1e-5
+        assert abs(f.minor_axis_length - e.minor_micro / 1e6) < 1e-5
