@@ -324,3 +324,29 @@ def test_streaming_psi_equals_batch_operator(spark, sf_dir, tmp_path):
     for g, w in zip(got, want):
         assert (g.bin, g.n_ref, g.n_cur) == (w.bin, w.n_ref, w.n_cur)
         assert abs(g.psi_term - w.psi_term) < 1e-9
+
+
+def test_streaming_session_windows_equal_batch(spark, sf_dir, tmp_path):
+    """Genuine Structured Streaming session windows (30-min gap,
+    watermark, 3 chronological micro-batches) produce EXACTLY the batch
+    ``events_session_30m`` sessions — including sessions merged across
+    micro-batch boundaries, the stateful behavior batch never
+    exercises."""
+    from braintumor_data_pipeline_spark.streaming.events import (
+        events_session_30m,
+        run_streaming_session_windows,
+    )
+
+    batch = {
+        (r.user_id, r.session_start_us): (r.n_events, round(r.sum_value, 6))
+        for r in events_session_30m(spark, sf_dir).collect()
+    }
+    stream_df = run_streaming_session_windows(
+        spark, sf_dir, str(tmp_path / "ckpt")
+    )
+    stream = {
+        (r.user_id, r.session_start_us): (r.n_events, round(r.sum_value, 6))
+        for r in stream_df.collect()
+    }
+    assert batch == stream
+    assert len(batch) > 0
