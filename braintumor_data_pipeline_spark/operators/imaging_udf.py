@@ -412,21 +412,396 @@ def ssim_window_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact fixed-point 32×32 DFT + Butterworth weighting (VERDICT r3 task 2):
+# the integer-DFT technique proven on multimodal_audio_spectral_bands,
+# lifted to 2D. The DFT is SEPARABLE with integer coefficient tables
+# (cos/sin · 2^12, one 32-entry table since exp(-2πi(uy+vx)/32) depends
+# only on (uy+vx) mod 32), so every stage is exact int64 arithmetic a
+# SQL engine replays term-for-term; only the COEFFICIENT QUANTIZATION
+# is approximate, and both engines share the identical tables. The
+# Butterworth transfer H(d²) is rational in d² — quantized once as
+# round(H²·2^12) per distinct d² on the fftshift-centered grid — so the
+# weighted power sum Σ w(d²)·|F|² is the exact spectral energy of the
+# Butterworth-filtered image (|F·H|² = H²·|F|²), replayable in HUGEINT.
+# ---------------------------------------------------------------------------
+import math as _m
+
+_DFT_N = 32
+_DFT_SCALE = 4096  # 2^12 fixed-point for cos/sin and for H² weights
+_DFT_COS = [round(_m.cos(2 * _m.pi * t / _DFT_N) * _DFT_SCALE) for t in range(_DFT_N)]
+_DFT_SIN = [round(_m.sin(2 * _m.pi * t / _DFT_N) * _DFT_SCALE) for t in range(_DFT_N)]
+_BW_CUTOFF, _BW_ORDER = 30.0, 2
+
+
+def _bw_weights() -> dict[int, tuple[int, int]]:
+    """d² → (round(H_hp²·2^12), round(H_lp²·2^12)) on the centered grid
+    (du, dv ∈ [-16, 15]) — the same H as butterworth_filter, including
+    its 1e-8 epsilon conventions."""
+    out: dict[int, tuple[int, int]] = {}
+    for du in range(-16, 16):
+        for dv in range(-16, 16):
+            d2 = du * du + dv * dv
+            if d2 in out:
+                continue
+            d = _m.sqrt(d2)
+            h_hp = 1.0 / (1.0 + (_BW_CUTOFF / (d + 1e-8)) ** (2 * _BW_ORDER))
+            h_lp = 1.0 / (1.0 + (d / (_BW_CUTOFF + 1e-8)) ** (2 * _BW_ORDER))
+            out[d2] = (
+                round(h_hp * h_hp * _DFT_SCALE),
+                round(h_lp * h_lp * _DFT_SCALE),
+            )
+    return out
+
+
+_BW_W = _bw_weights()
+
+# numpy coefficient matrices W[k, t] = table[(k·t) mod 32]
+_K_GRID = (np.outer(np.arange(_DFT_N), np.arange(_DFT_N)) % _DFT_N)
+_WC = np.array(_DFT_COS, dtype=np.int64)[_K_GRID]
+_WS = np.array(_DFT_SIN, dtype=np.int64)[_K_GRID]
+# per-bin (u,v) weight lookups aligned with the unshifted DFT index
+_DU = np.where(np.arange(_DFT_N) < 16, np.arange(_DFT_N), np.arange(_DFT_N) - 32)
+_D2_GRID = (_DU[:, None] ** 2 + _DU[None, :] ** 2)
+_W_HP_GRID = np.vectorize(lambda d2: _BW_W[int(d2)][0])(_D2_GRID).astype(np.int64)
+_W_LP_GRID = np.vectorize(lambda d2: _BW_W[int(d2)][1])(_D2_GRID).astype(np.int64)
+
+_HILO = 10**18  # hi/lo split base for >int64 exact energies
+
+
+def _dft2_int(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact separable fixed-point 2D DFT of an int image: returns
+    (re, im) int64 arrays at total scale 2^24. No intermediate rounding
+    — only the shared coefficient tables quantize."""
+    a = img.astype(np.int64)
+    gr = a @ _WC.T           # Σ_x img[y,x]·cos(2π·v·x/32)·S
+    gi = -(a @ _WS.T)        # negative exponent
+    re = _WC @ gr + _WS @ gi
+    im = _WC @ gi - _WS @ gr
+    return re, im
+
+
+def _weighted_power(re: np.ndarray, im: np.ndarray, w: np.ndarray) -> int:
+    """Σ w·(re²+im²) in exact Python ints (re² exceeds int64)."""
+    total = 0
+    for j in range(re.size):
+        r, i_ = int(re.flat[j]), int(im.flat[j])
+        total += int(w.flat[j]) * (r * r + i_ * i_)
+    return total
+
+
+def _trig_values_sql() -> str:
+    rows = ", ".join(
+        f"({t}, {c}, {s})"
+        for t, (c, s) in enumerate(zip(_DFT_COS, _DFT_SIN))
+    )
+    return f"(VALUES {rows}) AS trig(t, c, s)"
+
+
+def _bw_values_sql() -> str:
+    rows = ", ".join(
+        f"({d2}, {hp}, {lp})" for d2, (hp, lp) in sorted(_BW_W.items())
+    )
+    return f"(VALUES {rows}) AS wts(d2, whp, wlp)"
+
+
+def _dft_power_sql(px_sql: str, val: str) -> str:
+    """DuckDB CTE chain replaying _dft2_int + per-bin power over a pixel
+    relation ``px_sql`` with columns (image_id, y, x, {val}) — the same
+    two-stage integer summation, then |F|² in HUGEINT."""
+    return f"""
+    fr AS (SELECT unnest(range({_DFT_N})) AS f),
+    g AS (
+      SELECT px.image_id, px.y, fr.f AS vf,
+             sum(CAST(px.{val} AS BIGINT) * trig.c) AS gr,
+             sum(CAST(px.{val} AS BIGINT) * -trig.s) AS gi
+      FROM ({px_sql}) px
+      CROSS JOIN fr
+      JOIN {_trig_values_sql()} ON trig.t = (fr.f * px.x) % {_DFT_N}
+      GROUP BY px.image_id, px.y, fr.f
+    ),
+    f2 AS (
+      SELECT g.image_id, fu.f AS u, g.vf AS v,
+             sum(trig.c * g.gr + trig.s * g.gi) AS re,
+             sum(trig.c * g.gi - trig.s * g.gr) AS im
+      FROM g
+      CROSS JOIN fr fu
+      JOIN {_trig_values_sql()} ON trig.t = (fu.f * g.y) % {_DFT_N}
+      GROUP BY g.image_id, fu.f, g.vf
+    ),
+    pw AS (
+      SELECT image_id, u, v,
+             CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im AS p2
+      FROM f2
+    ),
+    wp AS (
+      SELECT pw.image_id,
+             sum(wts.whp * pw.p2) AS hp,
+             sum(wts.wlp * pw.p2) AS lp
+      FROM pw JOIN {_bw_values_sql()}
+        ON wts.d2 = (CASE WHEN u < 16 THEN u ELSE u - 32 END)
+                    * (CASE WHEN u < 16 THEN u ELSE u - 32 END)
+                  + (CASE WHEN v < 16 THEN v ELSE v - 32 END)
+                    * (CASE WHEN v < 16 THEN v ELSE v - 32 END)
+      GROUP BY pw.image_id
+    )
+    """
+
+
 @register(
-    "image_pair_metrics",
-    oracle=_pinned.IMAGE_PAIR_METRICS_PINNED,
-    tags=("imaging", "udf", "join"),
-    pinned_sf="sf0.01",
+    "butterworth_band_energy",
+    oracle=f"""
+    WITH grid AS ({_GRID_GT_SQL}),
+    {_dft_power_sql("SELECT image_id, y, x, v FROM grid", "v")}
+    SELECT image_id,
+           CAST(hp // {_HILO} AS BIGINT) AS hp_hi,
+           CAST(hp % {_HILO} AS BIGINT) AS hp_lo,
+           CAST(lp // {_HILO} AS BIGINT) AS lp_hi,
+           CAST(lp % {_HILO} AS BIGINT) AS lp_lo
+    FROM wp
+    """,
+    tags=("imaging", "udf", "spectral"),
 )
+def butterworth_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 Butterworth under EXACT value parity — the r3-task-2 upgrade
+    of the frozen-golden ``butterworth_stats``: per grid image, the
+    spectral energies of the Butterworth high-pass and low-pass
+    filtered image (Σ H²(d²)·|F(u,v)|², Parseval-equal to the spatial
+    energy of the filtered image), computed through the fixed-point
+    integer DFT so the DuckDB oracle recomputes the identical integers
+    term-for-term. Energies exceed int64 → surfaced as exact
+    (hi, lo) = divmod(E, 10^18) BIGINT pairs (both engines agree —
+    E ≥ 0, so truncating and flooring division coincide).
+
+    The float FFT surface (mean/std of the rescaled uint8 filtered
+    image, `advanced_metrics.py:24-47`) stays as the test-tier
+    ``butterworth_stats`` builder below, golden-pinned in
+    test_imaging."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        (v,) = _to_arrays(pdf)
+        re, im = _dft2_int(v)
+        hp = _weighted_power(re, im, _W_HP_GRID)
+        lp = _weighted_power(re, im, _W_LP_GRID)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "hp_hi": hp // _HILO,
+                    "hp_lo": hp % _HILO,
+                    "lp_hi": lp // _HILO,
+                    "lp_lo": lp % _HILO,
+                }
+            ]
+        )
+
+    return grid_images_df(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, hp_hi long, hp_lo long, lp_hi long, lp_lo long",
+    )
+
+
+# Sobel taps: (dy, dx, wx, wy) with wx = K[dy+1, dx+1], wy = K[dx+1, dy+1]
+# (imaging.sobel_magnitude applies the x-kernel transposed for gy)
+_SOBEL_K = ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1))
+_SOBEL_TAPS = [
+    (oy, ox, _SOBEL_K[oy + 1][ox + 1], _SOBEL_K[ox + 1][oy + 1])
+    for oy in (-1, 0, 1)
+    for ox in (-1, 0, 1)
+    if _SOBEL_K[oy + 1][ox + 1] or _SOBEL_K[ox + 1][oy + 1]
+]
+
+# reflect-101 border index on the 32-grid (numpy pad mode="reflect")
+_R101 = "CASE WHEN {i} < 0 THEN -({i}) WHEN {i} > 31 THEN 62 - ({i}) ELSE {i} END"
+
+
+def _sobel_energy_sql(px_sql: str) -> str:
+    """DuckDB relation (image_id, y, x, e): integer Sobel gradient
+    energy gx²+gy² over a pixel relation (image_id, y, x, b) whose b is
+    the 0/255 binarized value; reflect-101 borders — the exact-integer
+    core of bf_score's edge extraction (sqrt and rescale dropped: the
+    energy map carries the same boundary information exactly)."""
+    taps = ", ".join(f"({oy}, {ox}, {wx}, {wy})" for oy, ox, wx, wy in _SOBEL_TAPS)
+    ry = _R101.format(i="(c.y + t.dy)")
+    rx = _R101.format(i="(c.x + t.dx)")
+    return f"""
+      SELECT c.image_id, c.y, c.x,
+             sum(t.wx * CAST(p.b AS BIGINT)) * sum(t.wx * CAST(p.b AS BIGINT))
+             + sum(t.wy * CAST(p.b AS BIGINT)) * sum(t.wy * CAST(p.b AS BIGINT))
+               AS e
+      FROM ({px_sql}) c
+      CROSS JOIN (VALUES {taps}) AS t(dy, dx, wx, wy)
+      JOIN ({px_sql}) p
+        ON p.image_id = c.image_id
+       AND p.y = {ry} AND p.x = {rx}
+      GROUP BY c.image_id, c.y, c.x
+    """
+
+
+def _sobel_energy_np(binary: np.ndarray) -> np.ndarray:
+    """Integer Sobel gradient energy gx²+gy² of a 0/255 image,
+    reflect-101 borders — the numpy twin of :func:`_sobel_energy_sql`
+    (imaging.sobel_magnitude without the sqrt, so it stays exact)."""
+    a = binary.astype(np.int64)
+    ap = np.pad(a, 1, mode="reflect")
+    h, w = a.shape
+    gx = np.zeros_like(a)
+    gy = np.zeros_like(a)
+    for oy, ox, wx, wy in _SOBEL_TAPS:
+        sl = ap[oy + 1 : oy + 1 + h, ox + 1 : ox + 1 + w]
+        gx += wx * sl
+        gy += wy * sl
+    return gx * gx + gy * gy
+
+
+def _weighted_cross(
+    re1: np.ndarray, im1: np.ndarray, re2: np.ndarray, im2: np.ndarray,
+    w: np.ndarray,
+) -> int:
+    """Σ w·(re1·re2 + im1·im2) in exact Python ints — the spectral
+    cross-energy (Parseval: the spatial inner product of the two
+    filtered maps, the correlation core of bf_score's SSIM step)."""
+    total = 0
+    for j in range(re1.size):
+        total += int(w.flat[j]) * (
+            int(re1.flat[j]) * int(re2.flat[j])
+            + int(im1.flat[j]) * int(im2.flat[j])
+        )
+    return total
+
+
+_EDGE_PX_SQL = (
+    "SELECT image_id, y, x, "
+    "CASE WHEN {val} >= 128 THEN 255 ELSE 0 END AS b FROM grid"
+)
+
+
+def _edge_dft_sql(name: str, val: str) -> str:
+    """CTE chain ``{name}_edge → {name}_g → {name}_f`` producing the
+    integer DFT (re, im) of the Sobel edge-energy map of the binarized
+    ``val`` channel."""
+    edge = _sobel_energy_sql(_EDGE_PX_SQL.format(val=val))
+    return f"""
+    {name}_edge AS ({edge}),
+    {name}_g AS (
+      SELECT e.image_id, e.y, fr.f AS vf,
+             sum(e.e * trig.c) AS gr,
+             sum(e.e * -trig.s) AS gi
+      FROM {name}_edge e
+      CROSS JOIN fr
+      JOIN {_trig_values_sql()} ON trig.t = (fr.f * e.x) % {_DFT_N}
+      GROUP BY e.image_id, e.y, fr.f
+    ),
+    {name}_f AS (
+      SELECT g.image_id, fu.f AS u, g.vf AS v,
+             sum(trig.c * g.gr + trig.s * g.gi) AS re,
+             sum(trig.c * g.gi - trig.s * g.gr) AS im
+      FROM {name}_g g
+      CROSS JOIN fr fu
+      JOIN {_trig_values_sql()} ON trig.t = (fu.f * g.y) % {_DFT_N}
+      GROUP BY g.image_id, fu.f, g.vf
+    )
+    """
+
+
+@register(
+    "edge_spectrum_agreement",
+    oracle=f"""
+    WITH grid AS ({_GRID_GT_SQL}),
+    fr AS (SELECT unnest(range({_DFT_N})) AS f),
+    {_edge_dft_sql("p", "v")},
+    {_edge_dft_sql("q", "v2")},
+    joined AS (
+      SELECT p_f.image_id,
+             CASE WHEN p_f.u < 16 THEN p_f.u ELSE p_f.u - 32 END AS du,
+             CASE WHEN p_f.v < 16 THEN p_f.v ELSE p_f.v - 32 END AS dv,
+             p_f.re AS r1, p_f.im AS i1, q_f.re AS r2, q_f.im AS i2
+      FROM p_f JOIN q_f
+        ON p_f.image_id = q_f.image_id AND p_f.u = q_f.u AND p_f.v = q_f.v
+    ),
+    agg AS (
+      SELECT j.image_id,
+             sum(wts.whp * (CAST(r1 AS HUGEINT) * r1
+                            + CAST(i1 AS HUGEINT) * i1)) AS pe,
+             sum(wts.whp * (CAST(r2 AS HUGEINT) * r2
+                            + CAST(i2 AS HUGEINT) * i2)) AS ge,
+             sum(wts.whp * (CAST(r1 AS HUGEINT) * r2
+                            + CAST(i1 AS HUGEINT) * i2)) AS xe
+      FROM joined j
+      JOIN {_bw_values_sql()} ON wts.d2 = j.du * j.du + j.dv * j.dv
+      GROUP BY j.image_id
+    )
+    SELECT image_id,
+           CAST(pe // {_HILO} AS BIGINT) AS pred_hi,
+           CAST(pe % {_HILO} AS BIGINT) AS pred_lo,
+           CAST(ge // {_HILO} AS BIGINT) AS gt_hi,
+           CAST(ge % {_HILO} AS BIGINT) AS gt_lo,
+           CAST(CASE WHEN xe < 0 THEN -1 WHEN xe > 0 THEN 1 ELSE 0 END
+                AS INT) AS cross_sign,
+           CAST(abs(xe) // {_HILO} AS BIGINT) AS cross_hi,
+           CAST(abs(xe) % {_HILO} AS BIGINT) AS cross_lo
+    FROM agg
+    """,
+    tags=("imaging", "udf", "join", "spectral"),
+)
+def edge_spectrum_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT core of bf_score (X15) under a recomputing oracle — the
+    r3-task-2 upgrade of the frozen-golden ``image_pair_metrics``: per
+    grid image, binarize both channels, take the integer Sobel
+    edge-energy maps, and compare their Butterworth-high-pass spectra:
+    each map's filtered energy (Σ H_hp²·|F|²) plus their CROSS energy
+    (Σ H_hp²·(re₁re₂ + im₁im₂)) — by Parseval the spatial inner product
+    of the two filtered boundary maps, i.e. the correlation numerator
+    of bf_score's SSIM comparison, with no float FFT anywhere. The
+    DuckDB oracle replays Sobel (reflect-101 taps), both separable
+    integer DFTs, and the HUGEINT-weighted sums term-for-term; energies
+    exceed int64 → exact (sign, hi, lo) BIGINT encodings.
+
+    The float chain (Sobel→rescale→FFT Butterworth→SSIM,
+    `advanced_metrics.py:50-54`) stays as the test-tier
+    ``image_pair_metrics`` builder below, golden-pinned in tests."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        v, v2 = _to_arrays(pdf, ("v", "v2"))
+        pe_map = _sobel_energy_np((v >= 128).astype(np.int64) * 255)
+        ge_map = _sobel_energy_np((v2 >= 128).astype(np.int64) * 255)
+        r1, i1 = _dft2_int(pe_map)
+        r2, i2 = _dft2_int(ge_map)
+        pe = _weighted_power(r1, i1, _W_HP_GRID)
+        ge = _weighted_power(r2, i2, _W_HP_GRID)
+        xe = _weighted_cross(r1, i1, r2, i2, _W_HP_GRID)
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": int(pdf["image_id"].iloc[0]),
+                    "pred_hi": pe // _HILO,
+                    "pred_lo": pe % _HILO,
+                    "gt_hi": ge // _HILO,
+                    "gt_lo": ge % _HILO,
+                    "cross_sign": (xe > 0) - (xe < 0),
+                    "cross_hi": abs(xe) // _HILO,
+                    "cross_lo": abs(xe) % _HILO,
+                }
+            ]
+        )
+
+    return _grid_with_gt(spark, sf_dir).groupBy("image_id").applyInPandas(
+        apply,
+        schema="image_id int, pred_hi long, pred_lo long, gt_hi long,"
+        " gt_lo long, cross_sign int, cross_hi long, cross_lo long",
+    )
+
+
 def image_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise image comparison (J2): SSIM, BF-score (with GT), and the
     no-GT BF fallback between the two value channels of each grid image —
     the `advanced_metrics` chain end-to-end per image.
 
-    Oracle tier: frozen sf0.01 golden (tools/pin_oracle.py) — BF-score
-    runs Sobel→Butterworth (FFT) which no SQL engine replays; the
-    windowed-SSIM algebra itself is independently hash-checked by
-    ``ssim_window_map``'s recomputing oracle."""
+    TEST-TIER, deliberately NOT registered (VERDICT r3 task 2): the
+    float FFT butterfly order isn't SQL-replayable, so the hash surface
+    moved to ``edge_spectrum_agreement`` (exact integer Sobel+DFT+
+    Butterworth of the same channels); this float surface stays pinned
+    by golden unit tests."""
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         v, v2 = _to_arrays(pdf, ("v", "v2"))
@@ -450,21 +825,16 @@ def image_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "butterworth_stats",
-    oracle=_pinned.BUTTERWORTH_STATS_PINNED,
-    tags=("imaging", "udf"),
-    pinned_sf="sf0.01",
-)
 def butterworth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Butterworth high/low-pass (X14, `advanced_metrics.py:24-47`) per
     grid image; emits mean/std of the filtered images (the downstream
     stats the pipeline would append).
 
-    Oracle tier: frozen sf0.01 golden (tools/pin_oracle.py, the
-    judge-sanctioned constant-comparison table for X14) — the FFT's
-    butterfly summation order is not replayable in SQL, so the driver
-    hash-checks against the pinned values instead of a recomputation."""
+    TEST-TIER, deliberately NOT registered (VERDICT r3 task 2): the FFT
+    butterfly summation order is not replayable in SQL; the hash
+    surface moved to ``butterworth_band_energy`` (exact integer-DFT
+    Butterworth energies of the same channel). This float surface is
+    pinned by the test_imaging goldens."""
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         (v,) = _to_arrays(pdf)

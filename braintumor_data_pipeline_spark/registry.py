@@ -88,6 +88,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: events_partition_pruned_daily + dpp_star_join_weekend (first-time
 #: queries — static PartitionFilters and dynamic partition pruning,
 #: the two 100 TB scan-elimination levers, now hash-checked).
+#: r4 third rotation (VERDICT r3 task 2): ssim_window_map (once-green
+#: r3, formulation unchanged) vacates for butterworth_band_energy — the
+#: frozen-golden butterworth_stats upgraded to a recomputing
+#: integer-DFT oracle; imaging_udf family coverage stays (this IS the
+#: imaging_udf module, and its companion edge_spectrum_agreement — the
+#: image_pair_metrics upgrade — sits first in the post-window order).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -107,8 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_returning_supplier",
     # analytics (scalar function surfaces, Arrow UDAF)
     "geomean_grouped_agg_udf",
-    # imaging UDF path (applyInPandas numpy, hash-checked vs grid SQL)
-    "ssim_window_map",
+    # imaging UDF path (applyInPandas numpy, hash-checked vs exact
+    # integer-DFT SQL — the r4 frozen-golden upgrade)
+    "butterworth_band_energy",
     # experiments (both first-time, r4): survival analysis + VARIANT
     "kaplan_meier_user_lifetime",
     "variant_props_analytics",

@@ -181,3 +181,101 @@ def test_augment_preserves_mass_and_moves_positions(spark, sf_dir):
         assert r.policy == iid % 6
         # mass conservation vs the stats query's mean
         assert abs(r.sum_v / 1024.0 - stats[iid].mean_v) < 1e-9
+
+
+def test_integer_dft_matches_numpy_fft():
+    """The fixed-point separable DFT behind butterworth_band_energy must
+    agree with np.fft.fft2 to coefficient-quantization precision
+    (relative error ~2^-12 per stage) — ties the exact-oracle
+    formulation to the true Fourier math, not just to itself."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        _DFT_SCALE,
+        _dft2_int,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32))
+    re, im = _dft2_int(img)
+    approx = (re + 1j * im) / (_DFT_SCALE * _DFT_SCALE)
+    truth = np.fft.fft2(img)
+    scale = np.abs(truth).max()
+    assert np.abs(approx - truth).max() / scale < 2e-3
+
+
+def test_butterworth_band_energy_matches_float_filter_physics():
+    """Parseval check: the integer hp/lp weighted spectral energies must
+    track the spatial energy of the float butterworth_filter output
+    (before its uint8 rescale) within quantization tolerance."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        _DFT_SCALE,
+        _W_HP_GRID,
+        _W_LP_GRID,
+        _dft2_int,
+        _weighted_power,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 32))
+    re, im_ = _dft2_int(img)
+    n = 32
+    for w_grid, high_pass in ((_W_HP_GRID, True), (_W_LP_GRID, False)):
+        e_int = _weighted_power(re, im_, w_grid)
+        # descale: coefficients S² on F → S⁴ on |F|², S on weights,
+        # and 1/N² for the inverse-transform energy (Parseval)
+        e_scaled = e_int / (_DFT_SCALE**5) / (n * n)
+        # float reference: energy of ifft2(fftshift-filtered spectrum)
+        u, v = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = np.sqrt((u - 16) ** 2 + (v - 16) ** 2)
+        if high_pass:
+            h = 1 / (1 + (30.0 / (d + 1e-8)) ** 4)
+        else:
+            h = 1 / (1 + (d / (30.0 + 1e-8)) ** 4)
+        f = np.fft.fftshift(np.fft.fft2(img)) * h
+        filt = np.fft.ifft2(np.fft.ifftshift(f))
+        e_ref = float((np.abs(filt) ** 2).sum())
+        assert abs(e_scaled - e_ref) / max(e_ref, 1.0) < 5e-3, (
+            high_pass,
+            e_scaled,
+            e_ref,
+        )
+
+
+def test_sobel_energy_np_matches_sobel_magnitude():
+    """_sobel_energy_np (the exact integer core of the
+    edge_spectrum_agreement oracle) must equal sobel_magnitude² on a
+    0/255 image."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.functions import imaging as im
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        _sobel_energy_np,
+    )
+
+    rng = np.random.RandomState(11)
+    b = (rng.rand(32, 32) > 0.6).astype(np.uint8) * 255
+    e = _sobel_energy_np(b)
+    mag = im.sobel_magnitude(b)
+    assert np.allclose(e.astype(np.float64), mag**2)
+
+
+def test_float_butterworth_and_pair_metrics_are_test_tier(spark, sf_dir):
+    """The float FFT surfaces stay as working unregistered builders."""
+    from braintumor_data_pipeline_spark import registry
+    from braintumor_data_pipeline_spark.operators.imaging_udf import (
+        butterworth_stats,
+        image_pair_metrics,
+    )
+
+    qs = registry.all_queries()
+    assert "butterworth_stats" not in qs
+    assert "image_pair_metrics" not in qs
+    assert "butterworth_band_energy" in qs
+    assert "edge_spectrum_agreement" in qs
+    rows = butterworth_stats(spark, sf_dir).collect()
+    assert rows and all(r.hp_mean >= 0 for r in rows)
+    rows = image_pair_metrics(spark, sf_dir).collect()
+    assert rows and all(-1.0 <= r.ssim_images <= 1.0 for r in rows)
