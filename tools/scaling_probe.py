@@ -89,5 +89,214 @@ def main() -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Headline-shape probe (VERDICT r3 task 3): the 5 heaviest headline
+# PLAN SHAPES, generator-fed (zero I/O — sources/generator.py style LCG
+# columns over spark.range) at 1×/10×/50× the sf0.1 row counts. Each
+# builder mirrors its registered query's physical structure (same
+# operator chain, same broadcast/shuffle skeleton); wall-time curves go
+# to SCALE.md. Near-linear growth = the plan's cost is scan + map-side
+# combine, the shape that scales out.
+#
+# Usage: python tools/scaling_probe.py headline [factors...]
+# ---------------------------------------------------------------------------
+
+_MIX_A = 2_654_435_761
+_MIX_C = 1_013_904_223
+_MIX_M = 2_147_483_648
+
+
+def _mix(col, salt: int):
+    return (col * _MIX_A + _MIX_C + salt) % _MIX_M
+
+
+def _star_join_shape(spark, s: int):
+    """star_join_revenue: fact scan → 2 broadcast dim joins → 1-shuffle
+    group agg (600k·s fact rows, fixed-size broadcastable dims)."""
+    n = 600_000 * s
+    fact = spark.range(n).select(
+        F.col("id").alias("orderkey"),
+        (_mix(F.col("id"), 1) % 25).alias("nation_id"),
+        (_mix(F.col("id"), 2) % 1000).alias("supp_id"),
+        (100 + _mix(F.col("id"), 3) % 99900).alias("price_cents"),
+    )
+    nation = spark.range(25).select(
+        F.col("id").alias("nation_id"),
+        (F.col("id") % 5).alias("region_id"),
+    )
+    supp = spark.range(1000).select(
+        F.col("id").alias("supp_id"),
+        (_mix(F.col("id"), 9) % 7).alias("supp_class"),
+    )
+    return (
+        fact.join(F.broadcast(nation), "nation_id")
+        .join(F.broadcast(supp), "supp_id")
+        .groupBy("region_id", "supp_class")
+        .agg(F.count("*").alias("n"), F.sum("price_cents").alias("cents"))
+    )
+
+
+def _minhash_groups_shape(spark, s: int):
+    """minhash_dedup_groups: token explode → k-affine min-agg per doc →
+    signature hash → group-by-signature (5k·s docs × 50 tokens; ~25%
+    duplicate docs so groups actually form)."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+    )
+
+    docs = 5_000 * s
+    tok_per_doc = 50
+    distinct = (docs * 3) // 4
+    t = spark.range(docs * tok_per_doc).select(
+        (F.col("id") / tok_per_doc).cast("long").alias("doc_id"),
+        (F.col("id") % tok_per_doc).alias("pos"),
+    )
+    # duplicate docs: token stream depends on doc_id % distinct
+    h0 = _mix((F.col("doc_id") % distinct) * tok_per_doc + F.col("pos"), 77)
+    hs = F.array(
+        *[
+            (F.lit(MINHASH_A[i]) * h0 + F.lit(MINHASH_B[i])) % F.lit(1 << 32)
+            for i in range(MINHASH_K)
+        ]
+    )
+    wide = (
+        t.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(*[F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(MINHASH_K)])
+    )
+    sig = F.md5(
+        F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(MINHASH_K)])
+    )
+    return (
+        wide.select("doc_id", sig.alias("sig_hash"))
+        .groupBy("sig_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+def _ngram_pairs_shape(spark, s: int):
+    """ngram_jaccard_pairs: shingle inverted index → candidate self-join
+    → pair intersection counts → Jaccard filter (5k·s docs × 40
+    shingles; bounded dup-cluster size keeps pairs linear-ish, as the
+    registered query's banding does)."""
+    docs = 5_000 * s
+    sh_per_doc = 40
+    distinct = (docs * 9) // 10
+    t = spark.range(docs * sh_per_doc).select(
+        (F.col("id") / sh_per_doc).cast("long").alias("doc_id"),
+        _mix(
+            (F.col("id") % (sh_per_doc * distinct)), 123
+        ).alias("shingle"),
+    )
+    sh = t.distinct().persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    out = (
+        inter.join(ca, F.col("da") == F.col("ca.doc_id"))
+        .join(cb, F.col("db") == F.col("cb.doc_id"))
+        .select(
+            "da",
+            "db",
+            (
+                F.col("n_common")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return out
+
+
+def _region_grow_shape(spark, s: int):
+    """region_grow_component: pixel grids → per-image applyInPandas
+    numpy BFS (146·s images of 1024 px, same UDF as the registered
+    query)."""
+    from braintumor_data_pipeline_spark.operators.segmentation import (
+        _bfs_apply,
+    )
+
+    images = 146 * s
+    px = spark.range(images * 1024).select(
+        (F.col("id") / 1024).cast("int").alias("image_id"),
+        ((F.col("id") % 1024) / 32).cast("int").alias("y"),
+        (F.col("id") % 32).cast("int").alias("x"),
+        (_mix(F.col("id"), 31) % 256).cast("int").alias("v"),
+    )
+    return px.groupBy("image_id").applyInPandas(
+        _bfs_apply, schema="image_id int, y int, x int"
+    )
+
+
+def _session_windows_shape(spark, s: int):
+    """events_session_30m: session_window group-agg (100k·s events over
+    2k·s users across 30 days)."""
+    n = 100_000 * s
+    users = 2_000 * s
+    ev = spark.range(n).select(
+        (_mix(F.col("id"), 5) % users).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + _mix(F.col("id"), 6) % (30 * 86_400)
+        ).alias("ts"),
+        (_mix(F.col("id"), 8) % 10_000).alias("cents"),
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+        .select("user_id", F.col("w.start").alias("start"), "n_events", "cents")
+    )
+
+
+HEADLINE_SHAPES = {
+    "star_join": _star_join_shape,
+    "minhash_groups": _minhash_groups_shape,
+    "ngram_pairs": _ngram_pairs_shape,
+    "region_grow": _region_grow_shape,
+    "session_windows": _session_windows_shape,
+}
+
+
+def main_headline() -> int:
+    factors = [int(x) for x in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="headline-scaling-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    for name, build in HEADLINE_SHAPES.items():
+        # untimed per-shape warmup: the first execution of a shape pays
+        # whole-stage-codegen compilation, which would otherwise be
+        # billed entirely to the smallest factor and mask the curve
+        build(spark, 1).write.format("noop").mode("overwrite").save()
+        timings = {}
+        rates = {}
+        for s in factors:
+            t0 = time.time()
+            build(spark, s).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            timings[f"x{s}"] = round(dt, 3)
+            rates[f"x{s}"] = round(dt / s, 3)  # per-unit-scale cost
+        print(
+            json.dumps(
+                {
+                    "shape": name,
+                    "factors": factors,
+                    "wall_s": timings,
+                    "wall_per_scale_s": rates,
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "headline":
+        raise SystemExit(main_headline())
     raise SystemExit(main())
