@@ -1483,3 +1483,180 @@ def behavior_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l1", "ua", "ub")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer PCA covariance accumulation (north-star scale extension)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_Q = 1 << 20  # fixed-point quantization for exact cross-moment sums
+
+
+@register(
+    "embedding_pca_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(range({_PCA_DIM})) AS dim,
+             CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * {_PCA_Q}
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT a.dim AS i, b.dim AS j,
+           count(*) AS n,
+           CAST(sum(a.qv) AS BIGINT) AS si,
+           CAST(sum(b.qv) AS BIGINT) AS sj,
+           CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS DECIMAL(38,0)) AS sxy
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+    tags=("similarity", "pca", "agg", "udf"),
+)
+def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA over the embedding column — the
+    preprocessing step semantic-dedup pipelines (SemDeDup-style) run
+    before clustering: the exact d×d second-moment (Gram) matrix plus
+    per-dimension sums, from which covariance and eigenvectors follow
+    on the driver (d² values — model state, like the IVF centroids).
+
+    Scale shape: ONE pass, no self-join — each Arrow batch accumulates
+    a local int64 Gram matrix with numpy (rows·q² ≤ 10⁴·2^44 per batch,
+    no overflow), emits d(d+1)/2 partial rows, and a single groupBy
+    reduces partials with order-free integer sums (DECIMAL(38,0) for
+    the cross moments, which exceed int64 at corpus scale). Embeddings
+    quantize by 2^20 fixed point (float32→double exact, one multiply +
+    floor — engine-identical), so the DuckDB oracle — which replays the
+    mathematically equal quadratic self-join formula — produces the
+    identical integers: two different summation ORDERS, one exact
+    result, which is the whole point of integer accumulation.
+
+    Covariance: cov_ij = (sxy/n − si·sj/n²) / 2^40 (driver-side float,
+    after the exact reduction)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = _t(spark, sf_dir, "embeddings")
+    iu = np.triu_indices(_PCA_DIM)
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * _PCA_Q + 0.5).astype(np.int64)
+            g = q.T @ q
+            s = q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                    "si": s[iu[0]],
+                    "sj": s[iu[1]],
+                    "sxy": g[iu],  # int64 exact (≤ ~10^17 per batch)
+                }
+            )
+
+    # partial Gram rows per batch; sxy rides as int64 (safe per-batch:
+    # ≤10⁴ rows · (3·2^20)² ≈ 10^17) and reduces in DECIMAL(38,0)
+    partials = e.select("vec_id", "embedding").mapInPandas(
+        gram, schema="i int, j int, n long, si long, sj long, sxy long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+    )
+
+
+@register(
+    "hard_negative_mining_topk",
+    oracle="""
+    SELECT qid, nid, sim, rn
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   4) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < 50 AND b.label <> a.label
+    )
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "join", "topk", "training"),
+)
+def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 3 MOST similar vectors with a DIFFERENT label — the
+    similar-but-wrong examples a contrastive loss learns most from
+    (positives = same label, excluded by construction). Same
+    distributed top-k skeleton as ``knn_bruteforce_cosine``: query
+    block in the task closure, one numpy matmul per Arrow batch,
+    batch-local top-3 per query, global window over the tiny candidate
+    union — the shuffle carries ≤ 3·50·n_batches candidates, never the
+    pair table. Similarities round(4) BEFORE ranking on both engines so
+    tie-breaks (then by nid) agree exactly."""
+    import numpy as np
+    import pandas as pd
+
+    vec = _vectors(spark, sf_dir)
+    qrows = (
+        vec.filter(F.col("vec_id") < 50)
+        .select("vec_id", "label", "v", "nrm")
+        .collect()
+    )
+    qid_arr = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlab = np.array([r.label for r in qrows], dtype=np.int64)
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)
+    qn = np.array([r.nrm for r in qrows], dtype=np.float64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["nid"].to_numpy()
+            nlab = pdf["nlabel"].to_numpy()
+            bmat = np.stack(pdf["bv"].to_numpy()).astype(np.float64)
+            bn = pdf["bn"].to_numpy()
+            sims = np.round((bmat @ qmat.T) / np.outer(bn, qn), 4)
+            out = []
+            for j in range(len(qid_arr)):
+                keep = nlab != qlab[j]
+                if not keep.any():
+                    continue
+                s = sims[keep, j]
+                order = np.lexsort((nid[keep], -s))[:3]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qid_arr[j]),
+                            "nid": nid[keep][order],
+                            "sim": s[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cands = vec.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    ).mapInPandas(local_topk, schema="qid long, nid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid", "sim", "rn")
+    )

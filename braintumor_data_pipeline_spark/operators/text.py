@@ -1002,3 +1002,91 @@ def sentiment_lexicon_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     ).orderBy("doc_id")
+
+
+@register(
+    "bigram_continuation_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i, tok
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    bigrams AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE b.tok <> ''
+    ),
+    stats AS (
+      SELECT w2 AS token,
+             count(*) AS n_bigram,
+             count(DISTINCT w1) AS n_left_types
+      FROM bigrams GROUP BY w2
+    ),
+    uni AS (
+      SELECT tok AS token, count(*) AS n_unigram
+      FROM toks GROUP BY tok
+    )
+    SELECT u.token, u.n_unigram,
+           coalesce(s.n_bigram, 0) AS n_bigram,
+           coalesce(s.n_left_types, 0) AS n_left_types
+    FROM uni u LEFT JOIN stats s ON s.token = u.token
+    ORDER BY u.n_unigram DESC, u.token
+    LIMIT 100
+    """,
+    tags=("text", "ngram", "lm", "agg"),
+)
+def bigram_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics — the corpus counts a bigram
+    language model (quality scoring / perplexity-proxy stage) needs:
+    per token, its unigram count, how often it appears as a bigram
+    continuation, and its DISTINCT left-context type count (the KN
+    continuation numerator: 'how many contexts does this word
+    complete', which replaces raw frequency for lower-order weights).
+    Top-100 by (unigram count DESC, token) — a total order, so both
+    engines cut the same prefix.
+
+    Scale shape: the bigram relation comes from a positional self-join
+    within each document (adjacent token index), shuffled on doc_id —
+    content-uniform; counts are partial-aggregable; distinct-left uses
+    the standard two-level exact distinct aggregate. No Python in the
+    plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bigrams = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.i") == F.col("a.i") + 1),
+    ).select(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+    stats = bigrams.groupBy(F.col("w2").alias("token")).agg(
+        F.count("*").alias("n_bigram"),
+        F.countDistinct("w1").alias("n_left_types"),
+    )
+    uni = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").alias("n_unigram")
+    )
+    return (
+        uni.join(stats, "token", "left")
+        .select(
+            "token",
+            "n_unigram",
+            F.coalesce("n_bigram", F.lit(0)).alias("n_bigram"),
+            F.coalesce("n_left_types", F.lit(0)).alias("n_left_types"),
+        )
+        .orderBy(F.desc("n_unigram"), F.asc("token"))
+        .limit(100)
+    )

@@ -215,3 +215,48 @@ def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
         assert (r.doc_a, r.doc_b) not in edges
         assert r.common_neighbors >= 2
         assert r.doc_a < r.doc_b
+
+
+def test_pca_covariance_matches_numpy_and_is_psd(spark):
+    """embedding_pca_covariance's exact integer moments reconstruct the
+    numpy covariance matrix to quantization precision (2^-20 per
+    value), and the resulting matrix is symmetric PSD with descending
+    eigenvalues — the driver-side eigendecomposition (model state, like
+    the IVF centroids) that completes the PCA."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark import registry
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        _PCA_DIM,
+        _PCA_Q,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        registry.all_queries()["embedding_pca_covariance"]
+        .fn(spark, sf)
+        .collect()
+    )
+    assert len(rows) == _PCA_DIM * (_PCA_DIM + 1) // 2
+    n = rows[0].n
+    cov = np.zeros((_PCA_DIM, _PCA_DIM))
+    for r in rows:
+        c = (float(r.sxy) / n - (r.si / n) * (r.sj / n)) / (_PCA_Q**2)
+        cov[r.i, r.j] = c
+        cov[r.j, r.i] = c
+
+    x = np.stack(
+        load_table(spark, sf, "embeddings")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    ref = np.cov(x, rowvar=False, bias=True)
+    assert np.abs(cov - ref).max() < 1e-5
+
+    vals = np.linalg.eigvalsh(cov)
+    assert vals.min() > -1e-9  # PSD up to fp error
+    evals, evecs = np.linalg.eigh(cov)
+    proj = (x - x.mean(0)) @ evecs[:, ::-1][:, :2]
+    v = proj.var(axis=0, ddof=0)
+    assert v[0] >= v[1] > 0  # top component explains the most variance
