@@ -171,3 +171,46 @@ def run_streaming_psi_bins(
         )
         .orderBy("bin")
     )
+
+
+def run_streaming_countmin(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Build the count-min sketch over the events.user_id stream as a
+    genuine Structured Streaming job — the last sketch family without a
+    stream flavor (r4). Count-min state is EXACTLY the d·w counter
+    grid by construction (like the HLL registers): the streaming
+    aggregate is the same (seed, bucket) count, bounded at
+    CM_SEEDS·CM_W rows regardless of stream length, and every counter
+    is a sum — mergeable across micro-batches with no watermark needed.
+    Tests assert this equals the batch countmin_build over the same
+    keys."""
+    from ..operators.sketch import countmin_build
+
+    ensure_nanos_readable(spark)
+    stage_dir = checkpoint_dir + "_src"
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    keys = stream.select(F.col("user_id").alias("key"))
+    agg = countmin_build(keys)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("countmin_stream")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("countmin_stream")

@@ -350,3 +350,31 @@ def test_streaming_session_windows_equal_batch(spark, sf_dir, tmp_path):
     }
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_streaming_countmin_equals_batch(spark, sf_dir, tmp_path):
+    """Genuine streaming count-min sketch == batch countmin_build over
+    the same keys (every counter a mergeable sum; state bounded at
+    CM_SEEDS*CM_W rows by construction)."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        CM_SEEDS,
+        CM_W,
+        countmin_build,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.streaming.sketches import (
+        run_streaming_countmin,
+    )
+
+    batch_keys = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    batch = {
+        (r.seed, r.bucket): r.cnt for r in countmin_build(batch_keys).collect()
+    }
+    stream_df = run_streaming_countmin(spark, sf_dir, str(tmp_path / "ckpt"))
+    stream = {(r.seed, r.bucket): r.cnt for r in stream_df.collect()}
+    assert batch == stream
+    assert 0 < len(stream) <= CM_SEEDS * CM_W
