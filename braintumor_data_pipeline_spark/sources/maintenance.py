@@ -412,3 +412,24 @@ def write_with_bloom_filters(
             f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
         )
     w.parquet(dst)
+
+
+def backfill_day_idempotent(
+    spark: SparkSession, df: DataFrame, dst: str, day_col: str = "event_date"
+) -> None:
+    """Idempotent partition backfill — the standard 100 TB reprocessing
+    primitive: re-running a day's pipeline must REPLACE that day's
+    directory, never duplicate into it, and must leave every other
+    partition byte-untouched. Implemented with DYNAMIC partition
+    overwrite (``partitionOverwriteMode=dynamic``): only the partitions
+    present in ``df`` are overwritten; a failed job publishes nothing
+    (the parquet committer stages to _temporary and commits per
+    partition). Static mode (the default) would instead wipe ALL
+    partitions — the classic backfill footgun this helper exists to
+    avoid."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(day_col)
+        .parquet(dst)
+    )

@@ -169,3 +169,48 @@ def test_bloom_filters_written_and_readable(spark, tmp_path):
     write_with_bloom_filters(o, d2, ("o_custkey",), n_files=1)
     o.repartition(1).write.mode("overwrite").parquet(p2)
     assert abs(sz(d2) - sz(p2)) < 10_000
+
+
+def test_backfill_day_idempotent_replaces_only_target_partition(
+    spark, sf_dir, tmp_path
+):
+    """Dynamic partition overwrite: re-running one day's backfill (even
+    with different row content) replaces exactly that day — no
+    duplicates, other days byte-identical."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.sources.maintenance import (
+        backfill_day_idempotent,
+    )
+
+    dst = str(tmp_path / "events_by_day")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    backfill_day_idempotent(spark, e, dst)
+    before = spark.read.parquet(dst)
+    day = "2024-01-05"
+    n_total = before.count()
+    n_day = before.filter(F.col("event_date") == day).count()
+    other_before = sorted(
+        (r.event_id, str(r.event_date))
+        for r in before.filter(F.col("event_date") != day).collect()
+    )
+
+    # re-run the one day, halving its rows (a "corrected" backfill)
+    redo = e.filter(
+        (F.to_date("ts") == day) & (F.col("event_id") % 2 == 0)
+    )
+    n_redo = redo.count()
+    assert 0 < n_redo < n_day
+    backfill_day_idempotent(spark, redo, dst)
+
+    after = spark.read.parquet(dst)
+    assert after.filter(F.col("event_date") == day).count() == n_redo
+    assert after.count() == n_total - n_day + n_redo
+    other_after = sorted(
+        (r.event_id, str(r.event_date))
+        for r in after.filter(F.col("event_date") != day).collect()
+    )
+    assert other_after == other_before
