@@ -1660,3 +1660,35 @@ def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "nid", "sim", "rn")
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    cents: list,
+    new_vectors: DataFrame,
+) -> None:
+    """Incremental IVF index maintenance (r4): add a batch of vectors to
+    an existing index WITHOUT rebuilding — assign each new vector to its
+    nearest cell under the EXISTING centroids (index state is
+    immutable-by-contract once built; production re-trains centroids
+    only on drift, out of band) and append cell-clustered files. Cost ∝
+    batch size, never index size — the same incremental shape as
+    ``incremental_dedup_new_batch``. Appended files cover few cells
+    each, so footer-stats pruning keeps working; periodic
+    ``compact_parquet`` folds small appended files back to target size
+    (the OPTIMIZE loop every real ANN service runs)."""
+    unit = F.transform("v", lambda x: x / F.col("nrm"))
+    base = new_vectors.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        _nearest_cell(unit, cents).alias("cell"),
+    )
+    (
+        base.repartition("cell")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .parquet(index_dir)
+    )

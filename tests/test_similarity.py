@@ -260,3 +260,54 @@ def test_pca_covariance_matches_numpy_and_is_psd(spark):
     proj = (x - x.mean(0)) @ evecs[:, ::-1][:, :2]
     v = proj.var(axis=0, ddof=0)
     assert v[0] >= v[1] > 0  # top component explains the most variance
+
+
+def test_ivf_index_append_matches_full_build(spark, tmp_path):
+    """Incremental index maintenance: build the IVF index from 80% of
+    the vectors, append the remaining 20% under the same centroids —
+    queries against the appended index return EXACTLY the results of a
+    full build (same centroids either way, and cell assignment is a
+    pure function of vector + centroids)."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        _nearest_cell,
+        _vectors,
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full_dir = str(tmp_path / "ivf_full")
+    incr_dir = str(tmp_path / "ivf_incr")
+
+    cents = build_ivf_index(spark, sf, full_dir)
+    full = {
+        (r.qid, r.rn): (r.nid, r.sim)
+        for r in query_ivf_index(spark, sf, full_dir, cents).collect()
+    }
+
+    vec = _vectors(spark, sf)
+    n = vec.count()
+    cut = int(n * 0.8)
+    unit = F.transform("v", lambda x: x / F.col("nrm"))
+    old = vec.filter(F.col("vec_id") < cut).select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        _nearest_cell(unit, cents).alias("cell"),
+    )
+    old.repartition("cell").sortWithinPartitions("cell").write.mode(
+        "overwrite"
+    ).parquet(incr_dir)
+    append_to_ivf_index(
+        spark, sf, incr_dir, cents, vec.filter(F.col("vec_id") >= cut)
+    )
+
+    incr = {
+        (r.qid, r.rn): (r.nid, r.sim)
+        for r in query_ivf_index(spark, sf, incr_dir, cents).collect()
+    }
+    assert incr == full
+    assert len(full) > 0
