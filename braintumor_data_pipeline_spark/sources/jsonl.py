@@ -169,3 +169,67 @@ def textdir_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "jsonl_corrupt_records_audit",
+    # Oracle recomputes the corruption schedule from the original table:
+    # every doc with doc_id % 50 == 7 becomes a malformed line (lands in
+    # the NULL-lang bucket with no parsed columns); the rest parse.
+    oracle="""
+    SELECT CASE WHEN doc_id % 50 = 7 THEN NULL ELSE lang END AS lang,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE n_chars END)
+                AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("source", "jsonl", "quality", "agg"),
+)
+def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input accounting — the ingest gate every 100 TB JSONL
+    crawl needs: lines that fail to parse must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED), but surface as
+    countable rows. Documents are re-serialized to JSONL with a
+    DETERMINISTIC 2% corruption schedule (doc_id % 50 == 7 → line truncated to
+    12 chars, an unclosed JSON object), read back PERMISSIVE with a
+    declared ``_corrupt_record`` column, and audited per language:
+    corrupt rows parse no columns (NULL lang bucket) and carry the raw
+    line for quarantine. The oracle replays the schedule against the
+    original parquet — a hash match certifies that exactly the intended
+    lines failed and every other field survived the round trip."""
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(
+        tempfile.gettempdir(), "braintumor_jsonl_corrupt", tag
+    )
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    mangled = F.when(
+        F.col("doc_id") % 50 == 7,
+        F.substring(line, 1, 12),  # unclosed JSON object — always fails
+    ).otherwise(line)
+    docs.select(mangled.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(path)
+
+    schema = T.StructType(
+        list(DOCUMENTS_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_chars"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+    )
