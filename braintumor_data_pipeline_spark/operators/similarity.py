@@ -526,11 +526,21 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
     _Q = float(1 << 40)
     for _ in range(IVF_ITERS):
         assigned = base.select("u", _nearest_cell(F.col("u"), cents).alias("cell"))
+        # floor(x·Q + 0.5), NOT F.round(x·Q): Spark's round on double
+        # goes through the shortest decimal repr (BigDecimal.valueOf)
+        # and HALF_UP, which disagrees with an engine rounding the
+        # binary value whenever the shortest repr ties at .5 — at 2^40
+        # scale (ulp/half-spacing ≈ 2^-12) that's an expected ~20 flips
+        # over a training run. floor of the identical correctly-rounded
+        # double is engine-identical (the functions/money.py idiom),
+        # which is what lets the DuckDB oracle replay the training.
         sums = (
             assigned.select("cell", F.posexplode("u").alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg(
-                F.sum(F.round(F.col("val") * _Q).cast("long")).alias("s"),
+                F.sum(
+                    F.floor(F.col("val") * _Q + F.lit(0.5)).cast("long")
+                ).alias("s"),
                 F.count("*").alias("n"),
             )
             .collect()  # K*dim rows — model state, not data
@@ -539,9 +549,13 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
         by_cell: dict = {}
         for r in sums:
             by_cell.setdefault(r.cell, {})[r.dim] = (r.s / r.n) / _Q
+        import math as _math
+
         for cell, dims in by_cell.items():
             vec = [dims[d] for d in range(len(cents[0]))]
-            n = sum(x * x for x in vec) ** 0.5 or 1.0
+            # math.sqrt (correctly rounded, == SQL sqrt), not **0.5
+            # (libm pow, 1-ulp platform divergence risk)
+            n = _math.sqrt(sum(x * x for x in vec)) or 1.0
             new[cell] = [x / n for x in vec]  # re-project to the sphere
         cents = new
     return cents
@@ -576,18 +590,133 @@ def _probe_cells(u: Column, cents: list, nprobe: int) -> Column:
     return F.transform(top, lambda s: s["i"])
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`_dot`: the identical left fold from 0.0
+    over pairwise products (list_reduce ≡ F.aggregate, both
+    left-to-right, each +/× a single correctly-rounded IEEE op)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        f" p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+
+
+def _sumsq_sql(a: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({a},"
+        f" x -> x * x)), (a, b) -> a + b)"
+    )
+
+
+_IVF_DIM = 64  # embedding dimensionality
+
+
+def _ivf_oracle() -> str:
+    """Full SQL replay of the IVF chain — training INCLUDED: the 5
+    Lloyd iterations unroll as CTE stages (assignment = row_number over
+    the vector×centroid dot grid with the same (d DESC, cell DESC)
+    tie-break as array_max on struct(d, i); centroid update = the same
+    floor(x·2^40 + 0.5) fixed-point sums, int/int division and
+    math.sqrt re-normalization; empty cells keep their previous
+    centroid via LEFT JOIN + coalesce), then probe + re-rank replay the
+    search. Every float op is a single correctly-rounded IEEE op on
+    identical inputs in an identical order, so the trained model — and
+    therefore the search output — matches Spark's bit-for-bit."""
+    q = "1099511627776.0"  # 2^40
+    parts = [
+        f"""
+    vnorm AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_sumsq_sql("CAST(embedding AS DOUBLE[])")}) AS nrm,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                x -> x / sqrt({_sumsq_sql("CAST(embedding AS DOUBLE[])")}))
+               AS u
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u
+      FROM (SELECT vec_id, u FROM vnorm ORDER BY vec_id LIMIT {IVF_K})
+    )"""
+    ]
+    for i in range(IVF_ITERS):
+        d = _dot_sql("v.u", "c.u")
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, u, cell FROM (
+        SELECT v.vec_id, v.u, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d} DESC, c.cell DESC) AS rn
+        FROM vnorm v CROSS JOIN c{i} c
+      ) WHERE rn = 1
+    ),
+    e{i} AS (
+      SELECT cell, unnest(range({_IVF_DIM})) AS dim, unnest(u) AS val
+      FROM a{i}
+    ),
+    s{i} AS (
+      SELECT cell, dim,
+             sum(CAST(floor(val * {q} + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM e{i} GROUP BY cell, dim
+    ),
+    m{i} AS (
+      SELECT cell, list((s / n) / {q} ORDER BY dim) AS mean
+      FROM s{i} GROUP BY cell
+    ),
+    nc{i} AS (
+      SELECT cell,
+             list_transform(mean, x -> x /
+               (CASE WHEN sqrt({_sumsq_sql("mean")}) = 0.0 THEN 1.0
+                     ELSE sqrt({_sumsq_sql("mean")}) END)) AS u
+      FROM m{i}
+    ),
+    c{i + 1} AS (
+      SELECT c.cell, coalesce(nc.u, c.u) AS u
+      FROM c{i} c LEFT JOIN nc{i} nc USING (cell)
+    )"""
+        )
+    cf = f"c{IVF_ITERS}"
+    dq = _dot_sql("v.u", "c.u")
+    parts.append(
+        f"""
+    basef AS (
+      SELECT vec_id AS nid, v AS bv, nrm AS bn, cell FROM (
+        SELECT v.vec_id, v.v, v.nrm, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dq} DESC, c.cell DESC) AS rn
+        FROM vnorm v CROSS JOIN {cf} c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qn, cell FROM (
+        SELECT v.vec_id, v.v, v.nrm, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dq} DESC, c.cell DESC) AS rn
+        FROM vnorm v CROSS JOIN {cf} c
+        WHERE v.vec_id < 50
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, b.nid,
+             round({_dot_sql("p.qv", "b.bv")} / (p.qn * b.bn), 4) AS sim
+      FROM probe p JOIN basef b USING (cell)
+      WHERE p.qid <> b.nid
+    )
+    SELECT qid, nid, sim, rn FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rn
+      FROM cand
+    ) WHERE rn <= 5"""
+    )
+    return "WITH " + ",".join(parts)
+
+
 @register(
     "ann_ivf_cosine",
-    # The learned quantizer makes a full SQL replay impractical (5 Lloyd
-    # iterations of argmax-assign + re-normalize), but the model is now
-    # REPRODUCIBLE — fixed-point centroid sums (see _ivf_centroids) mean
-    # any partitioning/retry/speculation schedule yields the identical
-    # model — so the query's output is a stable function of the fixtures
-    # and a frozen sf0.01 golden (tools/pin_oracle.py) hash-checks the
-    # whole train→assign→probe→re-rank chain.
-    oracle=_pinned.ANN_IVF_COSINE_PINNED,
+    oracle=_ivf_oracle(),
     tags=("similarity", "ivf", "approx"),
-    pinned_sf="sf0.01",
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF (inverted-file) search: a learned
@@ -599,8 +728,13 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned (and in practice bucketed/sorted) by cell, so a
     query touches nprobe/K of the data and the candidate join shuffles
     on the uniform cell key. Centroids are plan constants — no shuffle,
-    no UDF; everything stays in codegen. Rows-only driver check; recall
-    vs brute force is gated in tests."""
+    no UDF; everything stays in codegen.
+
+    r4 upgrade (was a frozen sf0.01 golden): the oracle now REPLAYS THE
+    TRAINING — 5 unrolled Lloyd-iteration CTE stages with the identical
+    fixed-point update and tie-breaks (see :func:`_ivf_oracle`) — so a
+    driver hash match certifies quantizer learning AND search, at any
+    SF. Recall vs brute force stays gated in tests."""
     cents = _ivf_centroids(spark, sf_dir)
     vec = _vectors(spark, sf_dir)
     unit = F.transform("v", lambda x: x / F.col("nrm"))
@@ -1498,7 +1632,7 @@ _PCA_Q = 1 << 20  # fixed-point quantization for exact cross-moment sums
     oracle=f"""
     WITH q AS (
       SELECT vec_id,
-             unnest(range({_PCA_DIM})) AS dim,
+             unnest(range({_IVF_DIM})) AS dim,
              CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * {_PCA_Q}
                         + 0.5) AS BIGINT) AS qv
       FROM embeddings
