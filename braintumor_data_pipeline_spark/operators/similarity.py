@@ -999,11 +999,16 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
         assigned = sub.select(
             "m", "sv", _pq_assign(F.col("sv"), F.col("m"), books).alias("cell")
         )
+        # floor(x·Q + 0.5), not F.round — the same shortest-repr HALF_UP
+        # tie hazard fixed in _ivf_centroids (r4); engine-identical, so
+        # the DuckDB oracle can replay the codebook training
         sums = (
             assigned.select("m", "cell", F.posexplode("sv").alias("dim", "val"))
             .groupBy("m", "cell", "dim")
             .agg(
-                F.sum(F.round(F.col("val") * _Q).cast("long")).alias("s"),
+                F.sum(
+                    F.floor(F.col("val") * _Q + F.lit(0.5)).cast("long")
+                ).alias("s"),
                 F.count("*").alias("n"),
             )
             .collect()
@@ -1015,12 +1020,153 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     return books
 
 
+def _sub_l2_sql(a: str, b: str) -> str:
+    """DuckDB mirror of _sub_l2 (Spark's F.aggregate LEFT FOLD of
+    squared diffs) — used for the training/assignment distances, which
+    run through Spark expressions."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    )
+
+
+def _tree8_sql(lst: str) -> str:
+    """numpy's pairwise summation of a length-8 axis is NOT a left
+    fold: for n = 8 the unrolled 8-accumulator path reduces as
+    ((x0+x1)+(x2+x3)) + ((x4+x5)+(x6+x7)). The ADC stages of
+    pq_adc_topk run in numpy, so their oracle must reduce in exactly
+    that tree order (1-indexed DuckDB list)."""
+    x = [f"{lst}[{i}]" for i in range(1, 9)]
+    return (
+        f"((({x[0]} + {x[1]}) + ({x[2]} + {x[3]}))"
+        f" + (({x[4]} + {x[5]}) + ({x[6]} + {x[7]})))"
+    )
+
+
+def _sub_l2_tree_sql(a: str, b: str) -> str:
+    """Squared L2 over 8 dims in numpy's n=8 pairwise TREE order —
+    mirrors the LUT computation ((qsub − cb)²).sum(axis=3)."""
+    diffs = (
+        f"list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))"
+    )
+    return _tree8_sql(f"({diffs})")
+
+
+def _pq_oracle() -> str:
+    """Full SQL replay of the PQ chain — codebook training, code
+    assignment, the ADC lookup-table scan, and the exact re-rank (see
+    ``ann_ivf_cosine``'s ``_ivf_oracle`` for the technique): 3 unrolled
+    Lloyd stages over all 8 subspaces at once (assignment = row_number
+    with the (d ASC, k ASC) tie-break matching array_min on struct;
+    update = the same floor(x·2^40 + 0.5) sums, no normalization),
+    then ADC distances as ORDERED list folds over the per-subspace LUT
+    entries (numpy's sequential axis sums are the same left fold)."""
+    q = "1099511627776.0"  # 2^40
+    parts = [
+        f"""
+    vnorm AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt({_sumsq_sql("CAST(embedding AS DOUBLE[])")}) AS nrm
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, ms.m,
+             list_slice(v, ms.m * {PQ_SUBDIM} + 1,
+                        ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM vnorm, (SELECT unnest(range({PQ_M})) AS m) ms
+    ),
+    b0 AS (
+      SELECT m, vec_id AS k, sv AS u FROM sub WHERE vec_id < {PQ_K}
+    )"""
+    ]
+    for i in range(PQ_ITERS):
+        d = _sub_l2_sql("s.sv", "b.u")
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, m, sv, cell FROM (
+        SELECT s.vec_id, s.m, s.sv, b.k AS cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d} ASC, b.k ASC) AS rn
+        FROM sub s JOIN b{i} b ON b.m = s.m
+      ) WHERE rn = 1
+    ),
+    e{i} AS (
+      SELECT m, cell, unnest(range({PQ_SUBDIM})) AS dim, unnest(sv) AS val
+      FROM a{i}
+    ),
+    s{i} AS (
+      SELECT m, cell, dim,
+             sum(CAST(floor(val * {q} + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM e{i} GROUP BY m, cell, dim
+    ),
+    nb{i} AS (
+      SELECT m, cell, list((s / n) / {q} ORDER BY dim) AS u
+      FROM s{i} GROUP BY m, cell
+    ),
+    b{i + 1} AS (
+      SELECT b.m, b.k, coalesce(nb.u, b.u) AS u
+      FROM b{i} b LEFT JOIN nb{i} nb ON nb.m = b.m AND nb.cell = b.k
+    )"""
+        )
+    bf = f"b{PQ_ITERS}"
+    d = _sub_l2_sql("s.sv", "b.u")
+    parts.append(
+        f"""
+    codes AS (
+      SELECT vec_id, m, cell AS code FROM (
+        SELECT s.vec_id, s.m, b.k AS cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d} ASC, b.k ASC) AS rn
+        FROM sub s JOIN {bf} b ON b.m = s.m
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS qid, s.m, b.k,
+             {_sub_l2_tree_sql("s.sv", "b.u")} AS d2
+      FROM sub s JOIN {bf} b ON b.m = s.m
+      WHERE s.vec_id < 50
+    ),
+    adcd AS (
+      SELECT qid, nid, {_tree8_sql("(list(d2 ORDER BY m))")} AS adc
+      FROM (
+        SELECT l.qid, c.vec_id AS nid, l.m, l.d2
+        FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+        WHERE l.qid <> c.vec_id
+      )
+      GROUP BY qid, nid
+    ),
+    topr AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, nid ASC) AS arn
+        FROM adcd
+      ) WHERE arn <= {PQ_RERANK}
+    )
+    SELECT qid, nid, sim, rn FROM (
+      SELECT t.qid, t.nid,
+             round({_dot_sql("qv.v", "bv.v")} / (qv.nrm * bv.nrm), 4) AS sim,
+             row_number() OVER (
+               PARTITION BY t.qid
+               ORDER BY round({_dot_sql("qv.v", "bv.v")}
+                              / (qv.nrm * bv.nrm), 4) DESC, t.nid
+             ) AS rn
+      FROM topr t
+      JOIN vnorm qv ON qv.vec_id = t.qid
+      JOIN vnorm bv ON bv.vec_id = t.nid
+    ) WHERE rn <= 5"""
+    )
+    return "WITH " + ",".join(parts)
+
+
 @register(
     "pq_adc_topk",
-    # getattr: rows-only until tools/pin_oracle.py generates the golden
-    oracle=getattr(_pinned, "PQ_ADC_TOPK_PINNED", None),
+    oracle=_pq_oracle(),
     tags=("similarity", "quantize", "approx", "topk"),
-    pinned_sf="sf0.01",
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, the memory-bound scale path beyond
@@ -1034,8 +1180,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_RERANK vectors.
 
     Deterministic end to end (fixed-point codebook training, numpy ADC
-    over exact doubles, round(4)+nid tie-break) → frozen sf0.01 golden;
-    recall vs brute force is gated in tests."""
+    over exact doubles, round(4)+nid tie-break). r4 upgrade (was a
+    frozen sf0.01 golden): the oracle replays codebook TRAINING, code
+    assignment, the ADC scan (numpy's n=8 pairwise-tree sums mirrored
+    exactly — see _tree8_sql) and the exact re-rank, so the driver
+    hash-checks the whole chain at any SF; recall vs brute force stays
+    gated in tests."""
     import numpy as np
     import pandas as pd
 
