@@ -214,3 +214,56 @@ def run_streaming_countmin(
     q.processAllAvailable()
     q.stop()
     return spark.table("countmin_stream")
+
+
+def run_streaming_bloom(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Build the bloom-filter bitmap over the events.user_id stream as
+    a genuine Structured Streaming job (r4 — completes the sketch
+    family alongside HLL, PSI, and count-min): state is exactly the
+    64-word bitmap by construction, each word a mergeable bit_or —
+    complete-mode streaming aggregate, no watermark needed. Tests
+    assert this equals the batch bloom_bitmap over the same keys."""
+    from ..operators.sketch import BF_BITS_PER_WORD, BF_K, BF_M, _h_spark
+
+    ensure_nanos_readable(spark)
+    stage_dir = checkpoint_dir + "_src"
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
+    raw_schema = spark.read.parquet(
+        os.path.join(stage_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    seeds = F.array(*[F.lit(i) for i in range(BF_K)])
+    pos = _h_spark("bf", F.col("seed"), F.col("key")) % BF_M
+    agg = (
+        stream.select(F.col("user_id").alias("key"))
+        .select("key", F.explode(seeds).alias("seed"))
+        .select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / BF_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {BF_BITS_PER_WORD} as int))"
+            ).alias("bitv"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bitv").alias("mask"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bloom_stream")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("bloom_stream")

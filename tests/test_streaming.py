@@ -378,3 +378,29 @@ def test_streaming_countmin_equals_batch(spark, sf_dir, tmp_path):
     stream = {(r.seed, r.bucket): r.cnt for r in stream_df.collect()}
     assert batch == stream
     assert 0 < len(stream) <= CM_SEEDS * CM_W
+
+
+def test_streaming_bloom_equals_batch(spark, sf_dir, tmp_path):
+    """Genuine streaming bloom bitmap == batch bloom_bitmap over the
+    same keys (bit_or per word is mergeable; state = 64 words by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.sketch import (
+        BF_WORDS,
+        bloom_bitmap,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from braintumor_data_pipeline_spark.streaming.sketches import (
+        run_streaming_bloom,
+    )
+
+    keys = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    batch = {r.word: r.mask for r in bloom_bitmap(keys).collect()}
+    stream_df = run_streaming_bloom(spark, sf_dir, str(tmp_path / "ckpt"))
+    stream = {r.word: r.mask for r in stream_df.collect()}
+    # stream emits only words with bits; batch spine includes zeros
+    assert stream == {w: m for w, m in batch.items() if m != 0}
+    assert len(batch) == BF_WORDS
