@@ -145,3 +145,38 @@ def bucketed_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "bucketed_group_agg",
+    oracle=f"""
+    SELECT l_orderkey,
+           count(*) AS n_items,
+           {oracle_dec_sum("l_extendedprice")} AS gross,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    """,
+    tags=("agg", "bucketing"),
+)
+def bucketed_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER bucketing payoff (r4): a groupBy on the bucket key
+    needs NO Exchange at all — the scan's bucket partitioning already
+    satisfies the aggregation's distribution requirement, so the plan
+    is scan → partial+final agg with zero shuffles (pinned in
+    test_bucketing). At 100 TB this is every per-order rollup riding
+    the layout for free, query after query; the oracle runs the same
+    aggregate on the raw parquet, proving layout changes the plan, not
+    the answer."""
+    db = ensure_bucketed_tables(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec_col("l_extendedprice")).cast("double").alias("gross"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .filter(F.col("n_items") >= 6)
+    )

@@ -98,3 +98,17 @@ def test_registered_bucketed_star_join_plan_and_values(spark, sf_dir):
         .collect()
     }
     assert {tuple(r) for r in df.collect()} == expect
+
+
+def test_bucketed_group_agg_has_zero_exchanges(spark, sf_dir):
+    """groupBy on the bucket key rides the layout: the whole plan has
+    NO Exchange (scan's bucket partitioning satisfies the aggregate's
+    distribution requirement) — the second bucketing payoff beyond the
+    zero-shuffle join."""
+    from braintumor_data_pipeline_spark import registry
+
+    df = registry.all_queries()["bucketed_group_agg"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "SelectedBucketsCount" in plan
+    assert df.count() > 0
