@@ -132,3 +132,134 @@ def synthetic_skew_stress_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         (F.sum("sv") % _M).alias("checksum"),
     )
+
+
+_MIXA = 2_654_435_761
+_MIXC = 1_013_904_223
+_MIXM = 2_147_483_648  # 2^31
+
+
+def _mix(col, salt: int):
+    return (col * _MIXA + _MIXC + salt) % _MIXM
+
+
+@register(
+    "synthetic_star_join_agg",
+    oracle=f"""
+    WITH fact AS (
+      SELECT r.range AS id,
+             (r.range * {_MIXA} + {_MIXC} + 1) % {_MIXM} % 25 AS nation_id,
+             (r.range * {_MIXA} + {_MIXC} + 2) % {_MIXM} % 1000 AS supp_id,
+             100 + (r.range * {_MIXA} + {_MIXC} + 3) % {_MIXM} % 99900
+               AS price_cents
+      FROM range({N_ROWS}) r
+    ),
+    nation AS (
+      SELECT r.range AS nation_id, r.range % 5 AS region_id
+      FROM range(25) r
+    ),
+    supp AS (
+      SELECT r.range AS supp_id,
+             (r.range * {_MIXA} + {_MIXC} + 9) % {_MIXM} % 7 AS supp_class
+      FROM range(1000) r
+    )
+    SELECT region_id, supp_class,
+           count(*) AS n,
+           CAST(sum(price_cents) AS BIGINT) AS cents
+    FROM fact
+    JOIN nation USING (nation_id)
+    JOIN supp USING (supp_id)
+    GROUP BY region_id, supp_class
+    """,
+    tags=("source", "generator", "join", "agg"),
+)
+def synthetic_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scaling probe's star-join shape as a driver-checkable query:
+    a zero-I/O LCG fact (100k rows) against two generated broadcast
+    dims, one shuffle for the 35-group rollup. Same plan skeleton as
+    ``star_join_revenue`` with no files at all — the shape that probed
+    flat to 120M rows in tools/scaling_probe.py; all-integer columns
+    make the oracle replay exact. ``sf_dir`` unused by construction."""
+    fact = spark.range(N_ROWS).select(
+        (_mix(F.col("id"), 1) % 25).alias("nation_id"),
+        (_mix(F.col("id"), 2) % 1000).alias("supp_id"),
+        (100 + _mix(F.col("id"), 3) % 99900).alias("price_cents"),
+    )
+    nation = spark.range(25).select(
+        F.col("id").alias("nation_id"), (F.col("id") % 5).alias("region_id")
+    )
+    supp = spark.range(1000).select(
+        F.col("id").alias("supp_id"),
+        (_mix(F.col("id"), 9) % 7).alias("supp_class"),
+    )
+    return (
+        fact.join(F.broadcast(nation), "nation_id")
+        .join(F.broadcast(supp), "supp_id")
+        .groupBy("region_id", "supp_class")
+        .agg(F.count("*").alias("n"), F.sum("price_cents").alias("cents"))
+    )
+
+
+@register(
+    "synthetic_session_windows",
+    oracle=f"""
+    WITH ev AS (
+      SELECT (r.range * {_MIXA} + {_MIXC} + 5) % {_MIXM} % 2000 AS user_id,
+             CAST(1704067200 AS BIGINT) * 1000000
+               + ((r.range * {_MIXA} + {_MIXC} + 6) % {_MIXM}
+                  % {30 * 86400}) * 1000000 AS ts_us,
+             (r.range * {_MIXA} + {_MIXC} + 8) % {_MIXM} % 10000 AS cents
+      FROM range({N_ROWS}) r
+    ),
+    seq AS (
+      SELECT user_id, ts_us, cents,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, cents)
+                       > 1800000000
+                  OR lag(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, cents) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts_us, cents,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, cents
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("source", "generator", "window", "session", "agg"),
+)
+def synthetic_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scaling probe's session-window shape as a driver-checkable
+    query: 100k zero-I/O events over 2000 users, 30-minute-gap
+    ``session_window`` aggregation; the oracle derives identical
+    sessions via the gaps-and-islands idiom (session identity = min
+    event time, both engines agree). All-integer — microsecond
+    timestamps and cent values — so the hash is exact. Duplicate
+    (user, ts) collisions from the LCG are fine: secondary order by
+    cents makes the lag/cumsum deterministic, and session membership
+    is order-independent anyway."""
+    ev = spark.range(N_ROWS).select(
+        (_mix(F.col("id"), 5) % 2000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + _mix(F.col("id"), 6) % (30 * 86_400)
+        ).alias("ts"),
+        (_mix(F.col("id"), 8) % 10_000).alias("cents"),
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "cents",
+        )
+    )
