@@ -1090,3 +1090,61 @@ def bigram_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_unigram"), F.asc("token"))
         .limit(100)
     )
+
+
+@register(
+    "arrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_utf
+    FROM documents
+    """,
+    tags=("text", "udf", "arrow"),
+)
+def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface (§2.12 completion, r4): per-document token
+    and character counts computed entirely in pyarrow.compute — no
+    pandas materialization at all, the lowest-overhead Python batch
+    path Spark 4 offers (Arrow RecordBatch in, RecordBatch out;
+    ~2-5× less per-batch overhead than mapInPandas for pure-columnar
+    ops since nothing converts to Python objects). Splitting,
+    empty-token filtering, and list-length all happen as vectorized
+    Arrow kernels; the oracle replays them relationally. n_chars_utf is
+    CHARACTER count (utf8_length ≡ DuckDB length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            toks = pc.split_pattern(text, " ")
+            n_all = pc.list_value_length(toks).cast(pa.int64())
+            # empty-token count per row: filter the flattened tokens'
+            # parent indices down to the empties and histogram them —
+            # all Arrow kernels plus one numpy scatter, no Python loop
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks)
+            emp_idx = pc.filter(parents, pc.equal(flat, ""))
+            arr = np.zeros(len(batch), dtype="int64")
+            if len(emp_idx) > 0:
+                counts = emp_idx.value_counts()
+                vals = counts.field("values").to_numpy(zero_copy_only=False)
+                cnts = counts.field("counts").to_numpy(zero_copy_only=False)
+                arr[vals] = cnts
+            n_tok = pc.subtract(n_all, pa.array(arr, type=pa.int64()))
+            n_chars = pc.utf8_length(text).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, n_tok, n_chars],
+                names=["doc_id", "n_tokens", "n_chars_utf"],
+            )
+
+    return d.mapInArrow(
+        stats, schema="doc_id long, n_tokens long, n_chars_utf long"
+    )
