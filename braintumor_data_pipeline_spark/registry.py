@@ -107,8 +107,14 @@ PRIORITY: tuple[str, ...] = (
     # CDC: SCD-2 point-in-time enrichment (first-time, r4)
     "scd2_point_in_time_enrich",
     # timeseries (cusum first-time, r4)
-    "cohort_weekly_retention",
     "cusum_changepoint_daily",
+    # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
+    # once-green r3, formulation unchanged, timeseries keeps cusum —
+    # vacates for bpe_learn_merges, whose ORACLE changed this round
+    # from a frozen golden to the 30-round training replay: changed
+    # formulations get driver confirmation, and the bpe module's new
+    # recomputing tier needs its window slot per the smoke invariant)
+    "bpe_learn_merges",
     # TPC-H shapes
     "q21_sole_returning_supplier",
     # analytics (scalar function surfaces, Arrow UDAF)
