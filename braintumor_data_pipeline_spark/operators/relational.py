@@ -1390,6 +1390,66 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# In-pass observed metrics (df.observe / CollectMetrics)
+# ---------------------------------------------------------------------------
+@register(
+    "observed_metrics_gate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+             AS n_finished,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent_consumed
+    FROM orders
+    """,
+    tags=("agg", "ops", "quality", "observe"),
+)
+def observed_metrics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` / ``CollectMetrics`` — Spark's in-pass metrics
+    surface, the production alternative to `expectations_report`'s
+    dedicated audit scan: quality metrics accumulate on the SAME action
+    that runs the business query, so a 100 TB promotion gate costs zero
+    extra scans. CollectMetrics is a semantic barrier — the downstream
+    priority filter must NOT push below it (plan-pinned in
+    `test_plans.py`), so the metrics see every scanned row while the
+    consuming count sees only the filtered ones. The observed values
+    come back driver-side as one row by construction (an accumulator
+    protocol, like the pagination cursor above — bounded regardless of
+    data size) and are re-emitted as a 1-row DataFrame whose oracle
+    recomputes all four numbers relationally; the cents sum is the
+    order-independent integer-money convention from
+    `functions/money.py`."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("quality_gate")
+    monitored = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+    # The "production" action the metrics piggyback on.
+    n_urgent = monitored.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["revenue_cents"]), int(m["n_finished"]),
+          int(n_urgent))],
+        schema=(
+            "n_rows bigint, revenue_cents bigint, n_finished bigint, "
+            "n_urgent_consumed bigint"
+        ),
+    )
+
+
 @register(
     "keyset_pagination_page3",
     # The oracle states the page the naive way — OFFSET — proving the

@@ -396,3 +396,26 @@ def test_join_strategy_hints_agree_on_results(spark, sf_dir):
             (r.o_orderpriority, r.n, r.cents) for r in df.collect()
         )
     assert results["broadcast"] == results["merge"] == results["shuffle_hash"]
+
+
+def test_observe_collect_metrics_barrier(spark, sf_dir):
+    """`observed_metrics_gate`'s core contract: CollectMetrics is a
+    semantic barrier. The downstream priority filter must NOT push
+    below the observe() node into the scan (the metrics must see every
+    scanned row), and the observed count must cover the full table
+    while the consuming action sees only the filtered subset."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("barrier_probe")
+    monitored = o.observe(obs, F.count(F.lit(1)).alias("n"))
+    df = monitored.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan, plan[:1500]
+    i = plan.index("PushedFilters")
+    assert "o_orderpriority" not in plan[i : i + 300], plan[i : i + 300]
+    n_filtered = df.count()
+    n_all = o.count()
+    assert obs.get["n"] == n_all
+    assert n_filtered < n_all
