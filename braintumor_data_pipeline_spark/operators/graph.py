@@ -359,3 +359,106 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+SSSP_ROUNDS = 6  # bounded Bellman-Ford relaxation rounds
+
+
+def _sssp_round_sql(k: int) -> str:
+    return f"""d{k} AS (
+      SELECT doc_id, min(dist) AS dist FROM (
+        SELECT doc_id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS doc_id, p.dist + e.w AS dist
+        FROM edges e JOIN d{k - 1} p ON p.doc_id = e.src
+      ) GROUP BY doc_id
+    )"""
+
+
+@register(
+    "sssp_weighted_bellman",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    wpairs AS (
+      SELECT doc_a, doc_b,
+             ('0x' || substr(md5(doc_a || ':' || doc_b), 1, 8))::BIGINT
+               % 9 + 1 AS w
+      FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst, w FROM wpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst, w FROM wpairs
+    ),
+    d0 AS (
+      SELECT (SELECT min(doc_a) FROM pairs) AS doc_id,
+             CAST(0 AS BIGINT) AS dist
+    ),
+    """ + ",\n    ".join(
+        _sssp_round_sql(k) for k in range(1, SSSP_ROUNDS + 1)
+    ) + f"""
+    SELECT doc_id, CAST(dist AS BIGINT) AS dist FROM d{SSSP_ROUNDS}
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
+def sssp_weighted_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford,
+    6 relaxation rounds) over the LSH candidate graph from its minimum
+    vertex — the weighted companion to `bfs_levels_from_min_vertex`.
+    Edge weights are integers 1..9 derived from the md5 of the
+    canonical (doc_a < doc_b) pair — deterministic, symmetric across
+    both edge directions, and replayed bit-exactly by DuckDB's
+    ``('0x' || substr(md5(..),1,8))::BIGINT`` (the repo's standard
+    hash-to-int bridge).
+
+    Pure integer algorithm: dist = min over relaxation paths, so any
+    partitioning/retry order yields the identical table, and the
+    oracle unrolls the same 6 rounds as SQL stages. Scale shape per
+    round: settled ⋈ edges (one shuffle on src) → unionAll →
+    min-groupBy (partial-aggregable map-side); edges persist once and
+    the settled lineage is cut with localCheckpoint per round — the
+    bounded-round production form (delta-stepping's outer loop) whose
+    per-round cost is one edge-relation join regardless of graph
+    size. Rounds, not convergence, bound the work: both engines
+    compute the same 6-round fixpoint prefix by definition."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 9
+        + 1
+    ).alias("w")
+    wpairs = pairs.select("doc_a", "doc_b", w)
+    edges = (
+        wpairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w"
+        )
+        .unionAll(
+            wpairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        pairs.agg(F.min("doc_a").alias("doc_id"))
+        .select("doc_id", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = dist.join(edges, dist.doc_id == edges.src).select(
+            F.col("dst").alias("doc_id"),
+            (dist.dist + edges.w).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("doc_id", F.col("dist").cast("bigint").alias("dist"))
