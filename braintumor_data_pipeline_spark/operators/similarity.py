@@ -1976,3 +1976,165 @@ def append_to_ivf_index(
         .write.mode("append")
         .parquet(index_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+MMR_CANDIDATES = 20
+MMR_SELECT = 5
+# λ = 0.7 as the exact integer pair (7, 3): mmr = 7·sim_q − 3·max_sel,
+# in 1e-4-scaled similarity units — pure BIGINT, no float in the greedy.
+_MMR_NUM, _MMR_DIV = 7, 3
+
+
+def _mmr_round_sql(k: int) -> str:
+    return f"""rem{k} AS (
+      SELECT c.vec_id, c.sq FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+    ),
+    mmr{k} AS (
+      SELECT r.vec_id, r.sq,
+             {_MMR_NUM} * r.sq - {_MMR_DIV} * max(p.p) AS mmr
+      FROM rem{k} r
+      JOIN psim p ON p.i = r.vec_id
+                 AND p.j IN (SELECT vec_id FROM sel{k - 1})
+      GROUP BY r.vec_id, r.sq
+    ),
+    pick{k} AS (
+      SELECT vec_id, sq, {k} AS rank FROM mmr{k}
+      ORDER BY mmr DESC, vec_id LIMIT 1
+    ),
+    sel{k} AS (
+      SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k}
+    )"""
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id,
+             CAST(round(list_cosine_similarity(b.v, (SELECT v FROM q))
+                        * 10000) AS BIGINT) AS sq
+      FROM base b WHERE b.vec_id <> 0
+      ORDER BY sq DESC, vec_id LIMIT {MMR_CANDIDATES}
+    ),
+    psim AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             CAST(round(list_cosine_similarity(av.v, bv.v) * 10000)
+                  AS BIGINT) AS p
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN base av ON av.vec_id = a.vec_id
+      JOIN base bv ON bv.vec_id = b.vec_id
+    ),
+    sel1 AS (
+      SELECT vec_id, sq, 1 AS rank FROM cand
+      ORDER BY sq DESC, vec_id LIMIT 1
+    ),
+    """ + ",\n    ".join(
+        _mmr_round_sql(k) for k in range(2, MMR_SELECT + 1)
+    ) + f"""
+    SELECT vec_id, CAST(rank AS INT) AS rank, sq FROM sel{MMR_SELECT}
+    """,
+    tags=("similarity", "topk", "iterative"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k — the standard
+    RAG/retrieval re-rank that trades relevance against redundancy:
+    greedily pick argmax λ·sim(q,d) − (1−λ)·max_{{s∈selected}} sim(d,s),
+    λ = 0.7, five picks from the top-{MMR_CANDIDATES} cosine candidates
+    of query vector 0.
+
+    The production shape: the CORPUS-scale work is the distributed
+    top-{MMR_CANDIDATES} retrieval (same plan as
+    `knn_bruteforce_cosine`); the greedy re-rank then runs over a
+    {MMR_CANDIDATES}-row candidate frame and a
+    {MMR_CANDIDATES}×{MMR_CANDIDATES} pair-sim table — O(k²) work that
+    never grows with the corpus. Determinism: similarities quantize to
+    1e-4 (the similarity-family convention), the MMR score is the pure
+    integer 7·sq − 3·max_sel with (score DESC, vec_id) tie-break, and
+    the oracle unrolls the identical {MMR_SELECT}-round greedy as SQL
+    stages — both engines pick the same documents in the same order."""
+    vs = _vectors(spark, sf_dir)
+    qrow = vs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        vs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("nrm") * F.col("qn"))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("sq"),
+        )
+        .orderBy(F.desc("sq"), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .localCheckpoint()
+    )
+    a = cand.select(
+        F.col("vec_id").alias("i"), F.col("v").alias("av"),
+        F.col("nrm").alias("an")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("j"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn")
+    )
+    psim = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn"))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("p"),
+        )
+        .localCheckpoint()
+    )
+    cand_slim = cand.select("vec_id", "sq")
+    sel = (
+        cand_slim.orderBy(F.desc("sq"), "vec_id")
+        .limit(1)
+        .select("vec_id", "sq", F.lit(1).alias("rank"))
+    )
+    for k in range(2, MMR_SELECT + 1):
+        rem = cand_slim.join(sel, "vec_id", "left_anti")
+        max_sel = (
+            psim.join(
+                sel.select(F.col("vec_id").alias("j_sel")),
+                psim.j == F.col("j_sel"),
+            )
+            .groupBy("i")
+            .agg(F.max("p").alias("mp"))
+        )
+        pick = (
+            rem.join(max_sel, rem.vec_id == F.col("i"))
+            .select(
+                "vec_id",
+                "sq",
+                (
+                    F.lit(_MMR_NUM) * F.col("sq")
+                    - F.lit(_MMR_DIV) * F.col("mp")
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .select("vec_id", "sq", F.lit(k).alias("rank"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select("vec_id", F.col("rank").cast("int").alias("rank"), "sq")
