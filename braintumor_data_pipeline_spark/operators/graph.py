@@ -462,3 +462,78 @@ def sssp_weighted_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("doc_id", F.col("dist").cast("bigint").alias("dist"))
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4  # bounded peeling rounds (unrolled in the oracle)
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""deg{r} AS (
+      SELECT src, count(*) AS deg FROM e{r - 1} GROUP BY src
+    ),
+    keep{r} AS (SELECT src FROM deg{r} WHERE deg >= {KCORE_K}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN keep{r} a ON a.src = e.src
+      JOIN keep{r} b ON b.src = e.dst
+    )"""
+
+
+@register(
+    "kcore_peeling",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    e0 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    """ + ",\n    ".join(
+        _kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1)
+    ) + f"""
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{KCORE_ROUNDS} GROUP BY src
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the LSH candidate graph by bounded iterative
+    peeling ({KCORE_ROUNDS} rounds): repeatedly drop vertices with
+    degree < {KCORE_K} and the edges they carry — the standard
+    dense-cluster extractor that separates true near-dup cliques from
+    the degree-1 hair of LSH false-positive bands (a star's leaves
+    peel away; a clique survives).
+
+    Pure integer algorithm (degrees and joins only), so any
+    partitioning yields the identical core, and the oracle unrolls the
+    same {KCORE_ROUNDS} peel rounds as SQL stages. Scale shape per
+    round: one groupBy(src) count + two semi-join-shaped filters on
+    the shrinking edge relation (each round's edge set is cut with
+    localCheckpoint — lineage stays flat, and the relation only ever
+    shrinks, so per-round cost is bounded by the previous round's
+    edges). Fixed rounds, not convergence, bound the work — both
+    engines compute the same peeling prefix by definition."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return edges.groupBy("src").agg(
+        F.count("*").alias("core_degree")
+    ).select(F.col("src").alias("doc_id"), "core_degree")
