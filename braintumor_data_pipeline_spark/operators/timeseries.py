@@ -646,3 +646,137 @@ def recency_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT CAST(date_diff('day', (SELECT min(day) FROM daily), day)
+                  AS BIGINT) AS d,
+             cents
+      FROM daily
+    ),
+    pairs AS (
+      SELECT b.cents - a.cents AS num, b.d - a.d AS den
+      FROM idx a JOIN idx b ON a.d < b.d
+    ),
+    slopes AS (
+      SELECT CAST(num AS DOUBLE) / den AS s,
+             row_number() OVER (
+               ORDER BY CAST(num AS DOUBLE) / den, num, den
+             ) AS rn
+      FROM pairs
+    ),
+    np AS (SELECT count(*) AS n FROM pairs),
+    slope AS (
+      SELECT avg(s) AS slope FROM slopes, np
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    ),
+    res AS (
+      SELECT i.cents - sl.slope * i.d AS r, i.d
+      FROM idx i, slope sl
+    ),
+    rres AS (
+      SELECT r, row_number() OVER (ORDER BY r, d) AS rn FROM res
+    ),
+    nd AS (SELECT count(*) AS n FROM idx),
+    icept AS (
+      SELECT avg(r) AS intercept FROM rres, nd
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    )
+    SELECT CAST(nd.n AS BIGINT) AS n_days,
+           CAST(np.n AS BIGINT) AS n_pairs,
+           round(slope.slope, 6) AS slope_cents_per_day,
+           round(icept.intercept, 6) AS intercept_cents
+    FROM nd, np, slope, icept
+    """,
+    tags=("timeseries", "stats", "robust"),
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event revenue: slope = median of
+    all pairwise day-to-day slopes, intercept = median of residuals at
+    that slope — the outlier-resistant regression ops teams prefer over
+    OLS for revenue/latency trend lines (compare `ols_price_on_quantity`
+    for the moment-sum OLS recipe).
+
+    Exactness recipe: cents are integers, each pairwise slope is the
+    double num/den of two integers (IEEE division — bit-identical on
+    both engines), and the MEDIAN is an order statistic picked by
+    row_number with (value, num, den) total-order tie-break, so no
+    accumulation-order float drift exists anywhere. Scale shape: the
+    only full-data work is the daily cents aggregate; pairs are
+    enumerated on the per-day grain (days², ~465 rows for a month —
+    the classic Theil-Sen cost, documented O(days²), NOT corpus²), and
+    the rank windows run over that same tiny aggregated frame (the
+    plan-audit benign class, like `cusum_changepoint_daily`)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(
+            F.datediff("day", "d0").cast("long").alias("d"), "cents"
+        )
+        .localCheckpoint()
+    )
+    a = idx.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = idx.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (F.col("cb") - F.col("ca")).alias("num"),
+        (F.col("db") - F.col("da")).alias("den"),
+    )
+    s = (F.col("num").cast("double") / F.col("den")).alias("s")
+    slopes = pairs.select(s, "num", "den").select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy("s", "num", "den"))
+        .alias("rn"),
+    )
+    np_ = pairs.agg(F.count("*").alias("n_pairs"))
+    slope = (
+        slopes.crossJoin(F.broadcast(np_))
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
+        )
+        .agg(F.avg("s").alias("slope"))
+    )
+    res = idx.crossJoin(F.broadcast(slope)).select(
+        (F.col("cents") - F.col("slope") * F.col("d")).alias("r"), "d"
+    )
+    rres = res.select(
+        "r", F.row_number().over(Window.orderBy("r", "d")).alias("rn")
+    )
+    nd = idx.agg(F.count("*").alias("n_days"))
+    icept = (
+        rres.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("rn") == F.expr("(n_days + 1) div 2"))
+            | (F.col("rn") == F.expr("n_days div 2 + 1"))
+        )
+        .agg(F.avg("r").alias("intercept"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("slope_cents_per_day"),
+            F.round("intercept", 6).alias("intercept_cents"),
+        )
+    )
