@@ -2138,3 +2138,98 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).localCheckpoint()
     return sel.select("vec_id", F.col("rank").cast("int").alias("rank"), "sq")
+
+
+MATRYOSHKA_DIM = 16
+MATRYOSHKA_K = 3
+
+
+@register(
+    "matryoshka_prefix_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(a.v[1:{MATRYOSHKA_DIM}],
+                                          b.v[1:{MATRYOSHKA_DIM}]), 4)
+               AS sim_prefix,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim_full
+      FROM base a JOIN base b
+        ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+    )
+    SELECT qid, nid, sim_prefix, sim_full, rn
+    FROM (
+      SELECT qid, nid, sim_prefix, sim_full,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY sim_prefix DESC, nid
+             ) AS rn
+      FROM scored
+    )
+    WHERE rn <= {MATRYOSHKA_K}
+    """,
+    tags=("similarity", "topk", "ann"),
+)
+def matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) retrieval: top-{MATRYOSHKA_K}
+    neighbors per query ranked by cosine over only the FIRST
+    {MATRYOSHKA_DIM} of 64 dimensions — the truncated-embedding trick
+    MRL-trained models enable, where a 4× narrower vector does the
+    candidate pass at 4× less compute/shuffle bytes and the full vector
+    is kept alongside for optional exact re-rank (`sim_full` rides the
+    same row, showing the rank agreement the truncation buys).
+
+    At 100 TB this is a bandwidth lever, not an algorithm change: the
+    prefix slice happens at the scan (column pruned to one array, then
+    `slice` — no UDF), the per-query top-k is the same rank-window
+    shape as `knn_bruteforce_cosine`, and the LSH/IVF/PQ tiers compose
+    with prefix vectors unchanged. Determinism: the similarity-family
+    convention — float64 cosine, round 4, (sim DESC, nid) tie-break —
+    replayed by DuckDB's list slicing."""
+    vs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    pref = F.slice(F.col("v"), 1, MATRYOSHKA_DIM)
+    withp = vs.select(
+        "vec_id",
+        "v",
+        pref.alias("p"),
+        _norm(pref).alias("pn"),
+        _norm(F.col("v")).alias("vn"),
+    )
+    q = withp.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("p").alias("qp"),
+        F.col("pn").alias("qpn"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qvn"),
+    )
+    c = withp.select(
+        F.col("vec_id").alias("nid"), "p", "pn", "v", "vn"
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("p"), F.col("qp"))
+                / (F.col("pn") * F.col("qpn")),
+                4,
+            ).alias("sim_prefix"),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("vn") * F.col("qvn")),
+                4,
+            ).alias("sim_full"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_prefix"), "nid")
+    return (
+        scored.select(
+            "qid", "nid", "sim_prefix", "sim_full",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= MATRYOSHKA_K)
+    )
