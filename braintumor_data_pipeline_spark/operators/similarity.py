@@ -2233,3 +2233,90 @@ def matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= MATRYOSHKA_K)
     )
+
+
+MUTUAL_SCOPE = 50  # vectors participating in the mutual-kNN subgraph
+MUTUAL_K = 5
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < {MUTUAL_SCOPE}
+    ),
+    ranked AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 4) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM base a JOIN base b ON b.vec_id <> a.vec_id
+    ),
+    topk AS (SELECT src, dst, sim FROM ranked WHERE rn <= {MUTUAL_K})
+    SELECT f.src AS vec_a, f.dst AS vec_b, f.sim
+    FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
+    WHERE f.src < f.dst
+    """,
+    tags=("similarity", "dedup", "topk"),
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) kNN pairs: (a, b) such that b is in a's
+    top-{MUTUAL_K} AND a is in b's top-{MUTUAL_K} — the standard
+    high-precision filter over raw kNN edges (hubness-resistant: a hub
+    vector appears in everyone's top-k, but its own top-k is finite, so
+    hub-induced false pairs drop out). This is the edge set semantic
+    dedup and record-linkage pipelines actually link on, one notch
+    stricter than `knn_bruteforce_cosine`'s one-directional lists.
+
+    Scoped to the first {MUTUAL_SCOPE} vectors (the demo bound, like
+    the kNN query's 50-query block); at corpus scale the top-k lists
+    come from the LSH/IVF tiers and the reciprocal check is exactly
+    this one self-join of the top-k edge relation on the swapped key —
+    cost O(n·k), never n². Determinism: the similarity-family
+    convention (float64, round 4, (sim DESC, id) tie-break); the
+    reciprocal join keys on exact integer ids only."""
+    vs = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < MUTUAL_SCOPE)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    a = vs.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("av"),
+        F.col("nrm").alias("an")
+    )
+    b = vs.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn")
+    )
+    scored = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(
+            _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    topk = (
+        scored.select("src", "dst", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= MUTUAL_K)
+        .select("src", "dst", "sim")
+        .localCheckpoint()
+    )
+    rev = topk.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    return (
+        topk.join(
+            rev,
+            (F.col("r_src") == F.col("dst")) & (F.col("r_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "sim"
+        )
+    )
