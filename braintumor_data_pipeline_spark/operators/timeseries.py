@@ -708,14 +708,20 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness recipe: cents are integers, each pairwise slope is the
     double num/den of two integers (IEEE division — bit-identical on
-    both engines), and the MEDIAN is an order statistic picked by
-    row_number with (value, num, den) total-order tie-break, so no
-    accumulation-order float drift exists anywhere. Scale shape: the
-    only full-data work is the daily cents aggregate; pairs are
-    enumerated on the per-day grain (days², ~465 rows for a month —
-    the classic Theil-Sen cost, documented O(days²), NOT corpus²), and
-    the rank windows run over that same tiny aggregated frame (the
-    plan-audit benign class, like `cusum_changepoint_daily`)."""
+    both engines), and each MEDIAN is an order statistic: rank over the
+    multiset, value-at-rank = min value whose cumulative multiplicity
+    reaches the target rank — no accumulation-order float drift exists
+    anywhere. (The oracle states the same selection with a plain
+    row_number; identical multiset, identical picked values.)
+
+    Scale shape: the only full-data work is the daily cents aggregate.
+    Pairs are enumerated on the per-day grain (days² — the classic
+    Theil-Sen cost, calendar-bounded, documented in CARTESIAN_OK; NOT
+    corpus²), then immediately re-aggregated by (num, den), so the
+    cumulative-rank windows run over GROUPED frames (the
+    prefix-sum-over-aggregate benign class, like
+    `cusum_changepoint_daily`) and every median pick reduces to a
+    scalar broadcast."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -738,36 +744,58 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cb") - F.col("ca")).alias("num"),
         (F.col("db") - F.col("da")).alias("den"),
     )
-    s = (F.col("num").cast("double") / F.col("den")).alias("s")
-    slopes = pairs.select(s, "num", "den").select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy("s", "num", "den"))
-        .alias("rn"),
+    # median of a multiset by weighted order statistics: group identical
+    # slopes, cumulate multiplicities in slope order, pick the first
+    # group reaching each target rank. The window input is the GROUPED
+    # (num, den) frame — the aggregated-input prefix-sum class.
+    sg = pairs.groupBy("num", "den").agg(F.count("*").alias("m"))
+    sgs = sg.select(
+        (F.col("num").cast("double") / F.col("den")).alias("s"),
+        "num",
+        "den",
+        "m",
     )
+    wslope = Window.orderBy("s", "num", "den").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = sgs.select("s", F.sum("m").over(wslope).alias("cum"))
     np_ = pairs.agg(F.count("*").alias("n_pairs"))
-    slope = (
-        slopes.crossJoin(F.broadcast(np_))
-        .filter(
-            (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
-            | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
-        )
-        .agg(F.avg("s").alias("slope"))
+    lo_s = (
+        cums.crossJoin(F.broadcast(np_))
+        .filter(F.col("cum") >= F.expr("(n_pairs + 1) div 2"))
+        .agg(F.min("s").alias("s_lo"))
+    )
+    hi_s = (
+        cums.crossJoin(F.broadcast(np_))
+        .filter(F.col("cum") >= F.expr("n_pairs div 2 + 1"))
+        .agg(F.min("s").alias("s_hi"))
+    )
+    slope = lo_s.crossJoin(F.broadcast(hi_s)).select(
+        ((F.col("s_lo") + F.col("s_hi")) / 2).alias("slope")
     )
     res = idx.crossJoin(F.broadcast(slope)).select(
-        (F.col("cents") - F.col("slope") * F.col("d")).alias("r"), "d"
+        (F.col("cents") - F.col("slope") * F.col("d")).alias("r")
     )
-    rres = res.select(
-        "r", F.row_number().over(Window.orderBy("r", "d")).alias("rn")
+    # residuals likewise: group by value (days with identical residuals
+    # merge — interchangeable for a value median), cumulate, pick.
+    rg = res.groupBy("r").agg(F.count("*").alias("m"))
+    wres = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    cumr = rg.select("r", F.sum("m").over(wres).alias("cum"))
     nd = idx.agg(F.count("*").alias("n_days"))
-    icept = (
-        rres.crossJoin(F.broadcast(nd))
-        .filter(
-            (F.col("rn") == F.expr("(n_days + 1) div 2"))
-            | (F.col("rn") == F.expr("n_days div 2 + 1"))
-        )
-        .agg(F.avg("r").alias("intercept"))
+    lo_r = (
+        cumr.crossJoin(F.broadcast(nd))
+        .filter(F.col("cum") >= F.expr("(n_days + 1) div 2"))
+        .agg(F.min("r").alias("r_lo"))
+    )
+    hi_r = (
+        cumr.crossJoin(F.broadcast(nd))
+        .filter(F.col("cum") >= F.expr("n_days div 2 + 1"))
+        .agg(F.min("r").alias("r_hi"))
+    )
+    icept = lo_r.crossJoin(F.broadcast(hi_r)).select(
+        ((F.col("r_lo") + F.col("r_hi")) / 2).alias("intercept")
     )
     return (
         nd.crossJoin(F.broadcast(np_))

@@ -43,6 +43,13 @@ CARTESIAN_OK = {
     # map-side broadcast-kNN shape (no shuffle of the big side, cost
     # linear in candidates × a constant probe set)
     "hard_negative_mining",
+    # 20-query broadcast probe side against the candidate scan — the
+    # same map-side broadcast-kNN shape as hard_negative_mining
+    "matryoshka_prefix_topk",
+    # all-pairs over the per-DAY aggregated relation (days² — a
+    # calendar-bounded dimension, never data volume; the classic
+    # Theil-Sen pairwise-slope cost, documented on the operator)
+    "theil_sen_daily_trend",
 }
 
 
