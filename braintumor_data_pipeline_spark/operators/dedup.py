@@ -730,3 +730,115 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("o.doc_id")).alias("first_old_match"),
         )
     )
+
+
+PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2  # Jaccard threshold t = 0.5, exact
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    # The oracle is the PLAIN inverted-index formulation (no prefix
+    # pruning) at the same threshold — an independent construction that
+    # proves the pruned candidate set lost no qualifying pair.
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_ORACLE}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE {PPJOIN_T_DEN} * n_inter >=
+          {PPJOIN_T_NUM} * (ca.n_sh + cb.n_sh - n_inter)
+    """,
+    tags=("dedup", "join", "prefix-filter"),
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (the AllPairs/PPJoin family,
+    Bayardo et al. / Xiao et al.): for threshold t = 1/2, a doc with n
+    shingles only needs its first p = n − ⌈t·n⌉ + 1 shingles (under a
+    GLOBAL canonical order — here the 60-bit shingle hash ascending)
+    in the inverted index; any pair with Jaccard ≥ t provably shares a
+    prefix shingle. Candidates come from the prefix-only index — a
+    fraction of `ngram_jaccard_pairs`' full index — then each
+    candidate pair is verified EXACTLY against the full shingle sets.
+
+    At 100 TB this is THE set-similarity-join scaling lever beyond the
+    plain inverted index: index volume (and the quadratic bucket
+    blowup inside hot shingles) shrinks by ~t/(1+t) per doc, while the
+    verify stage stays proportional to true candidates. All arithmetic
+    is integer (threshold as the exact cross-multiplied
+    {PPJOIN_T_DEN}·inter ≥ {PPJOIN_T_NUM}·union, prefix length in
+    integer div); the oracle recomputes the same pair set with NO
+    prefix filter, so the driver hash certifies zero pruning loss."""
+    from pyspark.sql import Window
+
+    sh = shingles_df(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("shingle")
+    )
+    # p = n − ceil(t·n) + 1, with ceil(n/2) = (n+1) div 2 exactly
+    plen = (
+        F.col("n_sh")
+        - F.expr(
+            f"({PPJOIN_T_NUM} * n_sh + {PPJOIN_T_DEN} - 1) "
+            f"div {PPJOIN_T_DEN}"
+        )
+        + F.lit(1)
+    )
+    pref = (
+        sh.select("doc_id", "shingle", rk.alias("rk"))
+        .join(counts, "doc_id")
+        .filter(F.col("rk") <= plen)
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(
+            F.lit(PPJOIN_T_DEN) * F.col("n_inter")
+            >= F.lit(PPJOIN_T_NUM)
+            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
