@@ -1061,3 +1061,105 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (F.max("n") * F.sum("cents")), 6
         ).alias("gini"),
     )
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT o_totalprice AS price, o_orderdate AS odate,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    per_price AS (
+      SELECT price, max(odate) AS pd FROM pts GROUP BY price
+    ),
+    strict AS (
+      SELECT price, pd,
+             max(pd) OVER (ORDER BY price DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cummax_strict
+      FROM per_price
+    )
+    SELECT p.price, p.odate, p.n_orders
+    FROM pts p JOIN strict s ON s.price = p.price
+    WHERE p.odate = s.pd
+      AND (s.cummax_strict IS NULL OR p.odate > s.cummax_strict)
+    ORDER BY p.price DESC
+    """,
+    tags=("window", "skyline", "topk"),
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders maximizing BOTH total price
+    and recency — "no other order is at least as expensive AND at least
+    as recent, with one strictly better". The classic multi-criteria
+    shortlist operator Spark has no built-in for.
+
+    Distributed formulation = the textbook two-phase skyline: (1) a
+    LOCAL dominance filter inside $1000 price bands — all windows
+    partitioned by the band key, so phase 1 is fully parallel and
+    eliminates all but ≤1 point per distinct price; (2) a GLOBAL pass
+    over the survivors (bounded: one row per distinct surviving price)
+    using the same two-condition test. Soundness: dominance is
+    transitive, so any globally-dominated point is dominated by a
+    skyline point, and skyline points are never removed locally — the
+    local pass only sheds work. Dominance itself needs no join: with
+    points reduced to (price → max date), "dominated" ⟺ the running
+    max of date over STRICTLY higher prices reaches your date, or a
+    same-price point has a strictly later date — two window
+    expressions, zero self-joins (the naive NOT EXISTS skyline is
+    O(n²)). The oracle runs the single-phase version of the same
+    algebra; both produce the identical frontier."""
+    o = _t(spark, sf_dir, "orders")
+    pts = (
+        o.groupBy(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # phase 1: local skyline within $1000 price bands
+    band = F.floor(F.col("price") / 1000).alias("band")
+    w_same = Window.partitionBy("band", "price")
+    w_strict_local = (
+        Window.partitionBy("band")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_price_local = (
+        pts.select(band, "price", "odate")
+        .groupBy("band", "price")
+        .agg(F.max("odate").alias("pd"))
+        .withColumn("cummax_local", F.max("pd").over(w_strict_local))
+    )
+    survivors = (
+        pts.withColumn("band", F.floor(F.col("price") / 1000))
+        .join(per_price_local, ["band", "price"])
+        .filter(
+            (F.col("odate") == F.col("pd"))
+            & (
+                F.col("cummax_local").isNull()
+                | (F.col("odate") > F.col("cummax_local"))
+            )
+        )
+        .select("price", "odate", "n_orders")
+    )
+    # phase 2: global skyline over the bounded survivor set (≤1 point
+    # per distinct surviving price — the aggregated-frame window
+    # pattern; at 100 TB this frame is the union of per-band skylines,
+    # orders of magnitude below the input)
+    w_strict = (
+        Window.orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    final = survivors.withColumn(
+        "cummax_strict", F.max("odate").over(w_strict)
+    )
+    return (
+        final.filter(
+            F.col("cummax_strict").isNull()
+            | (F.col("odate") > F.col("cummax_strict"))
+        )
+        .select("price", "odate", "n_orders")
+        .orderBy(F.col("price").desc())
+    )

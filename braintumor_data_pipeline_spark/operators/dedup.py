@@ -842,3 +842,106 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "blocking_quality_report",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_ORACLE}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING 2 * count(*) >= (SELECT ca.n_sh FROM counts ca
+                              WHERE ca.doc_id = doc_a)
+                           + (SELECT cb.n_sh FROM counts cb
+                              WHERE cb.doc_id = doc_b)
+                           - count(*)
+    ),
+    cand AS (SELECT * FROM ({LSH_PAIRS_SQL}) lsh),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_caught
+      FROM truth SEMI JOIN cand
+        ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b
+    ),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT n_docs, n_true AS n_true_pairs, n_cand AS n_candidate_pairs,
+           n_caught,
+           CASE WHEN n_true > 0
+                THEN round(CAST(n_caught AS DOUBLE) / n_true, 6)
+           END AS pairs_completeness,
+           round(1.0 - CAST(n_cand AS DOUBLE)
+                 / (n_docs * (n_docs - 1) / 2), 6) AS reduction_ratio
+    FROM t, c, hit, d
+    """,
+    tags=("dedup", "evaluation", "minhash", "join"),
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation — the entity-resolution literature's
+    two numbers for judging a candidate-generation scheme before
+    trusting it on 100 TB: **pairs completeness** (what fraction of the
+    TRUE near-dup pairs the LSH banding actually surfaces = blocking
+    recall) and **reduction ratio** (what fraction of the N·(N−1)/2
+    all-pairs space it prunes away). Truth here is exact 3-gram Jaccard
+    ≥ 0.5 from the inverted-index join (threshold test done as the
+    integer cross-multiplication 2·|∩| ≥ |∪| — no float compare);
+    candidates are the MinHash band-collision pairs. The intersection
+    is a semi-join on the pair key; every output is a count, so the
+    whole report is one row of exact BIGINTs with two final divisions.
+    Scale: both pair sets are bounded by their own sub-quadratic
+    generation (shingle co-occurrence / band collision); the report
+    only ever joins PAIRS, never enumerates the N² space it measures."""
+    sh = shingles_df(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(
+            2 * F.col("n_inter")
+            >= F.col("na") + F.col("nb") - F.col("n_inter")
+        )
+        .select("doc_a", "doc_b")
+    ).persist()
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_cand"))
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("n_caught")
+    )
+    d = _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    out = t.crossJoin(c).crossJoin(hit).crossJoin(d)
+    return out.select(
+        "n_docs",
+        F.col("n_true").alias("n_true_pairs"),
+        F.col("n_cand").alias("n_candidate_pairs"),
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_caught").cast("double") / F.col("n_true"), 6),
+        ).alias("pairs_completeness"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_cand").cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1) / 2),
+            6,
+        ).alias("reduction_ratio"),
+    )

@@ -3750,3 +3750,279 @@ def interarrival_poisson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Classifier-evaluation family: the metrics a training-data pipeline
+# computes over its OWN quality filters (fastText-style classifiers,
+# heuristic scorers) before trusting them to gate 100 TB. The score
+# under evaluation is the stopword-density English-ness signal
+# (c_stop / n_tok — near-chance on this synthetic fixture, which is
+# fine: these queries certify the METRIC algebra, and a trained
+# classifier's scores slot into the same plans unchanged), and every
+# statistic reduces to exact BIGINT algebra with one final division,
+# so a 1000-executor reduction is bit-identical to the single-threaded
+# oracle.
+
+_STOP_SCORE_SQL = """
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+                  AS DOUBLE)
+               / len(string_split(text, ' ')) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+"""
+
+
+def _stop_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, y): stopword-density score vs the lang='en'
+    label. score = c/n computed as one IEEE double division of two
+    BIGINTs — bit-identical on both engines, so grouping/ordering by it
+    is hash-stable (the same per-row-deterministic-double contract the
+    rank-based tests in this module rely on)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    c = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        (c.cast("double") / F.size(toks)).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+
+
+@register(
+    "classifier_auc_exact",
+    oracle=f"""
+    WITH scored AS ({_STOP_SCORE_SQL}),
+    per_s AS (
+      SELECT score, count(*) AS m, CAST(sum(y) AS BIGINT) AS p
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT m, p,
+             coalesce(sum(m) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM per_s
+    ),
+    tot AS (
+      SELECT CAST(sum(p * (2 * below + m + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(p) AS BIGINT) AS n1,
+             CAST(sum(m) - sum(p) AS BIGINT) AS n0
+      FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                 / (2 * n1 * n0), 6) AS auc
+    FROM tot
+    """,
+    tags=("experiment", "stats", "evaluation", "window"),
+)
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of a quality-filter score against the lang='en'
+    label, by the Mann-Whitney identity AUC = U1/(n1·n0) with
+    average-rank tie handling. Doubled ranks keep everything integral
+    (the 2·rank trick this module's Mann-Whitney query uses): for each
+    distinct score, 2·avg_rank = 2·below + m + 1, so
+    2·R1 = Σ p·(2·below + m + 1) is a BIGINT and the only float is the
+    final division. Shuffle profile: one partial-aggregable groupBy on
+    the score, then a prefix-sum window over the already-aggregated
+    distinct-score grain (≤ one row per distinct score — the
+    aggregated-frame window pattern the plan audit allowlists)."""
+    scored = _stop_score(spark, sf_dir)
+    per_s = scored.groupBy("score").agg(
+        F.count("*").alias("m"), F.sum("y").alias("p")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.withColumn(
+        "below", F.coalesce(F.sum("m").over(w), F.lit(0))
+    )
+    tot = ranked.agg(
+        F.sum(F.col("p") * (2 * F.col("below") + F.col("m") + 1)).alias(
+            "two_r1"
+        ),
+        F.sum("p").alias("n1"),
+        (F.sum("m") - F.sum("p")).alias("n0"),
+    )
+    return tot.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "pr_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_STOP_SCORE_SQL}),
+    th AS (SELECT CAST(k AS DOUBLE) / 16 AS threshold
+           FROM generate_series(1, 8) AS t(k)),
+    conf AS (
+      SELECT threshold,
+             CAST(sum(CASE WHEN score >= threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= threshold AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored CROSS JOIN th
+      GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+             AS precision_,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+             AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           END AS f1
+    FROM conf
+    ORDER BY threshold
+    """,
+    tags=("experiment", "stats", "evaluation", "agg"),
+)
+def pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 operating-point sweep for the same quality
+    filter — the table that picks a production keep/drop threshold.
+    Thresholds are the dyadic rationals k/16 (exact in binary, so the
+    ``score >= t`` comparison is engine-identical); the 8-row threshold
+    relation broadcasts into one conditional-aggregation pass (8×
+    row expansion, partial-aggregable — never a per-threshold rescan).
+    F1 uses the 2·tp/(2·tp+fp+fn) form so a single zero-denominator
+    NULL rule covers it."""
+    scored = _stop_score(spark, sf_dir)
+    th = spark.range(1, 9).select(
+        (F.col("id").cast("double") / 16).alias("threshold")
+    )
+    pred = F.col("score") >= F.col("threshold")
+    conf = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias(
+                "tp"
+            ),
+            F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0)).alias(
+                "fp"
+            ),
+            F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias(
+                "fn"
+            ),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return conf.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.round(tp.cast("double") / (tp + fp), 6)).alias(
+            "precision_"
+        ),
+        F.when(tp + fn > 0, F.round(tp.cast("double") / (tp + fn), 6)).alias(
+            "recall_"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+@register(
+    "cohens_kappa_langid",
+    oracle="""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœ]') THEN 'fr'
+               WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+               WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+               WHEN contains(concat(' ', text, ' '), ' the ') THEN 'en'
+               ELSE 'und'
+             END AS lang_pred
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, lang_pred, count(*) AS c FROM pred GROUP BY lang, lang_pred
+    ),
+    rows_ AS (SELECT lang AS label, CAST(sum(c) AS BIGINT) AS r
+              FROM cells GROUP BY lang),
+    cols_ AS (SELECT lang_pred AS label, CAST(sum(c) AS BIGINT) AS col_n
+              FROM cells GROUP BY lang_pred),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = lang_pred THEN c ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM cells
+    ),
+    expect AS (
+      SELECT CAST(coalesce(sum(r * col_n), 0) AS BIGINT) AS e
+      FROM rows_ JOIN cols_ USING (label)
+    )
+    SELECT n AS n_docs, agree AS n_agree,
+           round(CAST(n * agree - e AS DOUBLE) / (n * n - e), 6) AS kappa
+    FROM tot, expect
+    """,
+    tags=("experiment", "stats", "evaluation", "agg"),
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language-ID classifier
+    (operators/text.py lang_id_heuristic — same CASE ladder) and the
+    true ``lang`` column: chance-corrected agreement, the
+    inter-annotator statistic every labeling pipeline reports.
+    Integer identity: kappa = (N·A − E) / (N² − E) where A = agreement
+    count and E = Σ_label row_total·col_total — every term a BIGINT
+    from one contingency groupBy + two marginal rollups of the tiny
+    cell table; the single float division happens on the final row."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿœ]"), "fr")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .when(padded.contains(" the "), "en")
+        .otherwise("und")
+    )
+    cells = (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = cells.persist()
+    rows_ = cells.groupBy(F.col("lang").alias("label")).agg(
+        F.sum("c").alias("r")
+    )
+    cols_ = cells.groupBy(F.col("lang_pred").alias("label")).agg(
+        F.sum("c").alias("col_n")
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_pred"), F.col("c")).otherwise(
+                0
+            )
+        ).alias("agree"),
+    )
+    expect = rows_.join(cols_, "label").agg(
+        F.coalesce(F.sum(F.col("r") * F.col("col_n")), F.lit(0)).alias("e")
+    )
+    return tot.crossJoin(expect).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("e")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("e")),
+            6,
+        ).alias("kappa"),
+    )

@@ -1068,3 +1068,163 @@ def table_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionAll(d)
     return out.orderBy("tbl")
+
+
+@register(
+    "repeated_span_detection",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS start_pos, i + 7 AS end_pos,
+             ('0x' || substr(md5(concat_ws(' ', tok,
+                lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                lead(tok, 7) OVER w)), 1, 15))::BIGINT AS h
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(tok, 7) OVER w IS NOT NULL
+    ),
+    rep AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, start_pos, end_pos
+      FROM sh SEMI JOIN rep ON sh.h = rep.h
+    ),
+    islands AS (
+      SELECT doc_id, start_pos, end_pos,
+             CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+                    PARTITION BY doc_id ORDER BY start_pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    numbered AS (
+      SELECT doc_id, start_pos, end_pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, island_id,
+             max(end_pos) - min(start_pos) + 1 AS span_len
+      FROM numbered GROUP BY doc_id, island_id
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_len) AS BIGINT) AS repeated_tokens,
+           CAST(dl.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sum(span_len) AS DOUBLE) / dl.n_tokens, 6)
+             AS repeated_frac
+    FROM spans s JOIN dl ON dl.doc_id = s.doc_id
+    GROUP BY s.doc_id, dl.n_tokens
+    ORDER BY s.doc_id
+    """,
+    tags=("text", "dedup", "corpus", "window"),
+)
+def repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-span detection (the
+    Lee et al. 2022 "Deduplicating Training Data" suffix-array pass,
+    re-expressed relationally): every 8-token window is hashed; windows
+    whose hash occurs in ≥2 distinct documents are repetition hits;
+    per document, overlapping/adjacent hit intervals merge into maximal
+    repeated SPANS (gaps-and-islands), reported as span count, covered
+    token count, and covered fraction — the columns a pipeline uses to
+    cut boilerplate before training.
+
+    Scale shape: the shingle grain is linear in corpus tokens with a
+    content-uniform 60-bit hash key; the ≥2-docs screen is one
+    partial-aggregable groupBy (a distinct-doc count per hash — never
+    pair enumeration, so a span repeated in 10⁶ docs costs 10⁶ rows,
+    not 10¹²/2 pairs); the island merge is a per-document window —
+    partitioned by doc_id, no global ordering anywhere. The Spark side
+    builds windows by array slicing (narrow, no shuffle before the
+    hash groupBy); the oracle uses lead() chains — two independent
+    constructions of the same relation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    starts = F.when(
+        F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    sh_structs = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("start_pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(t, i, 8))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        ),
+    )
+    sh = (
+        toks.select("doc_id", F.size(t).alias("n_tokens"),
+                    F.explode(sh_structs).alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("s.start_pos").alias("start_pos"),
+            (F.col("s.start_pos") + 7).alias("end_pos"),
+            F.col("s.h").alias("h"),
+        )
+    ).persist()
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(rep, "h", "left_semi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("start_pos")
+            > F.coalesce(F.max("end_pos").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("is_new").over(w_run))
+    spans = islands.groupBy("doc_id", "n_tokens", "island_id").agg(
+        (F.max("end_pos") - F.min("start_pos") + 1).alias("span_len")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_len").alias("repeated_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "repeated_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("repeated_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("repeated_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,113 @@
+"""Invariant tests for the classifier-evaluation / skyline /
+repeated-span operators (value parity vs DuckDB is verify_local's
+job; these pin the semantic guarantees the oracles can't express)."""
+
+from __future__ import annotations
+
+from braintumor_data_pipeline_spark.operators.analytics import (
+    pareto_frontier_orders,
+)
+from braintumor_data_pipeline_spark.operators.dedup import (
+    blocking_quality_report,
+)
+from braintumor_data_pipeline_spark.operators.experiments import (
+    classifier_auc_exact,
+    cohens_kappa_langid,
+    pr_threshold_sweep,
+)
+from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+    repeated_span_detection,
+)
+
+
+def test_auc_bounds_and_signal(spark, sf_dir):
+    """AUC ∈ [0,1]. The fixture's text is synthetic for every lang, so
+    the stopword score is near-chance by construction — pin the band
+    that catches rank-algebra bugs (a broken tie/rank formula lands at
+    0 or 1, not near 0.5)."""
+    row = classifier_auc_exact(spark, sf_dir).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert 0.0 <= row.auc <= 1.0
+    assert 0.25 <= row.auc <= 0.75
+
+
+def test_pr_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the predicted-positive
+    set: recall is non-increasing; tp+fn is the constant positive
+    count; all ratios live in [0,1]."""
+    rows = sorted(
+        pr_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 8
+    n_pos = {r.tp + r.fn for r in rows}
+    assert len(n_pos) == 1
+    recalls = [r.recall_ for r in rows if r.recall_ is not None]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        for v in (r.precision_, r.recall_, r.f1):
+            assert v is None or 0.0 <= v <= 1.0
+
+
+def test_kappa_bounds(spark, sf_dir):
+    row = cohens_kappa_langid(spark, sf_dir).collect()[0]
+    assert -1.0 <= row.kappa <= 1.0
+    assert 0 <= row.n_agree <= row.n_docs
+
+
+def test_blocking_report_consistent(spark, sf_dir):
+    """Caught pairs can't exceed either side; ratios in [0,1]."""
+    row = blocking_quality_report(spark, sf_dir).collect()[0]
+    assert row.n_caught <= row.n_true_pairs
+    assert row.n_caught <= row.n_candidate_pairs
+    if row.pairs_completeness is not None:
+        assert 0.0 <= row.pairs_completeness <= 1.0
+    assert 0.0 <= row.reduction_ratio <= 1.0
+    # sub-quadratic blocking must actually reduce the pair space
+    total_pairs = row.n_docs * (row.n_docs - 1) / 2
+    assert row.n_candidate_pairs < total_pairs
+
+
+def test_pareto_frontier_is_antichain(spark, sf_dir):
+    """Frontier points must be mutually non-dominated: sorted by price
+    DESC, dates must be STRICTLY increasing (any tie or decrease means
+    one point weakly dominates another)."""
+    rows = pareto_frontier_orders(spark, sf_dir).collect()
+    assert rows
+    prices = [r.price for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert len(set(prices)) == len(prices)
+    dates = [r.odate for r in rows]
+    assert all(a < b for a, b in zip(dates, dates[1:]))
+
+
+def test_pareto_frontier_dominates_everything(spark, sf_dir):
+    """Completeness: every order is weakly dominated by some frontier
+    point (the frontier is a dominating set)."""
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    frontier = pareto_frontier_orders(spark, sf_dir).collect()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderdate")
+        .collect()
+    )
+    for o in orders:
+        assert any(
+            f.price >= o.o_totalprice and f.odate >= o.o_orderdate
+            for f in frontier
+        )
+
+
+def test_repeated_spans_bounded(spark, sf_dir):
+    """Merged spans cover ≤ the whole doc; every span ≥ the 8-token
+    window; fractions consistent with the counts."""
+    rows = repeated_span_detection(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_spans
+        # islands merge overlapping 8-token windows → each span ≥ 8
+        assert r.repeated_tokens >= 8 * 1
+        assert r.repeated_tokens >= r.n_spans * 8 - 0  # each span ≥ 8
+        assert r.repeated_tokens <= r.n_tokens
+        assert abs(r.repeated_frac - round(r.repeated_tokens / r.n_tokens, 6)) < 1e-9
