@@ -4026,3 +4026,314 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+@register(
+    "attribution_u_shape_by_k",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.event_id, p.v_cents, tc.event_type AS channel,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY tc.t, tc.touch_id) AS pos,
+             count(*) OVER (PARTITION BY p.event_id) AS k
+      FROM p JOIN touch tc
+        ON tc.user_id = p.user_id
+       AND tc.t <= p.t AND p.t - tc.t <= 3600000000
+    ),
+    grouped AS (
+      SELECT channel, k,
+             CAST(count(*) AS BIGINT) AS n_touchpoints,
+             CAST(sum(CASE WHEN pos = 1 THEN v_cents ELSE 0 END)
+                  AS BIGINT) AS first_cents,
+             CAST(sum(CASE WHEN pos = k THEN v_cents ELSE 0 END)
+                  AS BIGINT) AS last_cents,
+             CAST(sum(CASE WHEN pos > 1 AND pos < k THEN v_cents
+                           ELSE 0 END) AS BIGINT) AS mid_cents
+      FROM pairs GROUP BY channel, k
+    )
+    SELECT channel, CAST(k AS BIGINT) AS k, n_touchpoints,
+           first_cents, last_cents, mid_cents,
+           round(CASE
+             WHEN k = 1 THEN CAST(first_cents AS DOUBLE)
+             WHEN k = 2 THEN 0.5 * CAST(first_cents + last_cents AS DOUBLE)
+             ELSE 0.4 * CAST(first_cents + last_cents AS DOUBLE)
+                  + 0.2 * CAST(mid_cents AS DOUBLE) / (k - 2)
+           END / 100, 6) AS attributed_usd
+    FROM grouped
+    ORDER BY channel, k
+    """,
+    tags=("experiment", "attribution", "join", "window", "agg"),
+)
+def attribution_u_shape_by_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution —
+    the standard alternative to linear credit: the first and last
+    touches before a purchase each get 40% of its value, the middle
+    touches split the remaining 20% (k=1 → 100%, k=2 → 50/50). Same
+    user-keyed 1-hour band join as ``linear_attribution_credit``;
+    positions come from a per-purchase window (partitioned — never
+    global). Float discipline: the output grain is (channel, k), every
+    value aggregated there is an EXACT cents BIGINT (first/last/middle
+    sums), and the rational weights — which have non-dyadic
+    denominators like 1/(5·(k−2)) — are applied in ONE float expression
+    per output row, so no float ever crosses a distributed sum and the
+    hash is engine-stable by construction."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tt"),
+    )
+    joined = p.join(
+        touch,
+        (F.col("tu") == F.col("user_id"))
+        & (F.col("tt") <= F.col("t"))
+        & (F.col("t") - F.col("tt") <= 3600000000),
+    )
+    w_pos = Window.partitionBy("event_id").orderBy("tt", "touch_id")
+    w_k = Window.partitionBy("event_id")
+    pairs = joined.select(
+        "event_id",
+        "v_cents",
+        "channel",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count("*").over(w_k).alias("k"),
+    )
+    grouped = pairs.groupBy("channel", "k").agg(
+        F.count("*").alias("n_touchpoints"),
+        F.sum(F.when(F.col("pos") == 1, F.col("v_cents")).otherwise(0)).alias(
+            "first_cents"
+        ),
+        F.sum(
+            F.when(F.col("pos") == F.col("k"), F.col("v_cents")).otherwise(0)
+        ).alias("last_cents"),
+        F.sum(
+            F.when(
+                (F.col("pos") > 1) & (F.col("pos") < F.col("k")),
+                F.col("v_cents"),
+            ).otherwise(0)
+        ).alias("mid_cents"),
+    )
+    fc = F.col("first_cents").cast("double")
+    lc = F.col("last_cents").cast("double")
+    mc = F.col("mid_cents").cast("double")
+    usd = (
+        F.when(F.col("k") == 1, fc)
+        .when(F.col("k") == 2, 0.5 * (fc + lc))
+        .otherwise(0.4 * (fc + lc) + 0.2 * mc / (F.col("k") - 2))
+    ) / 100
+    return grouped.select(
+        "channel",
+        F.col("k").cast("long").alias("k"),
+        "n_touchpoints",
+        "first_cents",
+        "last_cents",
+        "mid_cents",
+        F.round(usd, 6).alias("attributed_usd"),
+    ).orderBy("channel", "k")
+
+
+@register(
+    "calibration_reliability_bins",
+    oracle="""
+    WITH fix AS (
+      -- fixed-point score: floor(c·2^20 / n) — EXACT BIGINT, so the
+      -- per-bin sums (and the squared Brier terms) never touch floats
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+                AS BIGINT) * 1048576)
+               // len(string_split(text, ' ')) AS s_fix
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(s_fix * 8 // 1048576, 7) AS bin, y, s_fix FROM fix
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s_fix) AS DOUBLE) / count(*) / 1048576, 6)
+             AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate,
+           round(CAST(sum((s_fix - y * 1048576)
+                          * (s_fix - y * 1048576)) AS DOUBLE)
+                 / count(*) / 1048576 / 1048576, 6) AS brier
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("experiment", "stats", "evaluation", "agg"),
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table (calibration audit) for the quality
+    score vs the lang='en' label: 8 equal-width score bins, each
+    reporting mean predicted score, observed positive rate, and the
+    per-bin Brier score — the table behind every calibration plot and
+    ECE number. The fixed-point trick from SCALE.md generalizes: the
+    score quantizes to s_fix = ⌊c·2²⁰/n⌋ once per row (exact integer
+    division of BIGINTs), after which bin assignment, score sums, and
+    the squared-error Brier terms (s_fix − y·2²⁰)² are pure BIGINT
+    algebra — one partial-aggregable groupBy, three final float
+    divisions per 8-row output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    c = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    s_fix = F.floor(
+        (c.cast("long") * F.lit(1048576)) / F.size(toks)
+    ).cast("long")
+    fix = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        s_fix.alias("s_fix"),
+    )
+    binned = fix.select(
+        F.least(F.floor(F.col("s_fix") * 8 / 1048576), F.lit(7))
+        .cast("long")
+        .alias("bin"),
+        "y",
+        "s_fix",
+    )
+    err = (F.col("s_fix") - F.col("y") * 1048576).cast("decimal(38,0)")
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("s_fix").alias("sum_s"),
+        # err² ≤ 2⁴⁰ per row — DECIMAL(38,0) partials so 10¹⁴-row sums
+        # can't wrap a LONG (DuckDB's BIGINT sum widens to HUGEINT)
+        F.sum(err * err).alias("sq"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("sum_s").cast("double") / F.col("n") / 1048576, 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "obs_rate"
+        ),
+        F.round(
+            F.col("sq").cast("double") / F.col("n") / 1048576 / 1048576, 6
+        ).alias("brier"),
+    ).orderBy("bin")
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             lead(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_day
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS prev_type, next_type,
+             substring(md5(CAST(next_day AS VARCHAR)), 1, 1) < 'c'
+               AS is_train
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    model AS (
+      SELECT prev_type, next_type AS predicted
+      FROM (
+        SELECT prev_type, next_type, count(*) AS c,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY count(*) DESC, next_type)
+                 AS rn
+        FROM trans WHERE is_train
+        GROUP BY prev_type, next_type
+      ) ranked WHERE rn = 1
+    )
+    SELECT t.prev_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN t.next_type = m.predicted
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM trans t LEFT JOIN model m ON m.prev_type = t.prev_type
+    WHERE NOT t.is_train
+    GROUP BY t.prev_type
+    ORDER BY t.prev_type
+    """,
+    tags=("experiment", "evaluation", "sequence", "window", "agg"),
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/evaluate a first-order Markov next-event predictor in one
+    query — the sequence-model baseline every clickstream team runs:
+    per-user consecutive-event transitions split ~75/25 into train/test
+    by md5 of the NEXT event's date (deterministic under any
+    partitioning, like every split in this repo); the model is
+    argmax-count next type per previous type with a lexicographic
+    tie-break (row_number over the aggregated transition-count grain);
+    accuracy is exact hit counting on held-out transitions. Unseen
+    prev_types survive via the left join (predicted NULL → always
+    wrong). Shuffle profile: one user-partitioned lead() window, one
+    partial-aggregable count groupBy, a broadcast-size model joined
+    back — nothing global."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.to_date("ts")).over(w).alias("next_day"),
+    )
+    trans = seq.filter(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("prev_type"),
+        "next_type",
+        (
+            F.substring(F.md5(F.col("next_day").cast("string")), 1, 1) < "c"
+        ).alias("is_train"),
+    )
+    trans = trans.persist()
+    counts = (
+        trans.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type")
+    )
+    model = (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = trans.filter(~F.col("is_train")).join(
+        F.broadcast(model), "prev_type", "left"
+    )
+    hit = F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.groupBy("prev_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )

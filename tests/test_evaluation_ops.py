@@ -111,3 +111,66 @@ def test_repeated_spans_bounded(spark, sf_dir):
         assert r.repeated_tokens >= r.n_spans * 8 - 0  # each span ≥ 8
         assert r.repeated_tokens <= r.n_tokens
         assert abs(r.repeated_frac - round(r.repeated_tokens / r.n_tokens, 6)) < 1e-9
+
+
+def test_u_shape_mass_conservation(spark, sf_dir):
+    """Attributed mass must equal the attributed purchase value: for
+    every k-group, the weights across channels sum to 1 per purchase,
+    so Σ attributed_usd == Σ value of purchases with ≥1 touch."""
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        attribution_u_shape_by_k,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    rows = attribution_u_shape_by_k(spark, sf_dir).collect()
+    assert rows
+    attributed = sum(r.attributed_usd for r in rows)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.unix_micros("ts").alias("tt")
+    )
+    touched = (
+        p.join(
+            touch,
+            (F.col("tu") == F.col("user_id"))
+            & (F.col("tt") <= F.col("t"))
+            & (F.col("t") - F.col("tt") <= 3600000000),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(attributed - touched) < 0.01 * len(rows)
+
+
+def test_calibration_bins_consistent(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        calibration_reliability_bins,
+    )
+
+    rows = calibration_reliability_bins(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 7
+        assert 0 <= r.n_pos <= r.n
+        assert 0.0 <= r.mean_score <= 1.0
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert 0.0 <= r.brier <= 1.0
+        # mean score must fall inside (or at the edge of) its bin
+        assert r.bin / 8 - 1e-6 <= r.mean_score <= (r.bin + 1) / 8 + 1e-6
+
+
+def test_markov_accuracy_bounds(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        markov_next_event_accuracy,
+    )
+
+    rows = markov_next_event_accuracy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert 0.0 <= r.accuracy <= 1.0
