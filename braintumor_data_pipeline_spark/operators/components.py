@@ -129,3 +129,138 @@ def _install_oracle() -> None:
 
 
 _install_oracle()
+
+
+@register(
+    "component_modularity",
+    oracle=None,  # assigned below (needs the pairs SQL from dedup module)
+    tags=("dedup", "graph", "evaluation", "agg"),
+)
+def component_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the connected-component dedup
+    partition over the LSH candidate graph — the number that says
+    whether the dup clusters are tight communities or an artifact of a
+    too-aggressive banding (near-0 contributions = the partition
+    explains no edge structure). Per component c:
+    contribution = e_c/m − (d_c/2m)², reported alongside the exact
+    integer ingredients (node count, internal edge count, degree sum);
+    the global Q is the plain sum of the contribution column's exact
+    numerators, which the tests pin. All counts are BIGINTs from
+    partial-aggregable groupBys; the single scalar m rides a 1-row
+    cross join (the allowlisted scalar-broadcast pattern), and the
+    contribution is ONE float expression per output row over
+    exact-integer-valued doubles (≤4·10¹⁰ here — far inside 2⁵³, so
+    both engines compute identical bits). Scale note: components and
+    degrees shuffle on content-uniform keys; nothing global moves."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    comp = dedup_connected_components(spark, sf_dir)
+    m_df = pairs.agg(F.count("*").alias("m"))
+    ec = (
+        pairs.join(
+            comp.select(F.col("doc_id").alias("doc_a"), "component"), "doc_a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(comp, "doc_id")
+        .groupBy("component")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    nn = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    out = (
+        nn.join(ec, "component", "left")
+        .join(dc, "component", "left")
+        .crossJoin(m_df)
+        .select(
+            "component",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("n_edges_in"),
+            F.coalesce(F.col("d_c"), F.lit(0)).alias("deg_sum"),
+            F.col("m"),
+        )
+    )
+    md = F.col("m").cast("double")
+    contribution = (
+        4 * md * F.col("n_edges_in").cast("double")
+        - F.col("deg_sum").cast("double") * F.col("deg_sum").cast("double")
+    ) / (4 * md * md)
+    return out.select(
+        "component",
+        "n_nodes",
+        "n_edges_in",
+        "deg_sum",
+        F.when(F.col("m") > 0, F.round(contribution, 6)).alias(
+            "contribution"
+        ),
+    ).orderBy("component")
+
+
+def _install_modularity_oracle() -> None:
+    from ..registry import _REGISTRY
+
+    pairs_sql = _REGISTRY["minhash_lsh_pairs"].oracle
+    _REGISTRY["component_modularity"].oracle = f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, r.label
+      FROM reach r
+      JOIN edges e ON e.dst = r.node
+      WHERE r.label < e.src
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component
+      FROM reach GROUP BY node
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    ec AS (
+      SELECT c.component, CAST(count(*) AS BIGINT) AS e_c
+      FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+      GROUP BY c.component
+    ),
+    deg AS (
+      SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    dc AS (
+      SELECT c.component, CAST(sum(d.d) AS BIGINT) AS d_c
+      FROM deg d JOIN comp c ON c.doc_id = d.doc_id
+      GROUP BY c.component
+    ),
+    nn AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM comp GROUP BY component
+    )
+    SELECT nn.component, nn.n_nodes,
+           coalesce(ec.e_c, 0) AS n_edges_in,
+           coalesce(dc.d_c, 0) AS deg_sum,
+           CASE WHEN mm.m > 0 THEN
+             round((4 * CAST(mm.m AS DOUBLE) * coalesce(ec.e_c, 0)
+                    - CAST(coalesce(dc.d_c, 0) AS DOUBLE)
+                      * coalesce(dc.d_c, 0))
+                   / (4 * CAST(mm.m AS DOUBLE) * mm.m), 6)
+           END AS contribution
+    FROM nn
+    LEFT JOIN ec ON ec.component = nn.component
+    LEFT JOIN dc ON dc.component = nn.component
+    CROSS JOIN mm
+    ORDER BY nn.component
+    """
+
+
+_install_modularity_oracle()

@@ -76,9 +76,10 @@ def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
     return planes
 
 
-@register(
-    "knn_bruteforce_cosine",
-    oracle="""
+# kNN relation as a standalone fragment: the oracle for
+# ``knn_bruteforce_cosine`` and the ranking under evaluation in
+# ``ndcg_label_relevance`` (ranking-quality metrics reuse the ranking).
+KNN_ORACLE_SQL = """
     SELECT qid, nid, sim, rn
     FROM (
       SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -96,7 +97,12 @@ def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES):
       JOIN embeddings b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
     )
     WHERE rn <= 5
-    """,
+"""
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=KNN_ORACLE_SQL,
     tags=("similarity", "join", "topk"),
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2319,4 +2325,132 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "sim"
         )
+    )
+
+
+#: Integer DCG discounts: R_i = round(2³⁰ / log2(i+1)) for ranks 1..5,
+#: and their prefix sums (the ideal DCG for j binary-relevant results).
+#: Precomputed in Python, inlined as literals on BOTH engines — so DCG
+#: is an exact BIGINT dot product and nDCG one final division, the same
+#: fixed-point recipe as the rest of the repo's statistics.
+NDCG_R = (1073741824, 677455664, 536870912, 462435433, 415380039)
+NDCG_IDEAL = (1073741824, 1751197488, 2288068400, 2750503833, 3165883872)
+
+
+@register(
+    "ndcg_label_relevance",
+    oracle=f"""
+    WITH knn AS ({KNN_ORACLE_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lab_n AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY label),
+    rel AS (
+      SELECT k.qid, k.rn, ql.label AS qlabel,
+             CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+      FROM knn k
+      JOIN lab ql ON ql.vec_id = k.qid
+      JOIN lab nl ON nl.vec_id = k.nid
+    ),
+    per_q AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(rel * CASE rn
+                  WHEN 1 THEN {NDCG_R[0]} WHEN 2 THEN {NDCG_R[1]}
+                  WHEN 3 THEN {NDCG_R[2]} WHEN 4 THEN {NDCG_R[3]}
+                  ELSE {NDCG_R[4]} END) AS BIGINT) AS dcg_fix
+      FROM rel GROUP BY qid
+    )
+    SELECT p.qid, p.n_rel, p.dcg_fix,
+           CASE WHEN p.n_rel > 0 THEN
+             round(CAST(p.dcg_fix AS DOUBLE) / (CASE p.n_rel
+               WHEN 1 THEN {NDCG_IDEAL[0]} WHEN 2 THEN {NDCG_IDEAL[1]}
+               WHEN 3 THEN {NDCG_IDEAL[2]} WHEN 4 THEN {NDCG_IDEAL[3]}
+               ELSE {NDCG_IDEAL[4]} END), 6)
+           END AS ndcg,
+           round(CAST(p.n_rel AS DOUBLE)
+                 / least(5, ln.n_lab - 1), 6) AS recall_at_5
+    FROM per_q p JOIN lab_n ln ON ln.label = p.qlabel
+    ORDER BY p.qid
+    """,
+    tags=("similarity", "evaluation", "ranking", "topk"),
+)
+def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact cosine top-5 retrieval:
+    per query vector, binary relevance = "neighbor shares the query's
+    label", scored as nDCG@5 and recall@5 — the two numbers that gate
+    an ANN index rollout (is the ranking ordered well? does it find
+    what exists?). DCG uses integer discounts R_i = round(2³⁰/log2(i+1))
+    inlined on both engines, so the per-query score is an exact BIGINT
+    dot product with ONE final division (no float crosses a sum);
+    recall's denominator is min(5, same-label corpus count − 1), the
+    attainable maximum. Builds directly on ``knn_bruteforce_cosine``
+    (same candidate generation, already driver-hash-confirmed), then
+    two broadcast label joins + one partial-aggregable groupBy."""
+    knn = knn_bruteforce_cosine(spark, sf_dir)
+    vec = _t(spark, sf_dir, "embeddings")
+    lab = vec.select("vec_id", "label")
+    lab_n = lab.groupBy("label").agg(F.count("*").alias("n_lab"))
+    rel = (
+        knn.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "qid",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("nid"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "rn",
+            "qlabel",
+            F.when(F.col("qlabel") == F.col("nlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    disc = (
+        F.when(F.col("rn") == 1, NDCG_R[0])
+        .when(F.col("rn") == 2, NDCG_R[1])
+        .when(F.col("rn") == 3, NDCG_R[2])
+        .when(F.col("rn") == 4, NDCG_R[3])
+        .otherwise(NDCG_R[4])
+    )
+    per_q = rel.groupBy("qid").agg(
+        F.any_value("qlabel").alias("qlabel"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.col("rel") * disc).alias("dcg_fix"),
+    )
+    ideal = (
+        F.when(F.col("n_rel") == 1, NDCG_IDEAL[0])
+        .when(F.col("n_rel") == 2, NDCG_IDEAL[1])
+        .when(F.col("n_rel") == 3, NDCG_IDEAL[2])
+        .when(F.col("n_rel") == 4, NDCG_IDEAL[3])
+        .otherwise(NDCG_IDEAL[4])
+    )
+    return (
+        per_q.join(F.broadcast(lab_n), per_q.qlabel == lab_n.label)
+        .select(
+            "qid",
+            "n_rel",
+            "dcg_fix",
+            F.when(
+                F.col("n_rel") > 0,
+                F.round(F.col("dcg_fix").cast("double") / ideal, 6),
+            ).alias("ndcg"),
+            F.round(
+                F.col("n_rel").cast("double")
+                / F.least(F.lit(5), F.col("n_lab") - 1),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("qid")
     )

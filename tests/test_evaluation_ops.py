@@ -174,3 +174,42 @@ def test_markov_accuracy_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_test
         assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_ndcg_bounds_and_perfect_cases(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        ndcg_label_relevance,
+    )
+
+    rows = ndcg_label_relevance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rel <= 5
+        if r.n_rel == 0:
+            assert r.ndcg is None
+        else:
+            assert 0.0 < r.ndcg <= 1.0
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        # all-relevant top-5 is by construction ideally ordered
+        if r.n_rel == 5:
+            assert r.ndcg == 1.0
+
+
+def test_modularity_global_sum(spark, sf_dir):
+    """Connected components have no cross-component edges, so
+    Σ e_c = m and the global Q = 1 − Σ d_c²/(4m²) ∈ (−1, 1]; degree
+    sums must double-count every edge."""
+    from braintumor_data_pipeline_spark.operators.components import (
+        component_modularity,
+    )
+
+    rows = component_modularity(spark, sf_dir).collect()
+    assert rows
+    m = sum(r.n_edges_in for r in rows)
+    assert sum(r.deg_sum for r in rows) == 2 * m
+    if m:
+        q = sum(
+            (4 * m * r.n_edges_in - r.deg_sum**2) / (4 * m * m)
+            for r in rows
+        )
+        assert -1.0 <= q <= 1.0
