@@ -227,3 +227,55 @@ def scd2_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts_us") == F.col("valid_from_us"), 1).otherwise(0)
         ).alias("n_run_openers"),
     )
+
+
+@register(
+    "log_compaction_tombstones",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
+                  THEN 'delete' ELSE 'upsert' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, epoch_us(ts) AS last_op_us, v_cents AS value_cents
+    FROM log
+    WHERE rn = 1 AND op = 'upsert'
+    ORDER BY user_id
+    """,
+    tags=("cdc", "window", "compaction"),
+)
+def log_compaction_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style log compaction with tombstones: the event stream is
+    read as a per-key change log (~12.5% of entries are deterministic
+    md5 deletes — the tombstone class), and the compacted table is the
+    LATEST operation per key, with keys whose latest op is a tombstone
+    absent from the output entirely. This is the missing third shape
+    next to MERGE (upsert batches) and SCD2 (full history): the state
+    a changelog consumer materializes. One key-partitioned row_number
+    window — equivalent to the max_by compaction Kafka brokers run,
+    and exactly the shape AQE handles under key skew. Total-order
+    tie-break (ts, event_id) keeps replays byte-identical."""
+    e = _t(spark, sf_dir, "events")
+    op = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "2",
+        "delete",
+    ).otherwise("upsert")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    log = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_op_us"),
+        op.alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select("user_id", "last_op_us", "value_cents")
+        .orderBy("user_id")
+    )

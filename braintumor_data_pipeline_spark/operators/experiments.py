@@ -4337,3 +4337,86 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+@register(
+    "churn_labels_point_in_time",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_14d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents_14d,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_14d,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_active_14d
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY user_id
+    ),
+    future AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-27 00:00:00'
+    )
+    SELECT f.user_id, f.n_events_14d, f.value_cents_14d, f.n_types_14d,
+           f.days_active_14d,
+           CAST(CASE WHEN fu.user_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS churned
+    FROM feat f LEFT JOIN future fu ON fu.user_id = f.user_id
+    ORDER BY f.user_id
+    """,
+    tags=("experiment", "features", "labels", "temporal", "agg"),
+)
+def churn_labels_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set construction — the point-in-time
+    correctness discipline every feature store exists to enforce:
+    features aggregate STRICTLY BEFORE the 2024-01-20 cutoff (14-day
+    activity counts, exact cents spend, type/day diversity) and the
+    churn label comes STRICTLY AFTER (no event in the next 7 days),
+    with the two intervals meeting at the cutoff and never overlapping.
+    One filtered groupBy per side + a left anti-ish join; all features
+    exact integers. At 100 TB both scans prune to their date ranges
+    (this is the layout the partition-pruning queries certify), and the
+    label side ships only distinct user_ids."""
+    e = _t(spark, sf_dir, "events")
+    feat = (
+        e.filter(
+            (F.col("ts") >= "2024-01-06 00:00:00")
+            & (F.col("ts") < "2024-01-20 00:00:00")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_14d"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents_14d"
+            ),
+            F.count_distinct("event_type").alias("n_types_14d"),
+            F.count_distinct(F.to_date("ts")).alias("days_active_14d"),
+        )
+    )
+    future = (
+        e.filter(
+            (F.col("ts") >= "2024-01-20 00:00:00")
+            & (F.col("ts") < "2024-01-27 00:00:00")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        feat.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_14d",
+            "value_cents_14d",
+            "n_types_14d",
+            "days_active_14d",
+            F.when(F.col("seen").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
+        )
+        .orderBy("user_id")
+    )

@@ -1228,3 +1228,89 @@ def repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "rendezvous_shard_assignment",
+    oracle="""
+    WITH scores AS (
+      SELECT d.doc_id, s.shard,
+             md5(CAST(s.shard AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))
+               AS h
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(9)) AS shard) s
+    ),
+    ranked AS (
+      SELECT doc_id, shard, h,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, shard) AS rn
+      FROM scores
+    ),
+    pick9 AS (SELECT doc_id, shard AS shard9 FROM ranked WHERE rn = 1),
+    pick8 AS (
+      SELECT doc_id, shard AS shard8
+      FROM (SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, shard) AS rn
+            FROM scores WHERE shard < 8) r8
+      WHERE rn = 1
+    )
+    SELECT p9.shard9 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p8.shard8 <> p9.shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_in
+    FROM pick9 p9 JOIN pick8 p8 ON p8.doc_id = p9.doc_id
+    GROUP BY p9.shard9
+    ORDER BY shard
+    """,
+    tags=("sampling", "layout", "sharding", "window", "agg"),
+)
+def rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — how a 100 TB
+    corpus assigns documents to a resizable shard set with MINIMAL
+    movement: doc → argmax over shards of md5(shard|doc). The query
+    scores every doc against 8 and against 9 shards and reports, per
+    final shard, the doc count and how many docs CHANGED assignment —
+    HRW's defining guarantee is that growing 8→9 moves only docs whose
+    new argmax IS the new shard (≈1/9 of the corpus, all arriving at
+    shard 8; the test pins both properties). The 9× score expansion is
+    a narrow generated cross join (no shuffle until the per-doc
+    argmax); ties are impossible in practice but carry a total-order
+    break anyway. This is the deterministic alternative to
+    hash-mod-N sharding, which moves (N−1)/N of everything."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(9).select(F.col("id").cast("int").alias("shard"))
+    scores = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("shard").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w9 = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "shard")
+    pick9 = (
+        scores.withColumn("rn", F.row_number().over(w9))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard9"))
+    )
+    pick8 = (
+        scores.filter(F.col("shard") < 8)
+        .withColumn("rn", F.row_number().over(w9))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard8"))
+    )
+    return (
+        pick9.join(pick8, "doc_id")
+        .groupBy(F.col("shard9").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            ).alias("n_moved_in"),
+        )
+        .orderBy("shard")
+    )

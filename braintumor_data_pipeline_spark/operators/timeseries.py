@@ -808,3 +808,80 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("intercept_cents"),
         )
     )
+
+
+@register(
+    "twap_daily_value",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (max(t) - min(t)) // 1000000 AS span_s,
+           CASE WHEN max(t) > min(t) THEN
+             round(CAST(sum(CASE WHEN t_next IS NOT NULL
+                                 THEN v_cents * (t_next - t) END) AS DOUBLE)
+                   / (max(t) - min(t)) / 100, 6)
+           END AS twap_usd
+    FROM seq
+    GROUP BY d
+    ORDER BY d
+    """,
+    tags=("timeseries", "window", "agg", "twap"),
+)
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per day (TWAP — the step-function
+    integral ÷ elapsed time, the finance/metering downsample that a
+    plain AVG gets wrong whenever observations are irregularly spaced):
+    each event's value holds until the next event of the SAME day; the
+    last event carries no weight (integral over the observed span).
+    Exactness: weights are integer microsecond gaps from a
+    day-partitioned lead() window, v_cents·gap products sum as
+    DECIMAL(38,0) (a day of cents·µs reaches ~10¹⁹ — past LONG; DuckDB
+    widens its BIGINT sum to HUGEINT on its own), and the single float
+    division happens per output day. Single-event days → NULL (zero
+    span). Shuffle profile: one day-partitioned window + one groupBy on
+    the same key — the second shuffle reuses the first's partitioning."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    seq = e.select(
+        d,
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    g = seq.groupBy("d").agg(
+        F.count("*").alias("n_events"),
+        F.floor((F.max("t") - F.min("t")) / 1000000)
+        .cast("long")
+        .alias("span_s"),
+        F.sum(
+            F.when(
+                F.col("t_next").isNotNull(),
+                (F.col("v_cents") * (F.col("t_next") - F.col("t"))).cast(
+                    "decimal(38,0)"
+                ),
+            )
+        ).alias("wsum"),
+        (F.max("t") - F.min("t")).alias("span_us"),
+    )
+    return g.select(
+        "d",
+        "n_events",
+        "span_s",
+        F.when(
+            F.col("span_us") > 0,
+            F.round(
+                F.col("wsum").cast("double") / F.col("span_us") / 100, 6
+            ),
+        ).alias("twap_usd"),
+    ).orderBy("d")
