@@ -627,3 +627,186 @@ def multimodal_audio_spectral_bands(
             yield pd.DataFrame(rows, columns=["key", "bin", "energy"])
 
     return wav.mapInPandas(feats, schema="key int, bin int, energy long")
+
+
+# --- shot-boundary detection over a LOSSLESS frame container ----------
+#
+# The MJPEG path can't have a recomputing oracle (JPEG is lossy), so the
+# video family's exact tier rides PNG: frames are integer-generated from
+# the document text, PNG-encoded (sources/png.py) into a length-prefixed
+# container, split + decoded back on the consumer side — and because the
+# codec round-trips bit-exactly, DuckDB can recompute every decoded
+# pixel straight from documents.text and replay the whole shot-boundary
+# analysis. Same doctrine as the WAV/PCM audio path (multimodal_audio_
+# features), now for video.
+VID_SIDE = 16
+VID_FRAMES = 12
+VID_SCENE_LEN = 4  # scene id = f // 4; odd scenes carry a +96 offset
+VID_BOUNDARY_THRESHOLD = VID_SIDE * VID_SIDE * 32  # mean |Δ| > 32
+
+
+def _vid_frame_np(text_bytes: bytes, f: int) -> np.ndarray:
+    """Frame f: integer ramp + half text-byte texture + 8·f brightness
+    drift + a 96-level jump on odd scenes, clipped at 255 — integers
+    end to end so SQL replays it exactly."""
+    side = VID_SIDE
+    tex = np.zeros(side * side, dtype=np.int64)
+    tb = text_bytes[: side * side]
+    tex[: len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+    tex = tex // 2
+    ramp = (8 * np.arange(side, dtype=np.int64))[None, :]
+    scene = 96 if (f // VID_SCENE_LEN) % 2 == 1 else 0
+    pix = ramp + tex.reshape(side, side) + 8 * f + scene
+    return np.minimum(pix, 255).astype(np.uint8)
+
+
+def documents_as_png_video_table(
+    spark: SparkSession, sf_dir: str, limit: int = 25
+) -> DataFrame:
+    """Stage 1: per document, VID_FRAMES PNG frames in a length-prefixed
+    container (4-byte big-endian size + PNG bytes per frame — the
+    simplest self-describing concatenation; PNG's own signature can
+    legally appear inside compressed data, so framing is explicit)."""
+    from ..sources.fixtures import load_table as _t
+    from ..sources.png import encode_png
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                tb = str(r["text"]).encode("utf-8")
+                parts = []
+                for f in range(VID_FRAMES):
+                    png = encode_png(_vid_frame_np(tb, f))
+                    parts.append(len(png).to_bytes(4, "big") + png)
+                payload = b"".join(parts)
+                rows.append(
+                    {
+                        "key": int(r["doc_id"]),
+                        "n_bytes": len(payload),
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["key", "n_bytes", "payload"])
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {limit}")
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema="key int, n_bytes long, payload binary")
+    )
+
+
+def _split_png_container(payload: bytes) -> list[bytes]:
+    out, off = [], 0
+    while off + 4 <= len(payload):
+        n = int.from_bytes(payload[off : off + 4], "big")
+        out.append(payload[off + 4 : off + 4 + n])
+        off += 4 + n
+    return out
+
+
+@register(
+    "video_shot_boundaries",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id < 25
+    ),
+    grid AS (
+      SELECT doc_id, f.f, i.i, j.j,
+             least(8 * j.j
+               + CASE WHEN i.i * {VID_SIDE} + j.j < n_bytes
+                      THEN ('0x' || substr(h, 2 * (i.i * {VID_SIDE} + j.j) + 1,
+                                           2))::BIGINT // 2
+                      ELSE 0 END
+               + 8 * f.f
+               + CASE WHEN (f.f // {VID_SCENE_LEN}) % 2 = 1 THEN 96
+                      ELSE 0 END,
+               255) AS pix
+      FROM hx
+      CROSS JOIN (SELECT unnest(range({VID_FRAMES})) AS f) f
+      CROSS JOIN (SELECT unnest(range({VID_SIDE})) AS i) i
+      CROSS JOIN (SELECT unnest(range({VID_SIDE})) AS j) j
+    ),
+    diffs AS (
+      SELECT a.doc_id, a.f AS transition,
+             CAST(sum(abs(b.pix - a.pix)) AS BIGINT) AS abs_diff
+      FROM grid a
+      JOIN grid b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                 AND b.i = a.i AND b.j = a.j
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT doc_id AS key,
+           CAST({VID_FRAMES} AS BIGINT) AS n_frames,
+           CAST(1 + sum(CASE WHEN abs_diff > {VID_BOUNDARY_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+           CAST(sum(abs_diff) AS BIGINT) AS total_abs_diff,
+           CAST(max(abs_diff) AS BIGINT) AS max_transition_diff
+    FROM diffs
+    GROUP BY doc_id
+    ORDER BY key
+    """,
+    tags=("multimodal", "video", "udf", "evaluation"),
+)
+def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the first video operator with a full
+    RECOMPUTING oracle: stage 1 encodes per-document frame sequences
+    through the repo's REAL PNG codec into a length-prefixed container;
+    stage 2 splits the container, decodes every frame, and flags a shot
+    cut wherever the inter-frame sum of absolute pixel differences
+    exceeds a mean-|Δ|>32 threshold (scene jumps are +96, drift +8, so
+    the margin is wide). Because PNG round-trips losslessly, DuckDB
+    recomputes the DECODED pixels straight from documents.text (hex
+    byte algebra + generated frame/row/col grids) and replays the
+    entire detection — the lossless-codec upgrade of the frozen-golden
+    MJPEG path, mirroring what WAV/PCM did for audio. Scale shape: the
+    blob never moves (decode + diff inside one mapInPandas), one row
+    per video out."""
+    from ..sources.png import decode_png
+
+    vids = documents_as_png_video_table(spark, sf_dir)
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = [
+                    decode_png(fb).astype(np.int64)
+                    for fb in _split_png_container(bytes(r["payload"]))
+                ]
+                diffs = [
+                    int(np.abs(b - a).sum())
+                    for a, b in zip(frames, frames[1:])
+                ]
+                n_shots = 1 + sum(
+                    1 for d in diffs if d > VID_BOUNDARY_THRESHOLD
+                )
+                rows.append(
+                    {
+                        "key": int(r["key"]),
+                        "n_frames": len(frames),
+                        "n_shots": n_shots,
+                        "total_abs_diff": sum(diffs),
+                        "max_transition_diff": max(diffs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "n_frames",
+                    "n_shots",
+                    "total_abs_diff",
+                    "max_transition_diff",
+                ],
+            )
+
+    return vids.mapInPandas(
+        detect,
+        schema=(
+            "key int, n_frames long, n_shots long, "
+            "total_abs_diff long, max_transition_diff long"
+        ),
+    ).orderBy("key")

@@ -289,3 +289,22 @@ def test_twap_single_event_null(spark, sf_dir):
             assert r.twap_usd is None
         else:
             assert r.twap_usd is None or r.twap_usd >= 0.0
+
+
+def test_video_shot_boundaries_find_scene_cuts(spark, sf_dir):
+    """The generator plants exactly two scene jumps (f=4 and f=8), so
+    every video must segment into 3 shots, detected from REAL
+    PNG-decoded pixels (lossless round trip)."""
+    from braintumor_data_pipeline_spark.operators.multimodal import (
+        VID_BOUNDARY_THRESHOLD,
+        VID_FRAMES,
+        video_shot_boundaries,
+    )
+
+    rows = video_shot_boundaries(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_frames == VID_FRAMES
+        assert r.n_shots == 3
+        assert r.max_transition_diff > VID_BOUNDARY_THRESHOLD
+        assert r.total_abs_diff >= r.max_transition_diff
