@@ -94,6 +94,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: integer-DFT oracle; imaging_udf family coverage stays (this IS the
 #: imaging_udf module, and its companion edge_spectrum_agreement — the
 #: image_pair_metrics upgrade — sits first in the post-window order).
+#: r4 fifth rotation (new-family evidence): four r3-green,
+#: formulation-unchanged, non-headline slots vacate for four of this
+#: round's new operators, each swap inside the SAME module so the
+#: smoke family-coverage invariant holds by construction —
+#: geomean_grouped_agg_udf → pareto_frontier_orders (analytics),
+#: pagerank_fixed_point → ndcg_label_relevance (graph keeps
+#: triangle_stats; ndcg rides similarity, already covered),
+#: schema_evolution_scan → repeated_span_detection (maintenance keeps
+#: the partition-pruning pair; repeated_span rides llm_pipeline),
+#: multimodal_audio_features → video_shot_boundaries (multimodal,
+#: the PNG-lossless recomputing video tier).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -117,8 +128,8 @@ PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges",
     # TPC-H shapes
     "q21_sole_returning_supplier",
-    # analytics (scalar function surfaces, Arrow UDAF)
-    "geomean_grouped_agg_udf",
+    # analytics (first-time, r4 fifth rotation: distributed skyline)
+    "pareto_frontier_orders",
     # imaging UDF path (applyInPandas numpy, hash-checked vs exact
     # integer-DFT SQL — the r4 frozen-golden upgrade)
     "butterworth_band_energy",
@@ -127,10 +138,11 @@ PRIORITY: tuple[str, ...] = (
     "variant_props_analytics",
     # text analysis
     "winnowing_fingerprints",
-    # schema-evolution source family
-    "schema_evolution_scan",
-    # graph (triangle_stats first-time, r4)
-    "pagerank_fixed_point",
+    # llm_pipeline: ExactSubstr repeated spans (first-time, r4 fifth)
+    "repeated_span_detection",
+    # similarity eval: integer-DCG ranking quality (first-time, r4 fifth)
+    "ndcg_label_relevance",
+    # graph (first-time, r4)
     "triangle_stats",
     # dedup
     "minhash_dedup_groups",
@@ -166,7 +178,7 @@ PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_stats",
     "csv_roundtrip_stats",
     # multimodal audio (oracle recomputes features from raw bytes)
-    "multimodal_audio_features",
+    "video_shot_boundaries",
     # engine-native recursion (byte-identical SQL on both engines)
     "rcte_clamped_balance",
     # indexing / intervals
