@@ -945,3 +945,101 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reduction_ratio"),
     )
+
+
+#: Banding configurations swept by ``lsh_tuning_curve``: every (bands,
+#: rows) factorization of the 8-hash signature. The S-curve threshold
+#: t ≈ (1/b)^(1/r) moves from ~0 (8×1: any single hash collision
+#: pairs) to strict (1×8: the full-signature-equality dedup-groups
+#: criterion).
+LSH_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+@register(
+    "lsh_tuning_curve",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+            AS t(n_bands, rows_per_band)),
+    buckets AS (
+      SELECT c.n_bands, c.rows_per_band,
+             s.seed // c.rows_per_band AS band,
+             md5(string_agg(CAST(s.minhash AS VARCHAR), ','
+                            ORDER BY s.seed)) AS band_sig,
+             s.doc_id
+      FROM sigs s CROSS JOIN cfg c
+      GROUP BY c.n_bands, c.rows_per_band, s.doc_id,
+               s.seed // c.rows_per_band
+    ),
+    sizes AS (
+      SELECT n_bands, rows_per_band, band, band_sig,
+             CAST(count(*) AS BIGINT) AS m
+      FROM buckets
+      GROUP BY n_bands, rows_per_band, band, band_sig
+    )
+    SELECT n_bands, rows_per_band,
+           CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(sum(m * (m - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM sizes
+    GROUP BY n_bands, rows_per_band
+    ORDER BY n_bands DESC
+    """,
+    tags=("dedup", "minhash", "tuning", "agg"),
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH parameter-tuning table — the measurement an operator
+    runs BEFORE committing a banding scheme to 100 TB: for every
+    (bands × rows) factorization of the 8-hash MinHash signature, the
+    number of colliding buckets and the TOTAL candidate-pair count the
+    scheme would emit. The pair count is Σ_buckets m·(m−1)/2 — computed
+    from bucket SIZES alone, never by enumerating pairs, so the most
+    permissive configuration (8 bands × 1 row) costs the same two
+    partial-aggregable shuffles as the strictest. Reading the output:
+    candidate volume vs band strictness IS the empirical S-curve; pick
+    the cheapest config whose recall (verified separately by
+    ``blocking_quality_report``) clears the bar."""
+    sigs = minhash_signature_df(spark, sf_dir)
+    outs = []
+    for n_bands, rows_per_band in LSH_CONFIGS:
+        buckets = (
+            sigs.withColumn(
+                "band", (F.col("seed") / rows_per_band).cast("int")
+            )
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("seed", "minhash"))
+                            ),
+                            lambda s: s.minhash.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_sig")
+            )
+        )
+        sizes = buckets.groupBy("band", "band_sig").agg(
+            F.count("*").alias("m")
+        )
+        outs.append(
+            sizes.agg(
+                F.sum(F.when(F.col("m") >= 2, 1).otherwise(0)).alias(
+                    "n_colliding_buckets"
+                ),
+                F.sum(
+                    F.col("m") * (F.col("m") - 1) / 2
+                ).cast("long").alias("n_candidate_pairs"),
+            ).select(
+                F.lit(n_bands).alias("n_bands"),
+                F.lit(rows_per_band).alias("rows_per_band"),
+                "n_colliding_buckets",
+                "n_candidate_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy(F.col("n_bands").desc())

@@ -1320,3 +1320,66 @@ def rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "group_kfold_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 AS fold
+      FROM events
+    )
+    SELECT fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS purchase_rate
+    FROM assigned
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    tags=("sampling", "evaluation", "cv", "agg"),
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-K-fold cross-validation assignment — the leakage-free CV
+    split for grouped data: the fold is a pure function of the GROUP
+    key (md5(user_id) % 5), so all of a user's events land in exactly
+    one fold BY CONSTRUCTION (no user ever straddles train and
+    validation — the leak GroupKFold exists to prevent), and the
+    assignment is identical on every engine, run, retry, and
+    partitioning (the rand() trap again). Output is the fold balance
+    sheet: user/event/label counts and rate per fold, which is also
+    the stratification sanity check. One partial-aggregable groupBy."""
+    e = _t(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+    )
+    return (
+        e.select(fold.alias("fold"), "user_id", "event_type")
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "n_purchases",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("n_events"), 6
+            ).alias("purchase_rate"),
+        )
+        .orderBy("fold")
+    )

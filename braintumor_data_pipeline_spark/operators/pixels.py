@@ -213,3 +213,68 @@ def pixel_argmax_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("image_id", "y", "x", "v")
     )
+
+
+@register(
+    "pixel_histogram_equalize",
+    oracle=f"""
+    WITH px AS ({PIXELS_SQL}),
+    counts AS (
+      SELECT image_id, v, CAST(count(*) AS BIGINT) AS n_pixels
+      FROM px GROUP BY image_id, v
+    ),
+    cdf AS (
+      SELECT image_id, v, n_pixels,
+             sum(n_pixels) OVER (PARTITION BY image_id ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             first_value(n_pixels) OVER (PARTITION BY image_id ORDER BY v)
+               AS cdf_min,
+             sum(n_pixels) OVER (PARTITION BY image_id) AS n
+      FROM counts
+    )
+    SELECT image_id, v, n_pixels,
+           CAST(((c - cdf_min) * 255) // greatest(n - cdf_min, 1)
+                AS BIGINT) AS v_eq
+    FROM cdf
+    ORDER BY image_id, v
+    """,
+    tags=("pixels", "imaging", "window"),
+)
+def pixel_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global histogram equalization as pure relational algebra — the
+    classic contrast stretch next to the reference's CLAHE (X4,
+    `preprocessor.py`/`utils.py` use cv2's tile-based variant; this is
+    the cv2.equalizeHist global form): LUT(v) = (cdf(v) − cdf_min)·255
+    / (n − cdf_min), floored, where cdf_min is the cdf of the smallest
+    PRESENT intensity. Output is the per-image LUT itself — one row
+    per (image, distinct intensity) with its pixel count and equalized
+    value; applying it is a broadcast join back onto the pixel
+    relation. Everything is BIGINT (counts, prefix sums, one integer
+    floor-division); all windows are image-partitioned and run over
+    the per-(image, intensity) AGGREGATED grain (≤256 rows per image
+    regardless of image size — the LUT never scales with pixels)."""
+    px = pixels_df(spark, sf_dir)
+    counts = px.groupBy("image_id", "v").agg(
+        F.count("*").alias("n_pixels")
+    )
+    w_cdf = (
+        Window.partitionBy("image_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_first = Window.partitionBy("image_id").orderBy("v")
+    w_all = Window.partitionBy("image_id")
+    cdf = counts.select(
+        "image_id",
+        "v",
+        "n_pixels",
+        F.sum("n_pixels").over(w_cdf).alias("c"),
+        F.first("n_pixels").over(w_first).alias("cdf_min"),
+        F.sum("n_pixels").over(w_all).alias("n"),
+    )
+    v_eq = F.expr(
+        "((c - cdf_min) * 255) div greatest(n - cdf_min, 1)"
+    ).cast("long")
+    return cdf.select(
+        "image_id", "v", "n_pixels", v_eq.alias("v_eq")
+    ).orderBy("image_id", "v")

@@ -308,3 +308,68 @@ def test_video_shot_boundaries_find_scene_cuts(spark, sf_dir):
         assert r.n_shots == 3
         assert r.max_transition_diff > VID_BOUNDARY_THRESHOLD
         assert r.total_abs_diff >= r.max_transition_diff
+
+
+def test_histogram_equalize_lut_monotone(spark, sf_dir):
+    """The equalization LUT must be monotone non-decreasing in v, span
+    [0, 255], and map the smallest present intensity to 0."""
+    from collections import defaultdict
+
+    from braintumor_data_pipeline_spark.operators.pixels import (
+        pixel_histogram_equalize,
+    )
+
+    rows = pixel_histogram_equalize(spark, sf_dir).collect()
+    assert rows
+    per_img = defaultdict(list)
+    for r in rows:
+        per_img[r.image_id].append(r)
+    for img, lut in per_img.items():
+        lut.sort(key=lambda r: r.v)
+        assert lut[0].v_eq == 0
+        eqs = [r.v_eq for r in lut]
+        assert all(a <= b for a, b in zip(eqs, eqs[1:]))
+        assert all(0 <= e <= 255 for e in eqs)
+
+
+def test_lsh_tuning_curve_monotone(spark, sf_dir):
+    """More bands with fewer rows per band can only be MORE permissive:
+    candidate pairs are non-increasing as rows_per_band grows, and the
+    strictest config (1×8) matches the full-signature dedup-group
+    count."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        lsh_tuning_curve,
+        minhash_dedup_groups,
+    )
+
+    rows = sorted(
+        lsh_tuning_curve(spark, sf_dir).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    assert [r.n_bands * r.rows_per_band for r in rows] == [8, 8, 8, 8]
+    pairs = [r.n_candidate_pairs for r in rows]
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    groups = minhash_dedup_groups(spark, sf_dir).collect()
+    expected_strict = sum(
+        g.n_members * (g.n_members - 1) // 2 for g in groups
+    )
+    assert rows[-1].n_candidate_pairs == expected_strict
+
+
+def test_group_kfold_partitions_users(spark, sf_dir):
+    """Fold counts must partition the user set (disjoint folds whose
+    sizes sum to the distinct-user count)."""
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        group_kfold_assignment,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = group_kfold_assignment(spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    total_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == total_users
