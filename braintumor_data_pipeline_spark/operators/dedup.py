@@ -1043,3 +1043,84 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy(F.col("n_bands").desc())
+
+
+SN_WINDOW = 3  # sorted-neighborhood sliding window size (pairs at gap 1..2)
+SN_PREFIX = 24  # sort-key length (lowercased text prefix)
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lower(substr(text, 1, {SN_PREFIX})) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, k,
+             row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.r - a.r AS BIGINT) AS rank_gap,
+           CAST(a.k = b.k AS INTEGER) AS same_key
+    FROM ranked a
+    JOIN ranked b ON b.r > a.r AND b.r <= a.r + {SN_WINDOW - 1}
+    ORDER BY a.r, b.r
+    """,
+    tags=("dedup", "blocking", "join", "window"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the OTHER classic sub-quadratic
+    candidate generator next to LSH (Hernández–Stolfo): sort the corpus
+    by a normalized key (lowercased 24-char text prefix) and emit every
+    pair within a width-{SN_WINDOW} sliding window of the sort order —
+    exactly 2N−3 candidates, the cheapest blocking there is, strong on
+    prefix-preserving near-dups that token-set methods miss.
+
+    The global sort rank is built with the blocked row_number +
+    broadcast-offset plan (indexing.py's pattern: the block id is the
+    key's FIRST BYTE, monotone in the sort order, so per-block windows
+    + a prefix-sum over the tiny per-block count frame reproduce the
+    global row_number with no global window). Neighbor pairs then come
+    from two integer equi-joins on rank+1 / rank+2 — no window over raw
+    rows anywhere. The oracle runs the naive global row_number; both
+    compute the identical candidate set."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, SN_PREFIX)).alias("k"),
+    )
+    from pyspark.sql import Window as W
+
+    blocked = keyed.withColumn("_blk", F.ascii(F.substring("k", 1, 1)))
+    counts = blocked.groupBy("_blk").agg(F.count("*").alias("_cnt"))
+    woff = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_blk", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    wblk = W.partitionBy("_blk").orderBy("k", "doc_id")
+    ranked = (
+        blocked.join(F.broadcast(offsets), "_blk")
+        .withColumn("r", F.row_number().over(wblk) + F.col("_off"))
+        .select("doc_id", "k", "r")
+    ).persist()
+    pairs = None
+    for gap in range(1, SN_WINDOW):
+        b = ranked.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("k").alias("kb"),
+            (F.col("r") - gap).alias("r"),
+        )
+        p = ranked.join(b, "r").select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.lit(gap).cast("long").alias("rank_gap"),
+            (F.col("k") == F.col("kb")).cast("int").alias("same_key"),
+            F.col("r").alias("_ra"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return (
+        pairs.orderBy("_ra", "rank_gap")
+        .select("doc_a", "doc_b", "rank_gap", "same_key")
+    )

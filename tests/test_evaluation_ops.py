@@ -373,3 +373,22 @@ def test_group_kfold_partitions_users(spark, sf_dir):
         .count()
     )
     assert sum(r.n_users for r in rows) == total_users
+
+
+def test_sorted_neighborhood_exact_candidate_count(spark, sf_dir):
+    """Width-3 sliding window over N sorted docs yields exactly 2N-3
+    pairs; gap-1 pairs chain through the whole order."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = sorted_neighborhood_pairs(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == 2 * n - 3
+    gap1 = [r for r in rows if r.rank_gap == 1]
+    gap2 = [r for r in rows if r.rank_gap == 2]
+    assert len(gap1) == n - 1 and len(gap2) == n - 2
+    for r in rows:
+        assert r.doc_a != r.doc_b
+        assert r.same_key in (0, 1)
