@@ -2454,3 +2454,118 @@ def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+#: Fixed-point scale for the nearest-centroid query — deliberately
+#: smaller than feature_scaling's 2²⁴ because the squared distance
+#: numerator (x·n_c − S_cd)² carries the class size to the 2nd power
+#: per term (and the fixture's |x| < 0.6); 2¹² keeps the DECIMAL(38,0)
+#: sums inside range even at corpus-scale class counts.
+NCC_SCALE = 4096
+
+
+@register(
+    "nearest_centroid_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             d.d AS dim,
+             CAST(round(CAST(embedding[d.d] AS DOUBLE) * {NCC_SCALE})
+                  AS BIGINT) AS x
+      FROM embeddings, range(1, 65) d(d)
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_c
+      FROM q GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label, c.clabel,
+             CAST(sum(CAST(q.x * c.n_c - c.s AS DECIMAL(38,0))
+                      * CAST(q.x * c.n_c - c.s AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS d2_num,
+             any_value(c.n_c) AS n_c
+      FROM q JOIN cent c ON c.dim = q.dim
+      GROUP BY q.vec_id, q.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY CAST(d2_num AS DOUBLE) / (n_c * n_c), clabel)
+               AS rn
+      FROM dist
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "evaluation", "embedding", "agg"),
+)
+def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy over the
+    embedding table — the cluster-quality number that says whether the
+    label structure is linearly recoverable from the vectors (the eval
+    behind every "are these embeddings any good for this taxonomy"
+    question). Exactness: dimensions quantize to 2¹² fixed point, each
+    class centroid stays an UNREDUCED (Σx, n) pair, and the squared
+    distance to class c is the integer numerator Σ_d (x_d·n_c − S_cd)²
+    (DECIMAL(38,0)); the argmin ranks on the per-row double
+    d2_num/n_c² — one float division per (point, class), bit-identical
+    on both engines, tie-broken by label. Plan: one posexplode keyed on
+    64 dims, a broadcast of the L×64 centroid table, one
+    partial-aggregable groupBy per (point, class), a point-partitioned
+    argmin window — nothing global, nothing quadratic in corpus size
+    (L is the label-domain dimension)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("xf").cast("double") * NCC_SCALE)
+        .cast("long")
+        .alias("x"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n_c")
+    )
+    term = (F.col("x") * F.col("n_c") - F.col("s")).cast("decimal(38,0)")
+    dist = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(term * term).alias("d2_num"),
+            F.any_value("n_c").alias("n_c"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2_num").cast("double") / (F.col("n_c") * F.col("n_c")),
+        "clabel",
+    )
+    pred = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    hit = F.when(F.col("clabel") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.groupBy("label")
+        .agg(F.count("*").alias("n_points"), F.sum(hit).alias("n_correct"))
+        .select(
+            "label",
+            "n_points",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_points"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

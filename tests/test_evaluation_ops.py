@@ -392,3 +392,20 @@ def test_sorted_neighborhood_exact_candidate_count(spark, sf_dir):
     for r in rows:
         assert r.doc_a != r.doc_b
         assert r.same_key in (0, 1)
+
+
+def test_nearest_centroid_partitions_corpus(spark, sf_dir):
+    """Every vector gets exactly one prediction: per-label point counts
+    sum to the corpus size; accuracies in [0,1]."""
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        nearest_centroid_accuracy,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = nearest_centroid_accuracy(spark, sf_dir).collect()
+    assert rows
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_points
+        assert 0.0 <= r.accuracy <= 1.0
