@@ -1124,3 +1124,135 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy("_ra", "rank_gap")
         .select("doc_a", "doc_b", "rank_gap", "same_key")
     )
+
+
+@register(
+    "minhash_jaccard_estimation_error",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    cand AS (SELECT * FROM ({LSH_PAIRS_SQL}) lsh),
+    kmatch AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sh AS ({_SHINGLES_ORACLE}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    joined AS (
+      SELECT k.k_match,
+             coalesce(i.n_inter, 0) AS n_inter,
+             ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS n_union
+      FROM kmatch k
+      LEFT JOIN inter i ON i.doc_a = k.doc_a AND i.doc_b = k.doc_b
+      JOIN counts ca ON ca.doc_id = k.doc_a
+      JOIN counts cb ON cb.doc_id = k.doc_b
+    )
+    SELECT k_match,
+           round(CAST(k_match AS DOUBLE) / {MINHASH_K}, 6) AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+           CAST(sum(n_union) AS BIGINT) AS sum_union,
+           round(CAST(sum(n_inter) AS DOUBLE) / sum(n_union), 6)
+             AS micro_avg_exact
+    FROM joined
+    GROUP BY k_match
+    ORDER BY k_match
+    """,
+    tags=("dedup", "minhash", "evaluation", "agg"),
+)
+def minhash_jaccard_estimation_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-as-estimator calibration — does the signature agreement
+    actually track Jaccard on THIS corpus? For every LSH candidate
+    pair, the estimated similarity (matching minhashes / k) is bucketed
+    against the EXACT 3-gram Jaccard, micro-averaged the
+    float-sum-free way: per k_match bucket, Σ|∩| and Σ|∪| accumulate
+    as BIGINTs and divide once at the end (a mean of per-pair ratios
+    would be a distributed float sum — the hash-flake class this repo
+    bans). Reading the table: est_jaccard vs micro_avg_exact per
+    bucket IS the estimator's calibration curve; systematic deviation
+    means the banding threshold is mis-set for the corpus. Cost is
+    bounded by the candidate set (never all pairs); exact Jaccard
+    joins the shingle index only for pairs the LSH already surfaced
+    (pairs sharing no shingle keep |∩| = 0 via the left join)."""
+    cand = minhash_lsh_pairs(spark, sf_dir).persist()
+    sigs = minhash_signature_df(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mb")
+    )
+    kmatch = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
+            ).alias("k_match")
+        )
+    )
+    sh = shingles_df(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    joined = (
+        kmatch.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "k_match",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter2"),
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("n_inter"), F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    return (
+        joined.groupBy("k_match")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_inter2").alias("sum_inter"),
+            F.sum("n_union").alias("sum_union"),
+        )
+        .select(
+            "k_match",
+            F.round(F.col("k_match").cast("double") / MINHASH_K, 6).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "sum_inter",
+            "sum_union",
+            F.round(
+                F.col("sum_inter").cast("double") / F.col("sum_union"), 6
+            ).alias("micro_avg_exact"),
+        )
+        .orderBy("k_match")
+    )

@@ -409,3 +409,24 @@ def test_nearest_centroid_partitions_corpus(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_points
         assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_minhash_calibration_consistency(spark, sf_dir):
+    """Estimator calibration table: buckets cover only observed
+    k_match values (full-signature collisions land at k=8 with exact
+    Jaccard 1.0 for identical texts); micro-average is Σ∩/Σ∪."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_jaccard_estimation_error,
+    )
+
+    rows = minhash_jaccard_estimation_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.k_match <= MINHASH_K
+        assert abs(r.est_jaccard - round(r.k_match / MINHASH_K, 6)) < 1e-9
+        assert 0 <= r.sum_inter <= r.sum_union
+        assert abs(
+            r.micro_avg_exact - round(r.sum_inter / r.sum_union, 6)
+        ) < 1e-9
+        assert r.n_pairs > 0
