@@ -1256,3 +1256,169 @@ def minhash_jaccard_estimation_error(
         )
         .orderBy("k_match")
     )
+
+
+FS_LEN_TOL = 16  # token-length agreement band (absolute)
+
+
+@register(
+    "fellegi_sunter_patterns",
+    oracle=f"""
+    WITH cand AS (SELECT * FROM ({LSH_PAIRS_SQL}) lsh),
+    attrs AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pat AS (
+      SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS lang_agree,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS source_agree,
+             CASE WHEN abs(a.n_tok - b.n_tok) <= {FS_LEN_TOL}
+                  THEN 1 ELSE 0 END AS len_agree
+      FROM cand c
+      JOIN attrs a ON a.doc_id = c.doc_a
+      JOIN attrs b ON b.doc_id = c.doc_b
+    ),
+    n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM attrs),
+    u_lang AS (
+      SELECT CAST(sum(m * (m - 1)) AS BIGINT) AS agree2
+      FROM (SELECT count(*) AS m FROM attrs GROUP BY lang)
+    ),
+    u_source AS (
+      SELECT CAST(sum(m * (m - 1)) AS BIGINT) AS agree2
+      FROM (SELECT count(*) AS m FROM attrs GROUP BY source)
+    ),
+    lens AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS m
+             FROM attrs GROUP BY n_tok),
+    u_len AS (
+      -- ordered agreeing pairs via a band join over the LENGTH
+      -- HISTOGRAM (distinct lengths², not docs²), minus the n self-pairs
+      SELECT CAST(sum(la.m * lb.m) - (SELECT n FROM n_all) AS BIGINT)
+        AS agree2
+      FROM lens la JOIN lens lb
+        ON lb.n_tok BETWEEN la.n_tok - {FS_LEN_TOL}
+                        AND la.n_tok + {FS_LEN_TOL}
+    )
+    SELECT lang_agree, source_agree, len_agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(
+             (CASE WHEN lang_agree = 1
+                   THEN CAST(ul.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+                   ELSE 1 - CAST(ul.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+              END)
+           * (CASE WHEN source_agree = 1
+                   THEN CAST(us.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+                   ELSE 1 - CAST(us.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+              END)
+           * (CASE WHEN len_agree = 1
+                   THEN CAST(ule.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+                   ELSE 1 - CAST(ule.agree2 AS DOUBLE) / (n.n * (n.n - 1))
+              END), 6) AS u_prob
+    FROM pat, n_all n, u_lang ul, u_source us, u_len ule
+    GROUP BY lang_agree, source_agree, len_agree,
+             n.n, ul.agree2, us.agree2, ule.agree2
+    ORDER BY lang_agree, source_agree, len_agree
+    """,
+    tags=("dedup", "linkage", "evaluation", "agg"),
+)
+def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern table — probabilistic record
+    linkage's first artifact: every LSH candidate pair is reduced to
+    its agreement vector over (lang, source, token-length within ±16),
+    counted per pattern, next to the U-PROBABILITY of that pattern
+    among RANDOM pairs under field independence (the FS u-weights; a
+    pattern whose candidate share vastly exceeds its u_prob carries
+    linkage evidence). Exactness: each field's random-agreement
+    probability is the rational Σ m_v(m_v−1) / N(N−1) from its value
+    histogram — for the length band, agreeing pairs come from a BAND
+    JOIN OVER THE LENGTH HISTOGRAM (distinct-lengths² work, never
+    docs²) minus the N self-pairs; the three-factor product is one
+    float expression per output row (≤8 rows). Scale: candidate-bounded
+    pattern counts + three value-histogram aggregates; the band join
+    touches an aggregated frame whose size is the length domain."""
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    attrs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    ).persist()
+    a = attrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_tok").alias("tok_a"),
+    )
+    b = attrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_tok").alias("tok_b"),
+    )
+    pat = (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.when(F.col("lang_a") == F.col("lang_b"), 1)
+            .otherwise(0)
+            .alias("lang_agree"),
+            F.when(F.col("src_a") == F.col("src_b"), 1)
+            .otherwise(0)
+            .alias("source_agree"),
+            F.when(
+                F.abs(F.col("tok_a") - F.col("tok_b")) <= FS_LEN_TOL, 1
+            )
+            .otherwise(0)
+            .alias("len_agree"),
+        )
+    )
+    n_all = attrs.agg(F.count("*").alias("n"))
+    u_lang = (
+        attrs.groupBy("lang")
+        .agg(F.count("*").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("lang2"))
+    )
+    u_source = (
+        attrs.groupBy("source")
+        .agg(F.count("*").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("src2"))
+    )
+    lens = attrs.groupBy("n_tok").agg(F.count("*").alias("m"))
+    la = lens.select(F.col("n_tok").alias("ta"), F.col("m").alias("ma"))
+    lb = lens.select(F.col("n_tok").alias("tb"), F.col("m").alias("mb"))
+    u_len = (
+        la.join(
+            F.broadcast(lb),
+            (F.col("tb") >= F.col("ta") - FS_LEN_TOL)
+            & (F.col("tb") <= F.col("ta") + FS_LEN_TOL),
+        )
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("raw"))
+        .crossJoin(n_all.select(F.col("n").alias("n_sub")))
+        .select((F.col("raw") - F.col("n_sub")).alias("len2"))
+    )
+    counts = pat.groupBy("lang_agree", "source_agree", "len_agree").agg(
+        F.count("*").alias("n_pairs")
+    )
+    scalars = (
+        n_all.crossJoin(u_lang).crossJoin(u_source).crossJoin(u_len)
+    )
+    out = counts.crossJoin(F.broadcast(scalars))
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double")
+
+    def prob(flag: str, num: str):
+        base = F.col(num).cast("double") / denom
+        return F.when(F.col(flag) == 1, base).otherwise(1 - base)
+
+    u_prob = (
+        prob("lang_agree", "lang2")
+        * prob("source_agree", "src2")
+        * prob("len_agree", "len2")
+    )
+    return out.select(
+        "lang_agree",
+        "source_agree",
+        "len_agree",
+        "n_pairs",
+        F.round(u_prob, 6).alias("u_prob"),
+    ).orderBy("lang_agree", "source_agree", "len_agree")

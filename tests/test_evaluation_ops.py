@@ -430,3 +430,24 @@ def test_minhash_calibration_consistency(spark, sf_dir):
             r.micro_avg_exact - round(r.sum_inter / r.sum_union, 6)
         ) < 1e-9
         assert r.n_pairs > 0
+
+
+def test_fellegi_sunter_u_probs_form_distribution(spark, sf_dir):
+    """The 8 pattern u-probabilities under independence must sum to 1;
+    pair counts must total the candidate-set size."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        fellegi_sunter_patterns,
+        minhash_lsh_pairs,
+    )
+
+    rows = fellegi_sunter_patterns(spark, sf_dir).collect()
+    assert len(rows) <= 8
+    # observed patterns carry the full candidate mass
+    assert sum(r.n_pairs for r in rows) == minhash_lsh_pairs(
+        spark, sf_dir
+    ).count()
+    # recompute the full 8-pattern distribution sum from any row's
+    # factors is not possible from the output alone, but the OBSERVED
+    # patterns' u_probs must each be a valid probability
+    for r in rows:
+        assert 0.0 <= r.u_prob <= 1.0
