@@ -151,10 +151,14 @@ PRIORITY: tuple[str, ...] = (
     "knn_bruteforce_cosine",
     "hybrid_rrf_fusion_topk",
     "embedding_int8_quantize",
-    # sketches (count-min / bloom / HLL)
-    "countmin_heavy_hitters",
+    # sketches (bloom / HLL; r4 sixth rotation: countmin_heavy_hitters —
+    # r3-green, formulation unchanged, sketch keeps TWO window reps —
+    # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
+    # the smoke family-coverage invariant)
     "bloom_semijoin_reduction",
     "hll_mergeable_groups",
+    # XML interchange (native Spark 4 source, first-time r4)
+    "xml_roundtrip_stats",
     # zero-I/O in-plan generator (dbgen-style source)
     "synthetic_lineitem_pricing",
     # multimodal image near-dup (pHash)
@@ -294,6 +298,7 @@ def _load_all() -> None:
     from .sources import csv_io as _csv_io  # noqa: F401
     from .sources import jsonl as _jsonl  # noqa: F401
     from .sources import orc_io as _orc_io  # noqa: F401
+    from .sources import xml_io as _xml_io  # noqa: F401
     from .sources import generator as _generator  # noqa: F401
     from .sources import textdir as _textdir  # noqa: F401
     from .sources import maintenance as _maintenance  # noqa: F401

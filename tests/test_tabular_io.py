@@ -206,3 +206,37 @@ def test_textdir_roundtrip_identity(spark, sf_dir):
     orig = {(r.doc_id, r.lang, r.text) for r in docs.select("doc_id", "lang", "text").collect()}
     got = {(r.doc_id, r.lang, r.text) for r in back.collect()}
     assert got == orig
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    """Markup-significant characters in field text must survive the
+    XML write→read cycle byte-for-byte (entity escaping round trip)."""
+    from pyspark.sql import types as T
+
+    from braintumor_data_pipeline_spark.sources.xml_io import (
+        read_xml,
+        write_xml,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, 'a < b & "c" > d', "en", "s<&>", 15),
+        (2, "plain", "fr", "s2", 5),
+        (3, "apos ' and tag </doc>", "de", "s3", 21),
+        (4, None, "es", "s4", 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path, n_shards=2)
+    back = sorted(
+        [tuple(r) for r in read_xml(spark, path, schema).collect()]
+    )
+    assert back == sorted(rows)
