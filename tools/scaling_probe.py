@@ -256,12 +256,64 @@ def _session_windows_shape(spark, s: int):
     )
 
 
+def _repeated_spans_shape(spark, s: int):
+    """repeated_span_detection: window-hash grain → ≥2-docs screen →
+    semi-join back → per-doc island merge (5k·s docs × 60 token
+    windows; ~20% of window hashes shared across docs so spans form).
+    Mirrors the registered query's plan: one content-keyed groupBy
+    (never pair enumeration) + doc-partitioned windows."""
+    from pyspark.sql import Window as W
+
+    docs = 5_000 * s
+    win_per_doc = 60
+    shared = (docs * win_per_doc) // 5
+    t = spark.range(docs * win_per_doc).select(
+        (F.col("id") / win_per_doc).cast("long").alias("doc_id"),
+        (F.col("id") % win_per_doc).alias("start_pos"),
+        ((F.col("id") % win_per_doc) + 7).alias("end_pos"),
+        _mix(F.col("id") % shared, 211).alias("h"),
+    )
+    t = t.persist()
+    rep = (
+        t.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = t.join(rep, "h", "left_semi")
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("start_pos")
+            > F.coalesce(F.max("end_pos").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("is_new").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island_id")
+        .agg((F.max("end_pos") - F.min("start_pos") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"), F.sum("span_len").alias("rep_toks"))
+    )
+
+
 HEADLINE_SHAPES = {
     "star_join": _star_join_shape,
     "minhash_groups": _minhash_groups_shape,
     "ngram_pairs": _ngram_pairs_shape,
     "region_grow": _region_grow_shape,
     "session_windows": _session_windows_shape,
+    "repeated_spans": _repeated_spans_shape,
 }
 
 
