@@ -537,3 +537,173 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(
         F.count("*").alias("core_degree")
     ).select(F.col("src").alias("doc_id"), "core_degree")
+
+
+@register(
+    "local_clustering_coefficient",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    tri_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS v
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+      ) GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs
+      ) GROUP BY v
+    )
+    SELECT d.v AS doc_id, d.deg,
+           coalesce(t.n_tri, 0) AS n_triangles,
+           round(CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tri_v t ON t.v = d.v
+    WHERE d.deg >= 2
+    ORDER BY doc_id
+    """,
+    tags=("graph", "join", "dedup", "agg"),
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the LSH candidate
+    graph — the node-grain refinement of ``triangle_stats``: how
+    clique-like each document's near-dup neighborhood is (LCC ≈ 1 →
+    the node sits in a tight dup cluster; LCC ≈ 0 → it's a hub of
+    unrelated collisions, the classic over-broad-banding symptom).
+    Each oriented triangle (a<b<c) is found once at its lowest vertex,
+    then EXPLODED to credit all three corners — per-node counts without
+    re-running the two-hop join per corner. LCC = 2·tri_v/(deg·(deg−1))
+    is one exact int/int float division per row; nodes of degree < 2
+    (undefined denominator) are excluded on both engines."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tris = (
+        e1.join(
+            e2,
+            (F.col("e2.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e2.doc_b") > F.col("e1.doc_b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_b"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.col("e1.doc_a"), F.col("e1.doc_b"), F.col("e2.doc_b")
+                )
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.join(tris, "v", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("v").alias("doc_id"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs
+      ) GROUP BY v
+    ),
+    dedges AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM pairs p
+      JOIN deg da ON da.v = p.doc_a
+      JOIN deg db ON db.v = p.doc_b
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM pairs p
+      JOIN deg da ON da.v = p.doc_a
+      JOIN deg db ON db.v = p.doc_b
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dx) AS DECIMAL(38,0))
+               AS sxx
+      FROM dedges
+    )
+    SELECT m2 // 2 AS n_edges,
+           round((CAST(sxy AS DOUBLE) / m2
+                  - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+                 / (CAST(sxx AS DOUBLE) / m2
+                  - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)),
+                 6) AS assortativity
+    FROM s
+    """,
+    tags=("graph", "stats", "dedup", "agg"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the LSH candidate graph — do
+    high-degree documents collide with other high-degree documents
+    (r > 0, the banding-hotspot signature) or with low-degree ones
+    (r < 0, hub-and-spoke dup clusters)? Pearson correlation of
+    endpoint degrees over the SYMMETRIZED directed edge list: the
+    moment sums Σdx, Σdx·dy, Σdx² are exact integers (DECIMAL(38,0)
+    for the products — degree² · edges overflows a LONG on a 100 TB
+    graph), and the whole r is one float expression on the single
+    output row. Two broadcast-degree joins + one partial-aggregable
+    reduction; nothing touches the graph twice."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("degb"))
+    joined = pairs.join(F.broadcast(da), "doc_a").join(
+        F.broadcast(db), "doc_b"
+    )
+    dedges = joined.select(
+        F.col("dega").alias("dx"), F.col("degb").alias("dy")
+    ).unionAll(
+        joined.select(F.col("degb").alias("dx"), F.col("dega").alias("dy"))
+    )
+    dxd = F.col("dx").cast("decimal(38,0)")
+    s = dedges.agg(
+        F.count("*").alias("m2"),
+        F.sum("dx").alias("sx"),
+        F.sum(dxd * F.col("dy")).alias("sxy"),
+        F.sum(dxd * F.col("dx")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("m2")
+    return s.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        F.round(
+            (F.col("sxy").cast("double") / F.col("m2") - mean * mean)
+            / (F.col("sxx").cast("double") / F.col("m2") - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )

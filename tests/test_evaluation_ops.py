@@ -451,3 +451,30 @@ def test_fellegi_sunter_u_probs_form_distribution(spark, sf_dir):
     # patterns' u_probs must each be a valid probability
     for r in rows:
         assert 0.0 <= r.u_prob <= 1.0
+
+
+def test_lcc_consistent_with_global_triangles(spark, sf_dir):
+    """Σ per-node triangle credits = 3 × global triangle count; every
+    LCC in [0,1]."""
+    from braintumor_data_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+        triangle_stats,
+    )
+
+    rows = local_clustering_coefficient(spark, sf_dir).collect()
+    glob = triangle_stats(spark, sf_dir).collect()[0]
+    assert sum(r.n_triangles for r in rows) == 3 * glob.n_triangles
+    for r in rows:
+        assert 0.0 <= r.lcc <= 1.0
+        assert r.deg >= 2
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    row = degree_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_edges > 0
+    if row.assortativity is not None:
+        assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
