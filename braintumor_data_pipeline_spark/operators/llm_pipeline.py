@@ -1383,3 +1383,103 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "t_closeness_report",
+    oracle="""
+    WITH base AS (
+      SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket, source
+      FROM documents
+    ),
+    cls AS (
+      SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_cls
+      FROM base GROUP BY lang, len_bucket
+    ),
+    gsrc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY source
+    ),
+    n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    cells AS (
+      SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY lang, len_bucket, source
+    ),
+    grid AS (
+      SELECT cls.lang, cls.len_bucket, cls.n_cls, gsrc.source, gsrc.g,
+             coalesce(cells.c, 0) AS c
+      FROM cls CROSS JOIN gsrc
+      LEFT JOIN cells ON cells.lang = cls.lang
+                     AND cells.len_bucket = cls.len_bucket
+                     AND cells.source = gsrc.source
+    )
+    SELECT lang, len_bucket,
+           any_value(n_cls) AS n_docs,
+           CAST(sum(abs(c * n.n - g * n_cls)) AS BIGINT) AS tvd_num,
+           round(CAST(sum(abs(c * n.n - g * n_cls)) AS DOUBLE)
+                 / (2 * any_value(n_cls) * n.n), 6) AS t_closeness
+    FROM grid, n_all n
+    GROUP BY lang, len_bucket, n.n
+    ORDER BY lang, len_bucket
+    """,
+    tags=("privacy", "agg", "quality"),
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the release gate one tier above
+    ``k_anonymity_report``: within each quasi-identifier equivalence
+    class (lang × 100-char length bucket, the same QI grid), how far
+    does the SENSITIVE attribute's distribution (source) drift from
+    the corpus-wide distribution? Distance is the categorical EMD
+    (total variation): t = ½ Σ_v |p_cls(v) − p_global(v)|, computed as
+    the exact integer numerator Σ|c_v·N − g_v·n_cls| over a grid that
+    CROSSES classes with the full sensitive domain (absent cells count
+    as zero — dropping them understates the distance, the classic
+    implementation bug) and divided once per output row. A class with
+    t near 1 leaks its members' source even if it is k-anonymous.
+    Shuffle profile: three partial-aggregable groupBys over the same
+    scan + a broadcast of the sensitive-domain marginals."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.expr("n_chars div 100").cast("long").alias("len_bucket"),
+        "source",
+    ).persist()
+    cls = base.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("n_cls")
+    )
+    glob = base.groupBy("source").agg(F.count("*").alias("g"))
+    n_all = base.agg(F.count("*").alias("n"))
+    cells = base.groupBy("lang", "len_bucket", "source").agg(
+        F.count("*").alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cells, ["lang", "len_bucket", "source"], "left")
+        .select(
+            "lang",
+            "len_bucket",
+            "n_cls",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    dev = F.abs(F.col("c") * F.col("n") - F.col("g") * F.col("n_cls"))
+    return (
+        grid.groupBy("lang", "len_bucket", "n")
+        .agg(
+            F.any_value("n_cls").alias("n_docs"),
+            F.sum(dev).alias("tvd_num"),
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "n_docs",
+            "tvd_num",
+            F.round(
+                F.col("tvd_num").cast("double")
+                / (2 * F.col("n_docs") * F.col("n")),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy("lang", "len_bucket")
+    )

@@ -478,3 +478,19 @@ def test_assortativity_bounds(spark, sf_dir):
     assert row.n_edges > 0
     if row.assortativity is not None:
         assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+def test_t_closeness_bounds_and_zero_grid_cells(spark, sf_dir):
+    """t ∈ [0,1); classes covering the whole corpus would score 0;
+    weighted average of class distances over a partition is bounded by
+    the max class distance."""
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        t_closeness_report,
+    )
+
+    rows = t_closeness_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_closeness < 1.0
+        assert r.tvd_num >= 0
+        assert r.n_docs >= 1
