@@ -433,3 +433,149 @@ def backfill_day_idempotent(
         .partitionBy(day_col)
         .parquet(dst)
     )
+
+
+def _register_partition_health_queries():
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+    from .fixtures import load_table as _t
+
+    @register(
+        "partition_freshness_skew_report",
+        # Recomputes the day grain from raw ts — partition health is a
+        # pure function of the data, so the oracle needs no layout.
+        oracle="""
+        WITH per_day AS (
+          SELECT CAST(ts AS DATE) AS event_date,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 epoch_us(max(ts)) AS max_ts_us
+          FROM events GROUP BY 1
+        ),
+        med AS (
+          SELECT n_rows AS median_rows
+          FROM (SELECT n_rows,
+                       row_number() OVER (ORDER BY n_rows, event_date)
+                         AS rn,
+                       count(*) OVER () AS n
+                FROM per_day)
+          WHERE rn = (n + 1) // 2
+        )
+        SELECT event_date, n_rows,
+               CAST((epoch_us(CAST(event_date + 1 AS TIMESTAMP)) - 1
+                     - max_ts_us) // 1000000 AS BIGINT)
+                 AS freshness_lag_s,
+               round(CAST(n_rows AS DOUBLE) / med.median_rows, 6)
+                 AS size_vs_median
+        FROM per_day, med
+        ORDER BY event_date
+        """,
+        tags=("layout", "ops", "quality", "agg"),
+    )
+    def partition_freshness_skew_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Partition health report over the day grain — the two numbers
+        a 100 TB table owner watches per partition: FRESHNESS LAG (gap
+        between the partition's nominal end and its newest row — a
+        partition whose lag stays large was backfilled or is
+        short-landing) and SIZE SKEW vs the median partition (the
+        compaction/salting trigger; a 10× partition is tomorrow's
+        straggler task). The median is an exact order statistic at rank
+        ⌈n/2⌉ over the per-day aggregated frame (the discrete-rank
+        recipe from SCALE.md — never float quantiles), and the lag is
+        integer seconds from microsecond timestamps. One groupBy on the
+        partition key + a window over one-row-per-day."""
+        e = _t(spark, sf_dir, "events")
+        per_day = e.groupBy(F.to_date("ts").alias("event_date")).agg(
+            F.count("*").alias("n_rows"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        )
+        w_rank = Window.orderBy("n_rows", "event_date")
+        med = (
+            per_day.select(
+                "n_rows",
+                F.row_number().over(w_rank).alias("rn"),
+                F.count("*").over(Window.partitionBy()).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col("n_rows").alias("median_rows"))
+        )
+        day_end_us = F.unix_micros(
+            F.date_add(F.col("event_date"), 1).cast("timestamp")
+        ) - 1
+        return (
+            per_day.crossJoin(F.broadcast(med))
+            .select(
+                "event_date",
+                "n_rows",
+                F.expr(
+                    "(unix_micros(cast(date_add(event_date, 1) as timestamp))"
+                    " - 1 - max_ts_us) div 1000000"
+                )
+                .cast("long")
+                .alias("freshness_lag_s"),
+                F.round(
+                    F.col("n_rows").cast("double") / F.col("median_rows"), 6
+                ).alias("size_vs_median"),
+            )
+            .orderBy("event_date")
+        )
+
+    @register(
+        "partition_fingerprints_daily",
+        oracle="""
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(('0x' || substr(md5(
+                      CAST(event_id AS VARCHAR) || '|'
+                      || CAST(user_id AS VARCHAR) || '|' || event_type
+                    ), 1, 10))::BIGINT) AS BIGINT) AS fingerprint
+        FROM events
+        GROUP BY 1
+        ORDER BY event_date
+        """,
+        tags=("layout", "ops", "integrity", "agg"),
+    )
+    def partition_fingerprints_daily(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-partition order-insensitive content fingerprints — the
+        incremental-verification primitive: after a backfill, rewrite,
+        or engine migration, comparing per-day (count, Σ row-hash)
+        pinpoints exactly WHICH partitions changed without re-reading
+        unchanged ones (the per-table fingerprint says only that
+        something did). Additive 40-bit md5 row hashes are
+        order/partitioning-independent and mergeable, so fingerprints
+        of sub-splits sum to the partition fingerprint. One
+        partial-aggregable groupBy on the partition key."""
+        e = _t(spark, sf_dir, "events")
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("event_type"),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            e.groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(row_h).alias("fingerprint"),
+            )
+            .orderBy("event_date")
+        )
+
+
+_register_partition_health_queries()

@@ -494,3 +494,28 @@ def test_t_closeness_bounds_and_zero_grid_cells(spark, sf_dir):
         assert 0.0 <= r.t_closeness < 1.0
         assert r.tvd_num >= 0
         assert r.n_docs >= 1
+
+
+def test_partition_health_invariants(spark, sf_dir):
+    """Median-relative sizes bracket 1.0 somewhere; freshness lag is
+    within the day; fingerprints are mergeable (sum over days equals
+    the whole-table sum)."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.sources.maintenance import (  # noqa: F401
+        _register_partition_health_queries,
+    )
+    from braintumor_data_pipeline_spark import registry
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    qs = registry.all_queries()
+    fresh = qs["partition_freshness_skew_report"].fn(spark, sf_dir).collect()
+    assert fresh
+    assert any(r.size_vs_median >= 1.0 for r in fresh)
+    assert any(r.size_vs_median <= 1.0 for r in fresh)
+    for r in fresh:
+        assert 0 <= r.freshness_lag_s < 86_400
+
+    fp = qs["partition_fingerprints_daily"].fn(spark, sf_dir).collect()
+    total_rows = sum(r.n_rows for r in fp)
+    assert total_rows == load_table(spark, sf_dir, "events").count()
