@@ -1422,3 +1422,74 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(u_prob, 6).alias("u_prob"),
     ).orderBy("lang_agree", "source_agree", "len_agree")
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    per_doc AS (
+      SELECT doc_id,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS sig_hash
+      FROM sigs GROUP BY doc_id
+    ),
+    clusters AS (
+      SELECT sig_hash, CAST(count(*) AS BIGINT) AS n_members
+      FROM per_doc GROUP BY sig_hash
+    ),
+    tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_docs FROM clusters)
+    SELECT n_members AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * n_members AS BIGINT) AS n_docs_covered,
+           round(CAST(count(*) * n_members AS DOUBLE) / t.n_docs, 6)
+             AS corpus_share
+    FROM clusters, tot t
+    GROUP BY n_members, t.n_docs
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "minhash", "evaluation", "agg"),
+)
+def dup_cluster_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the first chart in every
+    dedup report: how many signature clusters have 1, 2, 3… members
+    and what corpus share each size class covers (the dedup savings
+    estimate is 1 − Σ clusters/Σ docs, readable straight off this
+    table). Two stacked partial-aggregable groupBys (doc → signature →
+    size class); the share divides exact BIGINTs per size row."""
+    sigs = minhash_signature_df(spark, sf_dir)
+    per_doc = sigs.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sig_hash")
+    )
+    clusters = per_doc.groupBy("sig_hash").agg(
+        F.count("*").alias("n_members")
+    )
+    tot = clusters.agg(F.sum("n_members").alias("n_docs"))
+    return (
+        clusters.groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias(
+                "n_docs_covered"
+            ),
+            F.round(
+                (F.col("n_clusters") * F.col("cluster_size")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -4425,3 +4425,68 @@ def churn_labels_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle="""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœ]') THEN 'fr'
+               WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+               WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+               WHEN contains(concat(' ', text, ' '), ' the ') THEN 'en'
+               ELSE 'und'
+             END AS lang_pred
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    ),
+    rows_ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n
+              FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           round(CAST(c.n AS DOUBLE) / r.row_n, 6) AS row_share
+    FROM cells c JOIN rows_ r ON r.lang = c.lang
+    ORDER BY c.lang, c.lang_pred
+    """,
+    tags=("experiment", "evaluation", "text", "agg"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full confusion matrix of the heuristic language classifier at
+    CELL grain — the table behind ``cohens_kappa_langid``'s single
+    statistic: each (true lang, predicted lang) cell with its count
+    and row-normalized share (per-class recall on the diagonal). One
+    contingency groupBy + a broadcast row-marginal join; the share is
+    one exact int/int division per cell."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿœ]"), "fr")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .when(padded.contains(" the "), "en")
+        .otherwise("und")
+    )
+    cells = (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    ).persist()
+    rows_ = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(rows_), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -519,3 +519,32 @@ def test_partition_health_invariants(spark, sf_dir):
     fp = qs["partition_fingerprints_daily"].fn(spark, sf_dir).collect()
     total_rows = sum(r.n_rows for r in fp)
     assert total_rows == load_table(spark, sf_dir, "events").count()
+
+
+def test_confusion_matrix_row_shares(spark, sf_dir):
+    from collections import defaultdict
+
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        langid_confusion_matrix,
+    )
+
+    rows = langid_confusion_matrix(spark, sf_dir).collect()
+    assert rows
+    per_lang = defaultdict(float)
+    for r in rows:
+        per_lang[r.lang] += r.row_share
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_cluster_size_distribution_covers_corpus(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        dup_cluster_size_distribution,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = dup_cluster_size_distribution(spark, sf_dir).collect()
+    assert rows
+    covered = sum(r.n_docs_covered for r in rows)
+    assert covered == load_table(spark, sf_dir, "documents").count()
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
