@@ -118,3 +118,93 @@ def interval_overlap_attribution(
         F.coalesce("n_views", F.lit(0)).alias("n_views"),
         F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"),
     )
+
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH win AS (
+      SELECT CAST(ts AS DATE) AS d,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT d, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY d ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM win
+    ),
+    numbered AS (
+      SELECT d, s, e,
+             sum(is_new) OVER (PARTITION BY d ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT d, span_id, max(e) - min(s) AS len_us
+      FROM numbered GROUP BY d, span_id
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_merged_spans,
+           CAST(sum(len_us) // 1000000 AS BIGINT) AS covered_s
+    FROM spans
+    GROUP BY d
+    ORDER BY d
+    """,
+    tags=("intervals", "window", "agg"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (coverage) — the measure-of-a-union-of-intervals
+    operator that complements the overlap JOIN: each purchase opens a
+    10-minute incident window; per day, overlapping windows merge into
+    maximal spans (gaps-and-islands over interval endpoints, the same
+    machinery as ``repeated_span_detection`` in the time domain) and
+    the output is merged-span count + total covered seconds — the
+    "how much of the day was at least one incident active" number
+    (alert fatigue, SLA coverage, maintenance-window math). Windows
+    are day-partitioned; all arithmetic integer microseconds with one
+    integer division to seconds. Tie-break (s, event_id) keeps the
+    island flags total-ordered."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    win = e.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600000000).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        W.partitionBy("d")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("d")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = win.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("span_id", F.sum("is_new").over(w_run))
+    spans = numbered.groupBy("d", "span_id").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return (
+        spans.groupBy("d")
+        .agg(
+            F.count("*").alias("n_merged_spans"),
+            F.expr("sum(len_us) div 1000000").cast("long").alias("covered_s"),
+        )
+        .orderBy("d")
+    )

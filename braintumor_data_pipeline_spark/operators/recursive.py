@@ -144,3 +144,45 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").cache()
     ev.createOrReplaceTempView("events")
     return spark.sql(_HOLT_SQL)
+
+
+_BOM_SQL = """
+    WITH RECURSIVE anc(p_partkey, cents, anc) AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT),
+             CAST(floor(p_partkey / 10.0) AS BIGINT)
+      FROM part WHERE p_partkey >= 10
+      UNION ALL
+      SELECT a.p_partkey, a.cents, CAST(floor(a.anc / 10.0) AS BIGINT)
+      FROM anc a WHERE a.anc >= 10
+    )
+    SELECT anc AS ancestor,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
+    FROM anc
+    GROUP BY anc
+    ORDER BY subtree_cents DESC, ancestor
+    LIMIT 50
+"""
+
+
+@register(
+    "rcte_hierarchy_rollup",
+    oracle=_BOM_SQL,
+    tags=("recursive", "iterative", "hierarchy", "agg"),
+)
+def rcte_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials-style TRANSITIVE hierarchy rollup via Spark
+    4's native WITH RECURSIVE — the second genuinely recursive shape
+    next to ``rcte_clamped_balance``: parts form a synthetic decimal
+    containment tree (parent = ⌊key/10⌋), each part climbs its whole
+    ancestor chain (depth ≈ log₁₀ N — recursion rounds are the TREE
+    DEPTH, never the row count), and every proper ancestor aggregates
+    its full subtree's descendant count and exact-cents value. Like
+    the other RCTE, the oracle IS this query's byte-identical SQL —
+    both engines execute the same recursion (the division is spelled
+    floor(x/10.0), the one integer-division form both dialects parse
+    identically; values < 2²⁶ keep the double exact). Top-50 with a
+    total-order tie-break."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL)

@@ -548,3 +548,50 @@ def test_cluster_size_distribution_covers_corpus(spark, sf_dir):
     covered = sum(r.n_docs_covered for r in rows)
     assert covered == load_table(spark, sf_dir, "documents").count()
     assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
+
+
+def test_rcte_hierarchy_rollup_subtree_containment(spark, sf_dir):
+    """Every ancestor's descendant count is at least its direct
+    children count; deeper ancestors aggregate supersets."""
+    from braintumor_data_pipeline_spark.operators.recursive import (
+        rcte_hierarchy_rollup,
+    )
+
+    rows = rcte_hierarchy_rollup(spark, sf_dir).collect()
+    assert rows
+    by_anc = {r.ancestor: r for r in rows}
+    for r in rows:
+        assert r.n_descendants >= 1
+        assert r.subtree_cents > 0
+        # parent-of-parent (if present) must cover at least as many
+        parent = r.ancestor // 10
+        if parent in by_anc and parent != r.ancestor:
+            assert by_anc[parent].n_descendants >= r.n_descendants
+
+
+def test_interval_union_coverage_bounds(spark, sf_dir):
+    """Coverage ≤ window count × window length and ≤ a full day + the
+    10-min spill past midnight; merged spans ≤ windows."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.intervals import (
+        interval_union_coverage,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = interval_union_coverage(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    per_day = {
+        r.d: r.n
+        for r in e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n_windows = per_day[r.d]
+        assert 1 <= r.n_merged_spans <= n_windows
+        assert r.covered_s <= n_windows * 600
+        assert r.covered_s <= 86_400 + 600
+        assert r.covered_s >= 600  # at least one full window
