@@ -2569,3 +2569,92 @@ def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * {NCC_SCALE})
+                           AS BIGINT)
+                      * CAST(round(CAST(x AS DOUBLE) * {NCC_SCALE})
+                             AS BIGINT)) AS BIGINT) AS norm2_fix
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id, label
+    ),
+    ranked AS (
+      SELECT vec_id, label, norm2_fix,
+             row_number() OVER (ORDER BY norm2_fix, vec_id) AS rn,
+             count(*) OVER () AS n
+      FROM q
+    ),
+    p99 AS (
+      SELECT norm2_fix AS p99_norm2 FROM ranked
+      WHERE rn = (99 * n + 99) // 100
+    )
+    SELECT r.vec_id, r.label, r.norm2_fix,
+           round(sqrt(CAST(r.norm2_fix AS DOUBLE)) / {NCC_SCALE}, 6)
+             AS norm,
+           CAST(r.norm2_fix > p.p99_norm2 AS INTEGER) AS is_outlier
+    FROM ranked r, p99 p
+    WHERE r.norm2_fix > p.p99_norm2 OR r.rn <= 5
+    ORDER BY r.norm2_fix DESC, r.vec_id
+    """,
+    tags=("similarity", "embedding", "quality", "window"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm screening — the vector-quality gate before any
+    similarity index build: exploding norms distort every dot-product
+    ranking and dead (near-zero) vectors poison centroids, so the
+    report surfaces both tails — every vector above the exact-p99
+    norm² plus the 5 smallest. Norm² is the exact BIGINT Σ x_fix²
+    over 2¹²-quantized dims; the p99 threshold is a DISCRETE order
+    statistic at rank ⌈0.99·n⌉ (the SCALE.md rank recipe — no float
+    quantiles), found by a window over the per-vector aggregated
+    grain. The only floats are the per-row sqrt rendering and nothing
+    crosses a sum."""
+    vec = _t(spark, sf_dir, "embeddings")
+    q = (
+        vec.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.round(F.col("x").cast("double") * NCC_SCALE).cast("long")
+            ).alias("xf"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("xf") * F.col("xf")).alias("norm2_fix"))
+    )
+    w_rank = Window.orderBy("norm2_fix", "vec_id")
+    ranked = q.select(
+        "vec_id",
+        "label",
+        "norm2_fix",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    p99 = ranked.filter(
+        F.col("rn") == F.expr("(99 * n + 99) div 100")
+    ).select(F.col("norm2_fix").alias("p99_norm2"))
+    return (
+        ranked.crossJoin(F.broadcast(p99))
+        .filter(
+            (F.col("norm2_fix") > F.col("p99_norm2")) | (F.col("rn") <= 5)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "norm2_fix",
+            F.round(
+                F.sqrt(F.col("norm2_fix").cast("double")) / NCC_SCALE, 6
+            ).alias("norm"),
+            (F.col("norm2_fix") > F.col("p99_norm2"))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy(F.col("norm2_fix").desc(), "vec_id")
+    )

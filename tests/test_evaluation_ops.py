@@ -595,3 +595,22 @@ def test_interval_union_coverage_bounds(spark, sf_dir):
         assert r.covered_s <= n_windows * 600
         assert r.covered_s <= 86_400 + 600
         assert r.covered_s >= 600  # at least one full window
+
+
+def test_embedding_norm_outliers_two_tails(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    rows = embedding_norm_outliers(spark, sf_dir).collect()
+    assert rows
+    outliers = [r for r in rows if r.is_outlier == 1]
+    small = [r for r in rows if r.is_outlier == 0]
+    assert len(small) == 5  # the 5 smallest norms always reported
+    for r in rows:
+        assert r.norm >= 0.0
+        assert abs(r.norm - round((r.norm2_fix ** 0.5) / 4096, 6)) < 1e-9
+    if outliers:
+        assert min(o.norm2_fix for o in outliers) > max(
+            s.norm2_fix for s in small
+        )
