@@ -1387,23 +1387,35 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = attrs.groupBy("n_tok").agg(F.count("*").alias("m"))
     la = lens.select(F.col("n_tok").alias("ta"), F.col("m").alias("ma"))
     lb = lens.select(F.col("n_tok").alias("tb"), F.col("m").alias("mb"))
-    u_len = (
-        la.join(
-            F.broadcast(lb),
-            (F.col("tb") >= F.col("ta") - FS_LEN_TOL)
-            & (F.col("tb") <= F.col("ta") + FS_LEN_TOL),
-        )
-        .agg(F.sum(F.col("ma") * F.col("mb")).alias("raw"))
-        .crossJoin(n_all.select(F.col("n").alias("n_sub")))
-        .select((F.col("raw") - F.col("n_sub")).alias("len2"))
+    # raw ordered agreeing length pairs (self-pairs included; the "− n"
+    # correction happens in the final projection so every broadcast
+    # side below stays a plain GROUPLESS aggregate — the scalar-
+    # subquery shape the plan audit certifies structurally). The ±TOL
+    # band is an EQUI join on (length + offset) — the offset domain
+    # explodes as a literal array, so no nested-loop range join ever
+    # appears even over the tiny histogram frame.
+    lb_exp = lb.select(
+        "tb",
+        "mb",
+        F.explode(
+            F.array(
+                *[F.lit(o) for o in range(-FS_LEN_TOL, FS_LEN_TOL + 1)]
+            )
+        ).alias("off"),
+    ).select((F.col("tb") + F.col("off")).alias("ta"), "mb")
+    u_len_raw = la.join(F.broadcast(lb_exp), "ta").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("len_raw")
     )
     counts = pat.groupBy("lang_agree", "source_agree", "len_agree").agg(
         F.count("*").alias("n_pairs")
     )
-    scalars = (
-        n_all.crossJoin(u_lang).crossJoin(u_source).crossJoin(u_len)
+    out = (
+        counts.crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(u_lang))
+        .crossJoin(F.broadcast(u_source))
+        .crossJoin(F.broadcast(u_len_raw))
+        .withColumn("len2", F.col("len_raw") - F.col("n"))
     )
-    out = counts.crossJoin(F.broadcast(scalars))
     denom = (F.col("n") * (F.col("n") - 1)).cast("double")
 
     def prob(flag: str, num: str):

@@ -1392,10 +1392,6 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket, source
       FROM documents
     ),
-    cls AS (
-      SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_cls
-      FROM base GROUP BY lang, len_bucket
-    ),
     gsrc AS (
       SELECT source, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY source
     ),
@@ -1404,22 +1400,32 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS c
       FROM base GROUP BY lang, len_bucket, source
     ),
-    grid AS (
-      SELECT cls.lang, cls.len_bucket, cls.n_cls, gsrc.source, gsrc.g,
-             coalesce(cells.c, 0) AS c
-      FROM cls CROSS JOIN gsrc
-      LEFT JOIN cells ON cells.lang = cls.lang
-                     AND cells.len_bucket = cls.len_bucket
-                     AND cells.source = gsrc.source
+    cls AS (
+      SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS n_cls
+      FROM cells GROUP BY lang, len_bucket
+    ),
+    -- PRESENT cells only; sources absent from a class contribute
+    -- |0·N − g·n_cls| = g·n_cls, folded in analytically via the
+    -- absent-mass identity Σ_absent g = N − Σ_present g
+    per_class AS (
+      SELECT cells.lang, cells.len_bucket,
+             any_value(cls.n_cls) AS n_cls,
+             CAST(sum(abs(c * n.n - g * cls.n_cls)) AS BIGINT)
+               AS present_dev,
+             CAST(sum(g) AS BIGINT) AS present_g
+      FROM cells
+      JOIN gsrc ON gsrc.source = cells.source
+      JOIN cls ON cls.lang = cells.lang
+              AND cls.len_bucket = cells.len_bucket, n_all n
+      GROUP BY cells.lang, cells.len_bucket, n.n
     )
-    SELECT lang, len_bucket,
-           any_value(n_cls) AS n_docs,
-           CAST(sum(abs(c * n.n - g * n_cls)) AS BIGINT) AS tvd_num,
-           round(CAST(sum(abs(c * n.n - g * n_cls)) AS DOUBLE)
-                 / (2 * any_value(n_cls) * n.n), 6) AS t_closeness
-    FROM grid, n_all n
-    GROUP BY lang, len_bucket, n.n
-    ORDER BY lang, len_bucket
+    SELECT p.lang, p.len_bucket,
+           p.n_cls AS n_docs,
+           p.present_dev + (n.n - p.present_g) * p.n_cls AS tvd_num,
+           round(CAST(p.present_dev + (n.n - p.present_g) * p.n_cls
+                      AS DOUBLE) / (2 * p.n_cls * n.n), 6) AS t_closeness
+    FROM per_class p, n_all n
+    ORDER BY p.lang, p.len_bucket
     """,
     tags=("privacy", "agg", "quality"),
 )
@@ -1443,43 +1449,38 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars div 100").cast("long").alias("len_bucket"),
         "source",
     ).persist()
-    cls = base.groupBy("lang", "len_bucket").agg(
-        F.count("*").alias("n_cls")
-    )
     glob = base.groupBy("source").agg(F.count("*").alias("g"))
     n_all = base.agg(F.count("*").alias("n"))
     cells = base.groupBy("lang", "len_bucket", "source").agg(
         F.count("*").alias("c")
     )
-    grid = (
-        cls.crossJoin(F.broadcast(glob))
-        .join(cells, ["lang", "len_bucket", "source"], "left")
-        .select(
-            "lang",
-            "len_bucket",
-            "n_cls",
-            "g",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
+    cls = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("c").alias("n_cls")
+    )
+    # PRESENT cells only — sources absent from a class contribute
+    # |0·N − g·n_cls| = g·n_cls, folded in via the absent-mass
+    # identity Σ_absent g = N − Σ_present g, so there is NO
+    # class × sensitive-domain cross join anywhere in the plan
+    joined = (
+        cells.join(F.broadcast(glob), "source")
+        .join(F.broadcast(cls), ["lang", "len_bucket"])
         .crossJoin(F.broadcast(n_all))
     )
     dev = F.abs(F.col("c") * F.col("n") - F.col("g") * F.col("n_cls"))
-    return (
-        grid.groupBy("lang", "len_bucket", "n")
-        .agg(
-            F.any_value("n_cls").alias("n_docs"),
-            F.sum(dev).alias("tvd_num"),
-        )
-        .select(
-            "lang",
-            "len_bucket",
-            "n_docs",
-            "tvd_num",
-            F.round(
-                F.col("tvd_num").cast("double")
-                / (2 * F.col("n_docs") * F.col("n")),
-                6,
-            ).alias("t_closeness"),
-        )
-        .orderBy("lang", "len_bucket")
+    per_class = joined.groupBy("lang", "len_bucket", "n").agg(
+        F.any_value("n_cls").alias("n_docs"),
+        F.sum(dev).alias("present_dev"),
+        F.sum("g").alias("present_g"),
     )
+    tvd = F.col("present_dev") + (
+        F.col("n") - F.col("present_g")
+    ) * F.col("n_docs")
+    return per_class.select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        tvd.alias("tvd_num"),
+        F.round(
+            tvd.cast("double") / (2 * F.col("n_docs") * F.col("n")), 6
+        ).alias("t_closeness"),
+    ).orderBy("lang", "len_bucket")

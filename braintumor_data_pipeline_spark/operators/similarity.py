@@ -2637,9 +2637,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
-    p99 = ranked.filter(
-        F.col("rn") == F.expr("(99 * n + 99) div 100")
-    ).select(F.col("norm2_fix").alias("p99_norm2"))
+    # groupless aggregate (not a filter) so the broadcast side is the
+    # scalar-subquery shape the plan audit certifies structurally
+    p99 = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * n + 99) div 100"),
+                F.col("norm2_fix"),
+            )
+        ).alias("p99_norm2")
+    )
     return (
         ranked.crossJoin(F.broadcast(p99))
         .filter(

@@ -493,14 +493,18 @@ def _register_partition_health_queries():
             F.unix_micros(F.max("ts")).alias("max_ts_us"),
         )
         w_rank = Window.orderBy("n_rows", "event_date")
-        med = (
-            per_day.select(
-                "n_rows",
-                F.row_number().over(w_rank).alias("rn"),
-                F.count("*").over(Window.partitionBy()).alias("n"),
-            )
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select(F.col("n_rows").alias("median_rows"))
+        # groupless aggregate (not a filter) → the broadcast side is
+        # the scalar-subquery shape the plan audit certifies
+        med = per_day.select(
+            "n_rows",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        ).agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_rows")
+                )
+            ).alias("median_rows")
         )
         day_end_us = F.unix_micros(
             F.date_add(F.col("event_date"), 1).cast("timestamp")
