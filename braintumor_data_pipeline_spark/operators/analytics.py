@@ -1177,3 +1177,96 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "odate", "n_orders")
         .orderBy(F.col("price").desc())
     )
+
+
+@register(
+    "interpolated_quartiles_by_group",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    q AS (SELECT unnest([1, 2, 3]) AS quartile),
+    idx AS (
+      -- percentile_cont position: (n-1)*q/4 = lo + frac, frac dyadic
+      SELECT v.grp, v.n, q.quartile,
+             (v.n - 1) * q.quartile // 4 + 1 AS lo_rn,
+             ((v.n - 1) * q.quartile % 4) AS frac4
+      FROM (SELECT DISTINCT grp, n FROM v) v CROSS JOIN q
+    )
+    SELECT i.grp, i.quartile,
+           CAST(i.n AS BIGINT) AS n,
+           round((lo.cents
+                  + (coalesce(hi.cents, lo.cents) - lo.cents)
+                    * CAST(i.frac4 AS DOUBLE) / 4) / 100, 6) AS value
+    FROM idx i
+    JOIN v lo ON lo.grp = i.grp AND lo.rn = i.lo_rn
+    LEFT JOIN v hi ON hi.grp = i.grp AND hi.rn = i.lo_rn + 1
+    ORDER BY i.grp, i.quartile
+    """,
+    tags=("agg", "percentile", "window"),
+)
+def interpolated_quartiles_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT percentile_cont quartiles per order priority — the
+    interpolated (SQL-standard) percentile pinned cross-engine, which
+    native approx/quantile functions cannot be (engine-internal
+    sketches differ): position (n−1)·q/4 splits into an integer rank
+    and a DYADIC fraction frac/4 (exact in binary), the two straddling
+    order statistics come from rank equi-joins against the
+    row_number'd values, and the interpolation
+    lo + (hi−lo)·frac/4 is ONE float expression per output row over
+    exact cents. Group-partitioned windows only; the rank joins touch
+    ≤2 rows per (group, quartile)."""
+    o = _t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    ).persist()
+    groups = v.select("grp", "n").distinct()
+    idx = (
+        groups.select(
+            "grp",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias(
+                "quartile"
+            ),
+        )
+        .select(
+            "grp",
+            "n",
+            "quartile",
+            (F.expr("(n - 1) * quartile div 4") + 1).alias("lo_rn"),
+            F.expr("(n - 1) * quartile % 4").alias("frac4"),
+        )
+    )
+    lo = v.select("grp", F.col("rn").alias("lo_rn"), F.col("cents").alias("lo_c"))
+    hi = v.select(
+        "grp", (F.col("rn") - 1).alias("lo_rn"), F.col("cents").alias("hi_c")
+    )
+    joined = idx.join(lo, ["grp", "lo_rn"]).join(
+        hi, ["grp", "lo_rn"], "left"
+    )
+    val = (
+        F.col("lo_c")
+        + (F.coalesce(F.col("hi_c"), F.col("lo_c")) - F.col("lo_c"))
+        * F.col("frac4").cast("double")
+        / 4
+    ) / 100
+    return joined.select(
+        "grp",
+        "quartile",
+        F.col("n").cast("long").alias("n"),
+        F.round(val, 6).alias("value"),
+    ).orderBy("grp", "quartile")

@@ -614,3 +614,21 @@ def test_embedding_norm_outliers_two_tails(spark, sf_dir):
         assert min(o.norm2_fix for o in outliers) > max(
             s.norm2_fix for s in small
         )
+
+
+def test_interpolated_quartiles_ordering(spark, sf_dir):
+    """Q1 ≤ Q2 ≤ Q3 within each group, all within [min, max]."""
+    from collections import defaultdict
+
+    from braintumor_data_pipeline_spark.operators.analytics import (
+        interpolated_quartiles_by_group,
+    )
+
+    rows = interpolated_quartiles_by_group(spark, sf_dir).collect()
+    assert rows
+    per_grp = defaultdict(dict)
+    for r in rows:
+        per_grp[r.grp][r.quartile] = r.value
+    for grp, qs in per_grp.items():
+        assert set(qs) == {1, 2, 3}
+        assert qs[1] <= qs[2] <= qs[3]
