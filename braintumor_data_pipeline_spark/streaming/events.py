@@ -624,3 +624,97 @@ def events_tumbling_distinct_users(
         F.count("*").alias("n_users"),
         F.sum("n_ev").alias("n_events"),
     )
+
+
+@register(
+    "watermark_sizing_report",
+    oracle="""
+    WITH arr AS (
+      -- arrival order proxy: event_id (monotone ingest id); disorder =
+      -- how far behind the per-user running max event-time each
+      -- arrival is
+      SELECT event_type,
+             greatest(coalesce(max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               - epoch_us(ts), 0) AS disorder_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, disorder_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY disorder_us) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disordered,
+           CAST(max(CASE WHEN rn = (95 * n + 99) // 100
+                         THEN disorder_us END) // 1000000 AS BIGINT)
+             AS p95_disorder_s,
+           CAST(max(disorder_us) // 1000000 AS BIGINT) AS max_disorder_s
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "ops", "watermark", "window", "agg"),
+)
+def watermark_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from measured out-of-orderness — the number
+    every ``withWatermark`` call in this module should be derived
+    from, not guessed: per event type, how many events arrive (by
+    ingest order, proxied by event_id) BEHIND the per-user running
+    maximum event time, and the p95/max lateness in seconds. A
+    watermark at p95 drops ≤5% of late events; the gap between p95
+    and max is the tail you trade state size against. Disorder is
+    integer microseconds from a user-partitioned running-max window;
+    the p95 is the discrete rank-⌈0.95n⌉ order statistic via a
+    type-partitioned rank window (every window partitioned — nothing
+    global)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "event_type",
+        F.greatest(
+            F.coalesce(
+                F.max(F.unix_micros("ts")).over(w_run), F.lit(0)
+            )
+            - F.unix_micros("ts"),
+            F.lit(0),
+        ).alias("disorder_us"),
+    )
+    w_rank = W.partitionBy("event_type").orderBy("disorder_us")
+    w_n = W.partitionBy("event_type")
+    ranked = arr.select(
+        "event_type",
+        "disorder_us",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(
+                F.when(F.col("disorder_us") > 0, 1).otherwise(0)
+            ).alias("n_disordered"),
+            F.expr(
+                "max(CASE WHEN rn = (95 * n + 99) div 100"
+                " THEN disorder_us END) div 1000000"
+            )
+            .cast("long")
+            .alias("p95_disorder_s"),
+            F.expr("max(disorder_us) div 1000000")
+            .cast("long")
+            .alias("max_disorder_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -632,3 +632,21 @@ def test_interpolated_quartiles_ordering(spark, sf_dir):
     for grp, qs in per_grp.items():
         assert set(qs) == {1, 2, 3}
         assert qs[1] <= qs[2] <= qs[3]
+
+
+def test_watermark_sizing_consistency(spark, sf_dir):
+    """p95 lateness ≤ max lateness; disordered count ≤ event count;
+    totals cover the events table."""
+    from braintumor_data_pipeline_spark.streaming.events import (
+        watermark_sizing_report,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    rows = watermark_sizing_report(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_events for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    for r in rows:
+        assert 0 <= r.n_disordered <= r.n_events
+        assert 0 <= r.p95_disorder_s <= r.max_disorder_s
