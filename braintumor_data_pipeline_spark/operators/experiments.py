@@ -4490,3 +4490,93 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+@register(
+    "spearman_rho_qty_price",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             -- doubled tie-averaged rank stays integral:
+             -- 2·avg_rank = 2·min_rank + (ties − 1)
+             2 * rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+               - 1 AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag,
+                                l_extendedprice)
+               - 1 AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * rx) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(ry AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0))
+               AS syy
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS spearman_rho
+    FROM s
+    ORDER BY grp
+    """,
+    tags=("experiment", "stats", "agg", "window"),
+)
+def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation (quantity vs extended price per
+    return flag) — the robust sibling of the Pearson corr in
+    ``agg_statistics``, and not a built-in on either engine: both
+    variables convert to DOUBLED tie-averaged ranks (2·avg_rank =
+    2·min_rank + ties − 1, the integrality trick this module's
+    Mann-Whitney uses), so all five moment sums are exact integers
+    (DECIMAL(38,0) for products — rank² ≤ 4n² per term) and rho is one
+    float expression per group. All rank windows are group-partitioned;
+    the moments are one partial-aggregable groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_qty = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_qty_t = Window.partitionBy("l_returnflag", "l_quantity")
+    w_pr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_pr_t = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (
+            2 * F.rank().over(w_qty) + F.count("*").over(w_qty_t) - 1
+        ).alias("rx"),
+        (2 * F.rank().over(w_pr) + F.count("*").over(w_pr_t) - 1).alias(
+            "ry"
+        ),
+    )
+    rxd = F.col("rx").cast("decimal(38,0)")
+    ryd = F.col("ry").cast("decimal(38,0)")
+    s = ranked.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(rxd * F.col("ry")).alias("sxy"),
+        F.sum(rxd * F.col("rx")).alias("sxx"),
+        F.sum(ryd * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "grp", "n", F.round(rho, 6).alias("spearman_rho")
+    ).orderBy("grp")

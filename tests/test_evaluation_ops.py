@@ -650,3 +650,15 @@ def test_watermark_sizing_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_disordered <= r.n_events
         assert 0 <= r.p95_disorder_s <= r.max_disorder_s
+
+
+def test_spearman_bounds_and_tie_handling(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        spearman_rho_qty_price,
+    )
+
+    rows = spearman_rho_qty_price(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0
+        assert r.n > 0
