@@ -707,3 +707,95 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+RICH_CLUB_KS = (2, 4, 8)
+
+
+@register(
+    "rich_club_coefficient",
+    oracle=f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs
+      ) GROUP BY v
+    ),
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    club AS (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS n_k
+      FROM ks k JOIN deg d ON d.deg > k.k
+      GROUP BY k.k
+    ),
+    club_edges AS (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM ks k
+      JOIN pairs p ON TRUE
+      JOIN deg da ON da.v = p.doc_a AND da.deg > k.k
+      JOIN deg db ON db.v = p.doc_b AND db.deg > k.k
+      GROUP BY k.k
+    )
+    SELECT c.k, c.n_k,
+           coalesce(e.e_k, 0) AS e_k,
+           CASE WHEN c.n_k >= 2 THEN
+             round(CAST(2 * coalesce(e.e_k, 0) AS DOUBLE)
+                   / (c.n_k * (c.n_k - 1)), 6)
+           END AS phi
+    FROM club c LEFT JOIN club_edges e ON e.k = c.k
+    ORDER BY c.k
+    """,
+    tags=("graph", "stats", "dedup", "agg"),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the LSH candidate graph at
+    k ∈ {RICH_CLUB_KS}: among nodes of degree > k, what fraction of
+    their possible pairwise edges exist? A rising φ(k) means the most
+    collision-prone documents preferentially collide with EACH OTHER —
+    the signature of a shared boilerplate core (one giant template
+    family) as opposed to many disjoint dup clusters. Exact counts
+    end to end: club sizes from a degree filter per k (the 3-value k
+    domain broadcasts), club-internal edges by two broadcast degree
+    joins over the bounded pair set, φ one int/int division per k."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    ).persist()
+    # k domain via explode of a literal array — narrow 3× expansion,
+    # no join node (the audit-clean constant-domain form)
+    k_arr = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    club = (
+        deg.select("deg", F.explode(k_arr).alias("k"))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_k"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("degb"))
+    club_edges = (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select("dega", "degb", F.explode(k_arr).alias("k"))
+        .filter((F.col("dega") > F.col("k")) & (F.col("degb") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    return (
+        club.join(club_edges, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).alias("e_k"),
+            F.when(
+                F.col("n_k") >= 2,
+                F.round(
+                    (2 * F.coalesce(F.col("e_k"), F.lit(0))).cast("double")
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

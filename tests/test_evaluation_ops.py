@@ -662,3 +662,22 @@ def test_spearman_bounds_and_tie_handling(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.spearman_rho <= 1.0
         assert r.n > 0
+
+
+def test_rich_club_monotone_membership(spark, sf_dir):
+    """Clubs shrink as k grows; φ ∈ [0,1]; club-internal edges can't
+    exceed the club's complete-graph bound."""
+    from braintumor_data_pipeline_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+
+    rows = sorted(
+        rich_club_coefficient(spark, sf_dir).collect(), key=lambda r: r.k
+    )
+    assert rows
+    sizes = [r.n_k for r in rows]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+    for r in rows:
+        assert 2 * r.e_k <= r.n_k * (r.n_k - 1)
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
