@@ -2665,3 +2665,146 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("norm2_fix").desc(), "vec_id")
     )
+
+
+#: LCM(1..5) — the AP@5 fixed-point scale. precision@i = cum_rel_i/i
+#: becomes the exact integer (60·cum_rel_i)/i for every rank i ≤ 5, so
+#: a per-query AP numerator is an exact BIGINT sum and the label-level
+#: MAP is ONE final division (the per-label attainable denominator
+#: min(5, n_lab−1) is constant within a label group).
+AP_SCALE = 60
+
+
+@register(
+    "retrieval_map_mrr_by_label",
+    oracle=f"""
+    WITH knn AS ({KNN_ORACLE_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lab_n AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY label),
+    rel AS (
+      SELECT k.qid, k.rn, ql.label AS qlabel,
+             CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+      FROM knn k
+      JOIN lab ql ON ql.vec_id = k.qid
+      JOIN lab nl ON nl.vec_id = k.nid
+    ),
+    cum AS (
+      SELECT qid, rn, qlabel, rel,
+             CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn)
+                  AS BIGINT) AS cum_rel
+      FROM rel
+    ),
+    per_q AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             CAST(sum(rel * (({AP_SCALE} * cum_rel) // rn))
+                  AS BIGINT) AS ap_fix,
+             CAST(max(rel * ({AP_SCALE} // rn)) AS BIGINT) AS rr_fix
+      FROM cum GROUP BY qid
+    )
+    SELECT p.qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(p.ap_fix) AS BIGINT) AS sum_ap_fix,
+           CAST(sum(p.rr_fix) AS BIGINT) AS sum_rr_fix,
+           round(CAST(sum(p.ap_fix) AS DOUBLE)
+                 / ({AP_SCALE}.0 * least(5, any_value(ln.n_lab) - 1)
+                    * count(*)), 6) AS map_at_5,
+           round(CAST(sum(p.rr_fix) AS DOUBLE)
+                 / ({AP_SCALE}.0 * count(*)), 6) AS mrr_at_5
+    FROM per_q p JOIN lab_n ln ON ln.label = p.qlabel
+    GROUP BY p.qlabel
+    ORDER BY p.qlabel
+    """,
+    tags=("similarity", "evaluation", "ranking", "topk"),
+)
+def retrieval_map_mrr_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@5 / MRR@5 of the exact cosine retrieval, aggregated per
+    query label — the two remaining standard retrieval-eval numbers
+    after ``ndcg_label_relevance``'s nDCG/recall (MAP weights ranking
+    precision at every relevant hit; MRR scores time-to-first-hit).
+    Exactness: precision@i = cum_rel_i/i is the exact integer
+    (60·cum_rel_i)/i because every rank i ≤ 5 divides LCM(1..5) = 60,
+    so the per-query AP numerator and reciprocal-rank are BIGINTs; the
+    label-level means divide exact integer sums once (the attainable
+    denominator min(5, n_lab−1) is constant within a label). Plan:
+    reuses the driver-confirmed kNN relation, two broadcast label
+    joins, one per-query window (partitioned by qid — never global),
+    two partial-aggregable groupBys."""
+    knn = knn_bruteforce_cosine(spark, sf_dir)
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab_n = lab.groupBy("label").agg(F.count("*").alias("n_lab"))
+    rel = (
+        knn.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "qid",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("nid"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "rn",
+            "qlabel",
+            F.when(F.col("qlabel") == F.col("nlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("qid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rel.select(
+        "qid",
+        "rn",
+        "qlabel",
+        "rel",
+        F.sum("rel").over(w_cum).alias("cum_rel"),
+    )
+    per_q = cum.groupBy("qid").agg(
+        F.any_value("qlabel").alias("qlabel"),
+        F.sum(
+            F.col("rel")
+            * ((F.lit(AP_SCALE) * F.col("cum_rel")) / F.col("rn")).cast(
+                "long"
+            )
+        ).alias("ap_fix"),
+        F.max(
+            F.col("rel") * (F.lit(AP_SCALE) / F.col("rn")).cast("long")
+        ).alias("rr_fix"),
+    )
+    return (
+        per_q.join(F.broadcast(lab_n), per_q.qlabel == lab_n.label)
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum("ap_fix").alias("sum_ap_fix"),
+            F.sum("rr_fix").alias("sum_rr_fix"),
+            F.round(
+                F.sum("ap_fix").cast("double")
+                / (
+                    F.lit(float(AP_SCALE))
+                    * F.least(F.lit(5), F.any_value("n_lab") - 1)
+                    * F.count("*")
+                ),
+                6,
+            ).alias("map_at_5"),
+            F.round(
+                F.sum("rr_fix").cast("double")
+                / (F.lit(float(AP_SCALE)) * F.count("*")),
+                6,
+            ).alias("mrr_at_5"),
+        )
+        .orderBy("label")
+    )

@@ -681,3 +681,24 @@ def test_rich_club_monotone_membership(spark, sf_dir):
         assert 2 * r.e_k <= r.n_k * (r.n_k - 1)
         if r.phi is not None:
             assert 0.0 <= r.phi <= 1.0
+
+
+def test_map_mrr_bounds_and_fixed_point_consistency(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        AP_SCALE,
+        retrieval_map_mrr_by_label,
+    )
+
+    rows = retrieval_map_mrr_by_label(spark, sf_dir).collect()
+    assert rows, "expected at least one query label"
+    for r in rows:
+        assert 0.0 <= r.map_at_5 <= 1.0
+        assert 0.0 <= r.mrr_at_5 <= 1.0
+        # MRR recomputes exactly from its integer numerator
+        assert r.mrr_at_5 == round(
+            r.sum_rr_fix / (AP_SCALE * r.n_queries), 6
+        )
+        # every per-query RR numerator divides 60 evenly, so the sum
+        # of n_queries terms is bounded by 60·n_queries
+        assert r.sum_rr_fix <= AP_SCALE * r.n_queries
+        assert r.sum_ap_fix <= AP_SCALE * 5 * r.n_queries
