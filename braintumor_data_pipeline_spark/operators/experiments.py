@@ -4580,3 +4580,109 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "grp", "n", F.round(rho, 6).alias("spearman_rho")
     ).orderBy("grp")
+
+
+@register(
+    "mcc_operating_points",
+    oracle=f"""
+    WITH scored AS ({_STOP_SCORE_SQL}),
+    conf AS (
+      SELECT t.threshold,
+             CAST(sum(CASE WHEN score >= t.threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= t.threshold AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score <  t.threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score <  t.threshold AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored,
+           (SELECT k / 16.0 AS threshold FROM range(1, 9) r(k)) t
+      GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+             THEN round(
+               CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                    - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+               / sqrt(CAST(
+                   (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn))
+                   * (CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn))
+                   AS DOUBLE)), 6)
+           END AS mcc,
+           CASE WHEN tp + fn > 0 AND tn + fp > 0
+             THEN round((CAST(tp AS DOUBLE) / (tp + fn)
+                         + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+           END AS balanced_acc,
+           CASE WHEN tp + fn > 0 AND tn + fp > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fn)
+                        + CAST(tn AS DOUBLE) / (tn + fp) - 1, 6)
+           END AS youden_j
+    FROM conf
+    ORDER BY threshold
+    """,
+    tags=("experiment", "stats", "evaluation", "agg"),
+)
+def mcc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + balanced accuracy + Youden's J at the
+    same dyadic k/16 operating points as ``pr_threshold_sweep`` — the
+    chance-corrected companion table (precision/recall mislead under
+    the class imbalance a lang='en' filter actually has; MCC is the
+    single-number gate that doesn't). Exactness: the four confusion
+    cells are BIGINT conditional sums; MCC's numerator tp·tn − fp·fn
+    and its radicand (pairwise DECIMAL(38,0) products, exact to
+    n ≈ 3·10⁹ rows — past that the radicand moves to one fixed-shape
+    double product, still engine-identical IEEE) are exact integers
+    with ONE sqrt + ONE division at the end; TPR/TNR are single
+    divisions of BIGINTs. Plan: narrow 8× explode of a literal
+    threshold array (no join), one partial-aggregable groupBy."""
+    scored = _stop_score(spark, sf_dir)
+    pred = F.col("score") >= F.col("threshold")
+    conf = (
+        scored.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(k / 16) for k in range(1, 9)])
+            ).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias(
+                "tp"
+            ),
+            F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0)).alias(
+                "fp"
+            ),
+            F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias(
+                "fn"
+            ),
+            F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0)).alias(
+                "tn"
+            ),
+        )
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (dec(tp) * tn - dec(fp) * fn).cast("double")
+    rad = ((dec(tp + fp) * (tp + fn)) * (dec(tn + fp) * (tn + fn))).cast(
+        "double"
+    )
+    tpr = tp.cast("double") / (tp + fn)
+    tnr = tn.cast("double") / (tn + fp)
+    has_rates = ((tp + fn) > 0) & ((tn + fp) > 0)
+    return conf.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0,
+            F.round(num / F.sqrt(rad), 6),
+        ).alias("mcc"),
+        F.when(has_rates, F.round((tpr + tnr) / 2, 6)).alias(
+            "balanced_acc"
+        ),
+        F.when(has_rates, F.round(tpr + tnr - 1, 6)).alias("youden_j"),
+    ).orderBy("threshold")

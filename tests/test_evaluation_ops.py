@@ -702,3 +702,35 @@ def test_map_mrr_bounds_and_fixed_point_consistency(spark, sf_dir):
         # of n_queries terms is bounded by 60·n_queries
         assert r.sum_rr_fix <= AP_SCALE * r.n_queries
         assert r.sum_ap_fix <= AP_SCALE * 5 * r.n_queries
+
+
+def test_mcc_operating_points_bounds_and_cell_parity(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        mcc_operating_points,
+        pr_threshold_sweep,
+    )
+
+    mcc_rows = {
+        r.threshold: r for r in mcc_operating_points(spark, sf_dir).collect()
+    }
+    assert len(mcc_rows) == 8
+    for r in mcc_rows.values():
+        if r.mcc is not None:
+            assert -1.0 <= r.mcc <= 1.0
+        if r.youden_j is not None:
+            assert -1.0 <= r.youden_j <= 1.0
+            assert r.balanced_acc == round((r.youden_j + 1) / 2, 6) or abs(
+                r.balanced_acc - (r.youden_j + 1) / 2
+            ) < 2e-6
+    # confusion cells must agree with the PR sweep at shared thresholds
+    pr_rows = {
+        r.threshold: r for r in pr_threshold_sweep(spark, sf_dir).collect()
+    }
+    shared = set(mcc_rows) & set(pr_rows)
+    assert shared
+    for t in shared:
+        assert (mcc_rows[t].tp, mcc_rows[t].fp, mcc_rows[t].fn) == (
+            pr_rows[t].tp,
+            pr_rows[t].fp,
+            pr_rows[t].fn,
+        )
