@@ -583,3 +583,148 @@ def _register_partition_health_queries():
 
 
 _register_partition_health_queries()
+
+
+def _register_zone_map_query():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+    from .fixtures import load_table
+
+    KEY_BLOCK = 1024        # rows per simulated file in insertion order
+    DATE_LO, DATE_HI = "1995-07-01", "1995-10-01"
+    PRICE_LO = 450000.0
+
+    @register(
+        "zone_map_skipping_report",
+        oracle=f"""
+        WITH zones AS (
+          SELECT 'date_clustered' AS layout,
+                 CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS zone,
+                 min(o_orderdate) AS dmin, max(o_orderdate) AS dmax,
+                 min(o_totalprice) AS pmin, max(o_totalprice) AS pmax,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM orders GROUP BY 2
+          UNION ALL
+          SELECT 'insertion_order' AS layout,
+                 CAST(o_orderkey // {KEY_BLOCK} AS VARCHAR) AS zone,
+                 min(o_orderdate), max(o_orderdate),
+                 min(o_totalprice), max(o_totalprice),
+                 CAST(count(*) AS BIGINT)
+          FROM orders GROUP BY 2
+        ),
+        flagged AS (
+          SELECT layout, p.predicate, n_rows,
+                 CASE p.predicate
+                   WHEN 'date_1995q3' THEN
+                     CASE WHEN dmax < TIMESTAMP '{DATE_LO}'
+                            OR dmin >= TIMESTAMP '{DATE_HI}'
+                          THEN 1 ELSE 0 END
+                   ELSE CASE WHEN pmax <= {PRICE_LO} THEN 1 ELSE 0 END
+                 END AS skipped
+          FROM zones,
+               (SELECT unnest(['date_1995q3', 'price_gt_450k'])
+                  AS predicate) p
+        )
+        SELECT layout, predicate,
+               CAST(count(*) AS BIGINT) AS n_zones,
+               CAST(sum(skipped) AS BIGINT) AS n_zones_skipped,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(sum(skipped * n_rows) AS BIGINT) AS rows_skipped,
+               round(CAST(sum(skipped * n_rows) AS DOUBLE)
+                     / sum(n_rows), 6) AS skip_row_fraction
+        FROM flagged
+        GROUP BY layout, predicate
+        ORDER BY layout, predicate
+        """,
+        tags=("layout", "zone-map", "data-skipping", "agg"),
+    )
+    def zone_map_skipping_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """File-statistics (zone-map) skipping effectiveness, the
+        min/max-per-file pruning every lakehouse format (Parquet
+        row-groups, Delta/Iceberg file stats) lives on at 100 TB:
+        simulate two physical layouts of ``orders`` — date-clustered
+        (month zones) vs insertion-ordered (1024-row key blocks; the
+        fixture's key is uncorrelated with date, corr ≈ −0.01) — and
+        for a selective date predicate and a price predicate compute
+        how many zones and rows min/max stats alone would skip. The
+        date layout prunes the date predicate near-fully and the price
+        predicate barely — the quantified case for sort order (and for
+        ``zorder_morton_codes`` when two predicates matter at once).
+        All counts exact BIGINTs; one final division per report row.
+        Plan: two partial-aggregable groupBys over one scan each, a
+        narrow 2× literal explode, one tiny re-aggregation — no joins,
+        no windows."""
+        o = load_table(spark, sf_dir, "orders")
+        zones_date = o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("string")
+            .alias("zone")
+        ).agg(
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dmax"),
+            F.min("o_totalprice").alias("pmin"),
+            F.max("o_totalprice").alias("pmax"),
+            F.count("*").alias("n_rows"),
+        ).select(F.lit("date_clustered").alias("layout"), "*")
+        zones_key = o.groupBy(
+            F.expr(f"o_orderkey div {KEY_BLOCK}")
+            .cast("string")
+            .alias("zone")
+        ).agg(
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dmax"),
+            F.min("o_totalprice").alias("pmin"),
+            F.max("o_totalprice").alias("pmax"),
+            F.count("*").alias("n_rows"),
+        ).select(F.lit("insertion_order").alias("layout"), "*")
+        zones = zones_date.unionByName(zones_key)
+        lo = F.lit(DATE_LO).cast("timestamp")
+        hi = F.lit(DATE_HI).cast("timestamp")
+        flagged = zones.select(
+            "layout",
+            "n_rows",
+            F.explode(
+                F.array(F.lit("date_1995q3"), F.lit("price_gt_450k"))
+            ).alias("predicate"),
+            "dmin",
+            "dmax",
+            "pmax",
+        ).select(
+            "layout",
+            "predicate",
+            "n_rows",
+            F.when(
+                F.col("predicate") == "date_1995q3",
+                (
+                    (F.col("dmax") < lo) | (F.col("dmin") >= hi)
+                ).cast("int"),
+            )
+            .otherwise((F.col("pmax") <= PRICE_LO).cast("int"))
+            .alias("skipped"),
+        )
+        return (
+            flagged.groupBy("layout", "predicate")
+            .agg(
+                F.count("*").alias("n_zones"),
+                F.sum("skipped").alias("n_zones_skipped"),
+                F.sum("n_rows").alias("rows_total"),
+                F.sum(F.col("skipped") * F.col("n_rows")).alias(
+                    "rows_skipped"
+                ),
+                F.round(
+                    F.sum(F.col("skipped") * F.col("n_rows")).cast("double")
+                    / F.sum("n_rows"),
+                    6,
+                ).alias("skip_row_fraction"),
+            )
+            .orderBy("layout", "predicate")
+        )
+
+    return zone_map_skipping_report
+
+
+_register_zone_map_query()

@@ -214,3 +214,21 @@ def test_backfill_day_idempotent_replaces_only_target_partition(
         for r in after.filter(F.col("event_date") != day).collect()
     )
     assert other_after == other_before
+
+
+def test_zone_map_skipping_contrast(spark, sf_dir):
+    from braintumor_data_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["zone_map_skipping_report"].fn
+    rows = {(r.layout, r.predicate): r for r in fn(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert 0 <= r.n_zones_skipped <= r.n_zones
+        assert 0 <= r.rows_skipped <= r.rows_total
+        assert r.skip_row_fraction == round(r.rows_skipped / r.rows_total, 6)
+    # the whole point: date-clustered zones skip the date predicate far
+    # better than insertion-ordered zones do (uncorrelated key)
+    clustered = rows[("date_clustered", "date_1995q3")]
+    unordered = rows[("insertion_order", "date_1995q3")]
+    assert clustered.skip_row_fraction > 0.5
+    assert unordered.skip_row_fraction <= clustered.skip_row_fraction
