@@ -799,3 +799,110 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+#: Harmonic-centrality fixed-point scale: LCM(1..8), so 1/d is the
+#: exact integer HARM_SCALE // d for every hop distance this query can
+#: produce (d ≤ BFS_HOPS = 4, with headroom to 8) and per-source scores
+#: are exact BIGINT sums — order-independent under any partitioning.
+HARM_SCALE = 840
+HARM_SEEDS = 8
+
+
+@register(
+    "harmonic_centrality_seeds",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT doc_a AS s FROM pairs
+      ORDER BY doc_a LIMIT {HARM_SEEDS}
+    ),
+    bfs(s, doc_id, lvl) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT b.s, e.dst, b.lvl + 1
+      FROM bfs b JOIN edges e ON e.src = b.doc_id
+      WHERE b.lvl < {BFS_HOPS}
+    ),
+    dist AS (
+      SELECT s, doc_id, min(lvl) AS d
+      FROM bfs GROUP BY s, doc_id
+    )
+    SELECT s AS source_doc,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum({HARM_SCALE} // d) AS BIGINT) AS harmonic_fix,
+           round(CAST(sum({HARM_SCALE} // d) AS DOUBLE)
+                 / {HARM_SCALE}, 6) AS harmonic
+    FROM dist WHERE d > 0
+    GROUP BY s
+    ORDER BY harmonic_fix DESC, s
+    """,
+    tags=("graph", "iterative", "centrality", "dedup"),
+)
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Σ 1/d over reachable targets, the
+    disconnected-graph-safe closeness variant) for the {HARM_SEEDS}
+    lowest-id candidate-graph vertices, by one MULTI-SOURCE 4-hop BFS —
+    the "which documents sit closest to the rest of their near-dup
+    neighborhood" ranking, and the multi-source generalization of
+    ``bfs_levels_from_min_vertex`` (one traversal carries all sources
+    as a key column; K seeds cost one extra shuffle key, not K
+    traversals). 1/d is the exact integer 840 // d (840 = LCM(1..8) ≥
+    any hop count here), so scores are exact BIGINT sums replayed by
+    the oracle's recursive CTE, and the only float is one final
+    display division. Per hop: frontier ⋈ edges (shuffle on the edge
+    key), distinct, anti-join against visited — work proportional to
+    the union of wavefronts; lineage cut per hop with localCheckpoint
+    (the components.py lesson)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("e_src"), F.col("doc_b").alias("e_dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("e_src"), F.col("doc_a").alias("e_dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        pairs.select(F.col("doc_a").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(HARM_SEEDS)
+    )
+    levels = seeds.select(
+        "s", F.col("s").alias("doc_id"), F.lit(0).alias("lvl")
+    ).localCheckpoint()
+    frontier = levels
+    for hop in range(1, BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.doc_id == edges.e_src)
+            .select("s", F.col("e_dst").alias("doc_id"), F.lit(hop).alias("lvl"))
+            .distinct()
+        )
+        frontier = reached.join(
+            levels, ["s", "doc_id"], "left_anti"
+        ).localCheckpoint()
+        levels = levels.unionAll(frontier).localCheckpoint()
+    dist = levels.groupBy("s", "doc_id").agg(F.min("lvl").alias("d"))
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy(F.col("s").alias("source_doc"))
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum(F.expr(f"{HARM_SCALE} div d")).alias("harmonic_fix"),
+            F.round(
+                F.sum(F.expr(f"{HARM_SCALE} div d")).cast("double")
+                / HARM_SCALE,
+                6,
+            ).alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic_fix").desc(), "source_doc")
+    )

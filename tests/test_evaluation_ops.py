@@ -734,3 +734,29 @@ def test_mcc_operating_points_bounds_and_cell_parity(spark, sf_dir):
             pr_rows[t].fp,
             pr_rows[t].fn,
         )
+
+
+def test_harmonic_centrality_consistency_with_bfs(spark, sf_dir):
+    from braintumor_data_pipeline_spark.operators.graph import (
+        BFS_HOPS,
+        HARM_SCALE,
+        bfs_levels_from_min_vertex,
+        harmonic_centrality_seeds,
+    )
+
+    rows = harmonic_centrality_seeds(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each reached target contributes between 840//BFS_HOPS and 840
+        assert r.harmonic_fix <= HARM_SCALE * r.n_reached
+        assert r.harmonic_fix >= (HARM_SCALE // BFS_HOPS) * r.n_reached
+        assert r.harmonic == round(r.harmonic_fix / HARM_SCALE, 6)
+    # the min vertex is one of the seeds: its multi-source result must
+    # exactly reproduce the single-source BFS level relation
+    bfs = bfs_levels_from_min_vertex(spark, sf_dir).collect()
+    src = min(r.source_doc for r in rows)
+    assert src == min(b.doc_id for b in bfs if b.level == 0)
+    exp_fix = sum(HARM_SCALE // b.level for b in bfs if b.level > 0)
+    got = [r for r in rows if r.source_doc == src][0]
+    assert got.harmonic_fix == exp_fix
+    assert got.n_reached == sum(1 for b in bfs if b.level > 0)
