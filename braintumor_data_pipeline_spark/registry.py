@@ -105,6 +105,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: the partition-pruning pair; repeated_span rides llm_pipeline),
 #: multimodal_audio_features → video_shot_boundaries (multimodal,
 #: the PNG-lossless recomputing video tier).
+#: r4 seventh rotation (late additions): the only two remaining
+#: r3-green, formulation-unchanged, non-headline slots in multi-rep
+#: families vacate for two of this session's new operators —
+#: region_grow_adaptive → zone_map_skipping_report (segmentation keeps
+#: the headline region_grow_component; maintenance gains the min/max
+#: file-skipping lever), hll_mergeable_groups →
+#: harmonic_centrality_seeds (sketch keeps bloom_semijoin_reduction;
+#: graph gains the multi-source BFS centrality). The session's other
+#: two new queries (retrieval_map_mrr_by_label, mcc_operating_points)
+#: wait for r5 rotation — their families already hold first-time
+#: in-window reps this round.
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -156,7 +167,9 @@ PRIORITY: tuple[str, ...] = (
     # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
     # the smoke family-coverage invariant)
     "bloom_semijoin_reduction",
-    "hll_mergeable_groups",
+    # graph multi-source BFS centrality (first-time, r4 seventh
+    # rotation — took the hll_mergeable_groups slot)
+    "harmonic_centrality_seeds",
     # XML interchange (native Spark 4 source, first-time r4)
     "xml_roundtrip_stats",
     # zero-I/O in-plan generator (dbgen-style source)
@@ -172,7 +185,9 @@ PRIORITY: tuple[str, ...] = (
     # iterative segmentation (uncapped component, the dequeue-cap quirk,
     # and the adaptive-threshold schedule — all hash-checked)
     "region_grow_component",
-    "region_grow_adaptive",
+    # min/max zone-map skipping report (first-time, r4 seventh
+    # rotation — took the region_grow_adaptive slot)
+    "zone_map_skipping_report",
     # skew handling + connected components
     "salted_heavy_key_agg",
     "dedup_connected_components",
