@@ -4240,6 +4240,164 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "isotonic_calibration_pav",
+    oracle="""
+    WITH fix AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+                AS BIGINT) * 1048576)
+               // len(string_split(text, ' ')) AS s_fix
+      FROM documents
+    ),
+    bins AS (
+      SELECT least(s_fix * 16 // 1048576, 15) AS bin,
+             count(*) AS n, sum(y) AS pos
+      FROM fix GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, n, pos,
+             row_number() OVER (ORDER BY bin) AS r,
+             sum(n)   OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ),
+    iv AS (
+      -- every score-contiguous bin interval [i..j]: pooled positives S,
+      -- pooled weight N, and the 1e-12-quantized pooled rate as an
+      -- exactly-comparable BIGINT key
+      SELECT a.r AS i, b.r AS j,
+             CAST((CAST(b.cp - (a.cp - a.pos) AS HUGEINT) * 1000000000000)
+                  // (b.cn - (a.cn - a.n)) AS BIGINT) AS k_key
+      FROM pre a JOIN pre b ON a.r <= b.r
+    ),
+    inner_min AS (
+      SELECT k.r AS r, iv.i AS i, min(iv.k_key) AS mn
+      FROM pre k JOIN iv ON iv.i <= k.r AND iv.j >= k.r
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT r, max(mn) AS fitted FROM inner_min GROUP BY 1)
+    SELECT CAST(p.bin AS BIGINT) AS bin,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(p.pos AS BIGINT) AS n_pos,
+           CAST(p.pos * 1000000 // p.n AS BIGINT) AS raw_rate_ppm,
+           CAST(f.fitted // 1000000 AS BIGINT) AS iso_rate_ppm
+    FROM pre p JOIN fit f USING (r)
+    ORDER BY bin
+    """,
+    tags=("experiment", "stats", "evaluation", "calibration"),
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the stopword
+    quality score against the lang='en' label — the non-parametric
+    upgrade of ``calibration_reliability_bins``: instead of reporting
+    raw per-bin rates (which can zig-zag), fit the weighted least-
+    squares monotone step function that pool-adjacent-violators (PAV)
+    produces, the standard calibrator when Platt's sigmoid is too
+    rigid.
+
+    PAV itself is a sequential stack algorithm, but the fit has a
+    closed minimax characterization (Ayer et al. 1955, Robertson &
+    Wright order-restricted inference):
+
+        g*(k) = max_{i<=k} min_{j>=k} pooled_rate(i..j)
+
+    which IS relational: prefix sums over the score-ordered bins, a
+    self-join enumerating all B(B+1)/2 score-contiguous intervals, a
+    grouped min then a grouped max. Exactness across engines: each
+    pooled rate S/N is materialized as the BIGINT key floor(S*1e12/N)
+    (HUGEINT on DuckDB, DECIMAL(38,0) `div` on Spark — no float ever).
+    floor is monotone, and max/min commute with any monotone map, so
+    max-min over keys equals floor(1e12 * max-min over true rationals):
+    ``iso_rate_ppm`` is exactly floor(g*·1e6) at ANY corpus size — the
+    quantization is applied to the answer, never accumulated.
+
+    Scale shape: one shuffle (doc→16-bin aggregation with map-side
+    partials); everything after runs on a <=16-row frame (the
+    unpartitioned windows and non-equi joins are over that aggregated
+    frame — the documented tiny-frame pattern), so 100 TB of documents
+    costs exactly one pass + one 16-row reduce regardless of corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    c = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    s_fix = F.floor(
+        (c.cast("long") * F.lit(1048576)) / F.size(toks)
+    ).cast("long")
+    fix = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        s_fix.alias("s_fix"),
+    )
+    bins = (
+        fix.select(
+            F.least(F.floor(F.col("s_fix") * 16 / 1048576), F.lit(15))
+            .cast("long")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    # <=16 rows from here on: unpartitioned windows over the aggregated
+    # frame (tiny-frame pattern), then broadcast non-equi joins.
+    w = Window.orderBy("bin")
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(w).alias("r"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    a = pre.select(
+        F.col("r").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("pos").alias("posi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    b = pre.select(
+        F.col("r").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    iv = a.join(F.broadcast(b), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST((CAST(cpj - (cpi - posi) AS DECIMAL(38,0))"
+            " * 1000000000000) div (cnj - (cni - ni)) AS BIGINT)"
+        ).alias("k_key"),
+    )
+    kg = pre.select(F.col("r").alias("kr"))
+    inner = (
+        kg.join(
+            F.broadcast(iv),
+            (F.col("i") <= F.col("kr")) & (F.col("j") >= F.col("kr")),
+        )
+        .groupBy("kr", "i")
+        .agg(F.min("k_key").alias("mn"))
+    )
+    fit = inner.groupBy("kr").agg(F.max("mn").alias("fitted"))
+    return (
+        pre.join(F.broadcast(fit), pre.r == fit.kr)
+        .select(
+            "bin",
+            "n",
+            F.col("pos").alias("n_pos"),
+            F.expr("CAST((pos * 1000000) div n AS BIGINT)").alias(
+                "raw_rate_ppm"
+            ),
+            F.expr("CAST(fitted div 1000000 AS BIGINT)").alias(
+                "iso_rate_ppm"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
     "markov_next_event_accuracy",
     oracle="""
     WITH seq AS (

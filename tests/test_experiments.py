@@ -621,3 +621,54 @@ def test_interarrival_cv_near_one_for_random_stream(spark, sf_dir):
         assert r.mean_gap_s > 0
         # synthetic uniform-random arrivals are approximately Poisson
         assert 0.3 < r.cv < 3.0
+
+
+def _pav_reference(pos, n):
+    """Textbook weighted PAV over (pos, n) bins in score order: merge
+    adjacent blocks while the left pooled rate exceeds the right,
+    comparing rationals by integer cross-multiplication."""
+    blocks = [[p, w] for p, w in zip(pos, n)]  # [S, N] per block
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][0] * out[-1][1] > out[-1][0] * out[-2][1]:
+            s2, w2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += w2
+    # walk input bins, assigning each to its covering merged block
+    res = []
+    bi = 0
+    acc = 0
+    for p, w in zip(pos, n):
+        res.append(tuple(out[bi]))
+        acc += w
+        if acc == out[bi][1]:
+            bi += 1
+            acc = 0
+    return res  # list of (S, N) pooled per input bin
+
+
+def test_isotonic_pav_matches_stack_algorithm(spark, sf_dir):
+    rows = X.isotonic_calibration_pav(spark, sf_dir).collect()
+    assert rows
+    pos = [r.n_pos for r in rows]
+    n = [r.n for r in rows]
+    ref = _pav_reference(pos, n)
+    for r, (s, w) in zip(rows, ref):
+        assert r.iso_rate_ppm == (s * 1_000_000) // w
+    # the fit is monotone non-decreasing in score order
+    iso = [r.iso_rate_ppm for r in rows]
+    assert iso == sorted(iso)
+    # raw rates ppm are exact integer floors
+    for r in rows:
+        assert r.raw_rate_ppm == (r.n_pos * 1_000_000) // r.n
+    # pooling preserves mass: weighted mean of fit == overall rate
+    tot_fit = sum((s * 1_000_000) // w * w_ for (s, w), w_ in zip(ref, n))
+    # (exact check: sum of S over distinct blocks equals total positives)
+    seen = set()
+    s_sum = 0
+    for s, w in ref:
+        if (s, w) not in seen:
+            seen.add((s, w))
+            s_sum += s
+    assert s_sum == sum(pos)
