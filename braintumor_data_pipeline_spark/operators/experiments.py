@@ -4398,6 +4398,161 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+      FROM orders
+    ),
+    model AS (
+      SELECT o_orderpriority, sum(cents) AS s, count(*) AS n_train
+      FROM o WHERE h < '8' GROUP BY 1
+    ),
+    calib AS (
+      SELECT o.o_orderpriority, o.o_orderkey,
+             abs(CAST(o.cents AS HUGEINT) * m.n_train - m.s) AS resid
+      FROM o JOIN model m USING (o_orderpriority)
+      WHERE h >= '8' AND h < 'c'
+    ),
+    ck AS (SELECT o_orderpriority, count(*) AS m FROM calib GROUP BY 1),
+    ranked AS (
+      SELECT c.o_orderpriority, c.resid,
+             row_number() OVER (PARTITION BY c.o_orderpriority
+                                ORDER BY c.resid, c.o_orderkey) AS rn
+      FROM calib c
+    ),
+    q AS (
+      SELECT r.o_orderpriority, r.resid AS q_resid, ck.m AS n_calib,
+             least((9 * (ck.m + 1) + 9) // 10, ck.m) AS k_rank
+      FROM ranked r JOIN ck USING (o_orderpriority)
+      WHERE r.rn = least((9 * (ck.m + 1) + 9) // 10, ck.m)
+    ),
+    test AS (
+      SELECT o.o_orderpriority,
+             abs(CAST(o.cents AS HUGEINT) * m.n_train - m.s) AS resid
+      FROM o JOIN model m USING (o_orderpriority) WHERE h >= 'c'
+    )
+    SELECT m.o_orderpriority AS priority,
+           CAST(m.n_train AS BIGINT) AS n_train,
+           CAST(q.n_calib AS BIGINT) AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(q.k_rank AS BIGINT) AS k_rank,
+           CAST(q.q_resid // m.n_train AS BIGINT) AS q_cents_floor,
+           CAST(sum(CASE WHEN t.resid <= q.q_resid THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+    FROM test t
+    JOIN model m USING (o_orderpriority)
+    JOIN q USING (o_orderpriority)
+    GROUP BY 1, 2, 3, 5, q.q_resid, m.n_train
+    ORDER BY priority
+    """,
+    tags=("experiment", "stats", "evaluation", "uncertainty"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (per-group) split-conformal prediction intervals with
+    exact finite-sample machinery — the distribution-free uncertainty
+    wrapper used to turn any point predictor into calibrated intervals
+    (Vovk et al.; Lei et al. 2018 split-conformal). Orders are
+    hash-split 50/25/25 into train/calibration/test by md5(o_orderkey)
+    (deterministic under retries/speculation, the rand() trap); the
+    predictor is the train-half mean totalprice per order priority; the
+    per-group conformal quantile is the k-th smallest calibration
+    residual with k = ceil(0.9·(m+1)) — the exact split-conformal rank,
+    not a plug-in percentile — and the reported coverage is the
+    fraction of test orders inside ±q.
+
+    Exactness: within a group every residual |y − S/N| shares the
+    denominator N, so residuals compare as the integers |cents·N − S|
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — no float division
+    anywhere); the k-th order statistic is a row_number pick with a
+    total-order tie-break, and coverage is an integer ppm ratio.
+
+    Scale shape: one groupBy for the model (broadcast, 5 rows), one
+    per-group window for the order statistic (partitioned by priority —
+    parallel across groups), one aggregate over test. The calibration
+    sort is the only per-row log-cost step, exactly as in production
+    conformal at 100 TB (and m ≪ corpus when calibration is a fixed
+    split)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
+            "h"
+        ),
+    )
+    model = (
+        o.filter(F.col("h") < "8")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n_train"))
+    )
+    resid = (
+        F.abs(
+            F.col("cents").cast("decimal(38,0)") * F.col("n_train")
+            - F.col("s")
+        )
+    ).alias("resid")
+    calib = (
+        o.filter((F.col("h") >= "8") & (F.col("h") < "c"))
+        .join(F.broadcast(model), "o_orderpriority")
+        .select("o_orderpriority", "o_orderkey", resid)
+    )
+    ck = calib.groupBy("o_orderpriority").agg(F.count("*").alias("m"))
+    wr = Window.partitionBy("o_orderpriority").orderBy("resid", "o_orderkey")
+    q = (
+        calib.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(ck), "o_orderpriority")
+        .filter(
+            F.col("rn")
+            == F.expr("least((9 * (m + 1) + 9) div 10, m)")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("resid").alias("q_resid"),
+            F.col("m").alias("n_calib"),
+            F.expr("least((9 * (m + 1) + 9) div 10, m)").alias("k_rank"),
+        )
+    )
+    test = (
+        o.filter(F.col("h") >= "c")
+        .join(F.broadcast(model), "o_orderpriority")
+        .select("o_orderpriority", "n_train", resid)
+    )
+    return (
+        test.join(F.broadcast(q), "o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            "n_train",
+            "n_calib",
+            "k_rank",
+            "q_resid",
+        )
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("resid") <= F.col("q_resid"), 1).otherwise(0)
+            ).alias("n_cov"),
+        )
+        .select(
+            "priority",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_calib").cast("long").alias("n_calib"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("k_rank").cast("long").alias("k_rank"),
+            F.expr("CAST(q_resid div n_train AS BIGINT)").alias(
+                "q_cents_floor"
+            ),
+            F.expr("CAST((n_cov * 1000000) div n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
     "markov_next_event_accuracy",
     oracle="""
     WITH seq AS (

@@ -672,3 +672,21 @@ def test_isotonic_pav_matches_stack_algorithm(spark, sf_dir):
             seen.add((s, w))
             s_sum += s
     assert s_sum == sum(pos)
+
+
+def test_conformal_split_and_rank_exact(spark, sf_dir):
+    rows = X.conformal_interval_coverage(spark, sf_dir).collect()
+    assert rows
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    for r in rows:
+        # the three hash splits partition each group's orders
+        assert r.n_train > 0 and r.n_calib > 0 and r.n_test > 0
+        # exact split-conformal rank k = ceil(0.9*(m+1)), capped at m
+        m = r.n_calib
+        assert r.k_rank == min((9 * (m + 1) + 9) // 10, m)
+        # threshold is a genuine cents value (non-negative)
+        assert r.q_cents_floor >= 0
+        # finite-sample coverage should sit near the 90% target
+        assert 700_000 <= r.coverage_ppm <= 1_000_000
+    assert sum(r.n_train + r.n_calib + r.n_test for r in rows) == n_orders
