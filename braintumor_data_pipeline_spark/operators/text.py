@@ -1148,3 +1148,112 @@ def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stats, schema="doc_id long, n_tokens long, n_chars_utf long"
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH words AS (
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS t_tokens,
+             count(*) AS n_types
+      FROM words
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM (SELECT token, freq FROM words
+            ORDER BY freq DESC, token LIMIT 10000)
+    ),
+    cum AS (
+      SELECT rnk,
+             CAST(sum(freq) OVER (ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS covered
+      FROM ranked
+    ),
+    sizes AS (SELECT unnest([100, 500, 1000, 2000, 5000, 10000]) AS m)
+    SELECT CAST(s.m AS BIGINT) AS vocab_size,
+           t.n_types AS n_types,
+           c.covered AS covered_tokens,
+           round(CAST(c.covered AS DOUBLE) / t.t_tokens, 6) AS coverage,
+           round(1.0 - CAST(c.covered AS DOUBLE) / t.t_tokens, 6)
+             AS oov_rate
+    FROM sizes s
+    CROSS JOIN tot t
+    JOIN cum c ON c.rnk = least(CAST(s.m AS BIGINT), t.n_types)
+    """,
+    tags=("text", "llm", "agg", "window"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate curve — the tokenizer-sizing table:
+    for each candidate vocabulary size M (top-M word types by frequency,
+    ties broken lexically), the fraction of all token OCCURRENCES the
+    vocabulary covers and the out-of-vocabulary rate. This is the curve
+    a tokenizer-training pipeline reads to pick vocab size before a BPE
+    run (reference analogue: the corpus-prep stage feeding
+    `bpe_learn_merges`).
+
+    Reproducibility: coverage is an exact BIGINT cumulative sum over the
+    (freq DESC, token) total order, divided by the exact corpus token
+    count — one float division per row, identical on both engines.
+    Scale shape: the heavy aggregate is the word count (content-uniform
+    keys, partial agg); the curve itself runs over a top-10k TakeOrdered
+    cut (the benign tiny-frame window), and the six candidate sizes are
+    an exploded constant domain joined by rank — never a scan re-read."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = words.agg(
+        F.sum("freq").alias("t_tokens"), F.count("*").alias("n_types")
+    )
+    topw = words.orderBy(F.desc("freq"), "token").limit(10000)
+    ranked = topw.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rnk"),
+    )
+    cum = ranked.select(
+        "rnk",
+        F.sum("freq")
+        .over(
+            Window.orderBy("rnk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("covered"),
+    )
+    # the six candidate sizes explode off the 1-row aggregate itself —
+    # no cross join appears in the plan (audit-clean by construction)
+    sizes = tot.select(
+        F.explode(
+            F.array(*[F.lit(m) for m in (100, 500, 1000, 2000, 5000, 10000)])
+        ).alias("m"),
+        "t_tokens",
+        "n_types",
+    )
+    cov = F.col("covered").cast("double") / F.col("t_tokens")
+    return (
+        sizes.join(
+            cum,
+            cum["rnk"]
+            == F.least(F.col("m").cast("long"), F.col("n_types")),
+        )
+        .select(
+            F.col("m").cast("long").alias("vocab_size"),
+            F.col("n_types"),
+            F.col("covered").alias("covered_tokens"),
+            F.round(cov, 6).alias("coverage"),
+            F.round(F.lit(1.0) - cov, 6).alias("oov_rate"),
+        )
+    )
