@@ -718,3 +718,104 @@ def watermark_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_session_capped",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > {_US_30M}
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    capped AS (
+      SELECT user_id, ts, value, sid,
+             (epoch_us(ts)
+              - min(epoch_us(ts)) OVER (PARTITION BY user_id, sid))
+             // {2 * 3_600_000_000} AS chunk_idx
+      FROM sess
+    )
+    SELECT user_id,
+           chunk_idx,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events,
+           (CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1e6) AS sum_value
+    FROM capped
+    GROUP BY user_id, sid, chunk_idx
+    """,
+    tags=("streaming", "window", "session", "agg"),
+)
+def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a MAX-DURATION CAP: 30-minute inactivity gap
+    defines raw sessions (gaps-and-islands), then each raw session is
+    sub-split into 2-hour chunks measured from its start — the
+    "session cap" semantics product-analytics stores apply so one
+    pathological always-on client can't produce an unbounded session
+    (and, in streaming terms, so session state is guaranteed to evict).
+    ``chunk_idx > 0`` rows are exactly the splits the cap introduced
+    over plain ``events_session_30m``.
+
+    Scale shape: three window passes all partitioned BY USER (uniform
+    key, one shuffle reused across all three via the same partitioning)
+    then one hash aggregate on (user, sid, chunk) — no global window,
+    no join. Money sums use the split-sum LONG path (order-independent
+    exact)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    is_new = (
+        F.when(
+            (us - F.lag(us).over(w_seq) > F.lit(_US_30M))
+            | F.lag("ts").over(w_seq).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(is_new)
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    chunk = F.floor(
+        (us - F.min(us).over(Window.partitionBy("user_id", "sid")))
+        / F.lit(2 * 3_600_000_000)
+    )
+    capped = sess.select(
+        "user_id", "ts", "value", "sid", chunk.alias("chunk_idx")
+    )
+    return (
+        capped.groupBy("user_id", "sid", "chunk_idx")
+        .agg(
+            F.min("ts").alias("_t0"),
+            F.max("ts").alias("_t1"),
+            F.count("*").alias("n_events"),
+            *split_sum_aggs("value", "val"),
+        )
+        .select(
+            "user_id",
+            "chunk_idx",
+            F.unix_micros("_t0").alias("session_start_us"),
+            (F.unix_micros("_t1") - F.unix_micros("_t0")).alias("duration_us"),
+            "n_events",
+            split_sum_value("val").alias("sum_value"),
+        )
+    )
