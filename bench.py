@@ -112,6 +112,17 @@ def main() -> None:
         name: round(statistics.median(p[name] for p in passes), 3)
         for name in passes[0]
     }
+    # Per-query noise bands (VERDICT r4 item 4): [min, max] across the
+    # timed passes, so a real single-query regression (median outside
+    # last round's band) is distinguishable from machine noise (median
+    # inside the band).
+    query_bands = {
+        name: [
+            round(min(p[name] for p in passes), 3),
+            round(max(p[name] for p in passes), 3),
+        ]
+        for name in passes[0]
+    }
     totals = [round(sum(p.values()), 3) for p in passes]
     total = round(sum(queries.values()), 3)
     print(
@@ -121,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_bands": query_bands,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": totals,
                 "spread": round(max(totals) - min(totals), 3),

@@ -23,7 +23,8 @@ North-star scale notes (this module is pure built-ins, no Python UDFs):
   executors each ship O(1) state, never rows.
 
 Reference parity: the reference delegates its stats to BigQuery SQL
-(``analysis.py``, README §SQL); these are the engine-side equivalents.
+(``README.md:165-178``, the two §SQL queries); these are the
+engine-side equivalents.
 """
 
 from __future__ import annotations
@@ -4914,7 +4915,8 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.threshold
     )
     SELECT threshold, tp, fp, fn, tn,
-           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0
              THEN round(
                CAST(CAST(tp AS DECIMAL(38,0)) * tn
                     - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
@@ -4947,7 +4949,9 @@ def mcc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     n ≈ 3·10⁹ rows — past that the radicand moves to one fixed-shape
     double product, still engine-identical IEEE) are exact integers
     with ONE sqrt + ONE division at the end; TPR/TNR are single
-    divisions of BIGINTs. Plan: narrow 8× explode of a literal
+    divisions of BIGINTs. The zero-denominator guard is four
+    independent marginal comparisons (NOT their product, whose 4-way
+    BIGINT multiply would overflow int64 above ~10⁵ rows/threshold). Plan: narrow 8× explode of a literal
     threshold array (no join), one partial-aggregable groupBy."""
     scored = _stop_score(spark, sf_dir)
     pred = F.col("score") >= F.col("threshold")
@@ -4991,7 +4995,8 @@ def mcc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         "tn",
         F.when(
-            (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0,
+            ((tp + fp) > 0) & ((tp + fn) > 0)
+            & ((tn + fp) > 0) & ((tn + fn) > 0),
             F.round(num / F.sqrt(rad), 6),
         ).alias("mcc"),
         F.when(has_rates, F.round((tpr + tnr) / 2, 6)).alias(

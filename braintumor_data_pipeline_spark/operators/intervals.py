@@ -131,7 +131,7 @@ def interval_overlap_attribution(
       FROM events WHERE event_type = 'purchase'
     ),
     flagged AS (
-      SELECT d, s, e,
+      SELECT d, s, e, event_id,
              CASE WHEN s > coalesce(max(e) OVER (
                     PARTITION BY d ORDER BY s, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -141,7 +141,7 @@ def interval_overlap_attribution(
     ),
     numbered AS (
       SELECT d, s, e,
-             sum(is_new) OVER (PARTITION BY d ORDER BY s, e
+             sum(is_new) OVER (PARTITION BY d ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS span_id
       FROM flagged
@@ -187,7 +187,7 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         W.partitionBy("d")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     flagged = win.withColumn(

@@ -2366,8 +2366,10 @@ NDCG_IDEAL = (1073741824, 1751197488, 2288068400, 2750503833, 3165883872)
                WHEN 3 THEN {NDCG_IDEAL[2]} WHEN 4 THEN {NDCG_IDEAL[3]}
                ELSE {NDCG_IDEAL[4]} END), 6)
            END AS ndcg,
-           round(CAST(p.n_rel AS DOUBLE)
-                 / least(5, ln.n_lab - 1), 6) AS recall_at_5
+           CASE WHEN ln.n_lab > 1 THEN
+             round(CAST(p.n_rel AS DOUBLE)
+                   / least(5, ln.n_lab - 1), 6)
+           END AS recall_at_5
     FROM per_q p JOIN lab_n ln ON ln.label = p.qlabel
     ORDER BY p.qid
     """,
@@ -2446,10 +2448,13 @@ def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_rel") > 0,
                 F.round(F.col("dcg_fix").cast("double") / ideal, 6),
             ).alias("ndcg"),
-            F.round(
-                F.col("n_rel").cast("double")
-                / F.least(F.lit(5), F.col("n_lab") - 1),
-                6,
+            F.when(
+                F.col("n_lab") > 1,
+                F.round(
+                    F.col("n_rel").cast("double")
+                    / F.least(F.lit(5), F.col("n_lab") - 1),
+                    6,
+                ),
             ).alias("recall_at_5"),
         )
         .orderBy("qid")
@@ -2705,9 +2710,11 @@ AP_SCALE = 60
            CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(p.ap_fix) AS BIGINT) AS sum_ap_fix,
            CAST(sum(p.rr_fix) AS BIGINT) AS sum_rr_fix,
-           round(CAST(sum(p.ap_fix) AS DOUBLE)
-                 / ({AP_SCALE}.0 * least(5, any_value(ln.n_lab) - 1)
-                    * count(*)), 6) AS map_at_5,
+           CASE WHEN any_value(ln.n_lab) > 1 THEN
+             round(CAST(sum(p.ap_fix) AS DOUBLE)
+                   / ({AP_SCALE}.0 * least(5, any_value(ln.n_lab) - 1)
+                      * count(*)), 6)
+           END AS map_at_5,
            round(CAST(sum(p.rr_fix) AS DOUBLE)
                  / ({AP_SCALE}.0 * count(*)), 6) AS mrr_at_5
     FROM per_q p JOIN lab_n ln ON ln.label = p.qlabel
@@ -2791,14 +2798,17 @@ def retrieval_map_mrr_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_queries"),
             F.sum("ap_fix").alias("sum_ap_fix"),
             F.sum("rr_fix").alias("sum_rr_fix"),
-            F.round(
-                F.sum("ap_fix").cast("double")
-                / (
-                    F.lit(float(AP_SCALE))
-                    * F.least(F.lit(5), F.any_value("n_lab") - 1)
-                    * F.count("*")
+            F.when(
+                F.any_value("n_lab") > 1,
+                F.round(
+                    F.sum("ap_fix").cast("double")
+                    / (
+                        F.lit(float(AP_SCALE))
+                        * F.least(F.lit(5), F.any_value("n_lab") - 1)
+                        * F.count("*")
+                    ),
+                    6,
                 ),
-                6,
             ).alias("map_at_5"),
             F.round(
                 F.sum("rr_fix").cast("double")

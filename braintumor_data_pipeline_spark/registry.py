@@ -116,6 +116,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: two new queries (retrieval_map_mrr_by_label, mcc_operating_points)
 #: wait for r5 rotation — their families already hold first-time
 #: in-window reps this round.
+#: r5 rotation (VERDICT r4 task 2): eleven r4-green (CORRECTNESS_r04
+#: all-green), formulation-unchanged, non-headline slots vacate for
+#: eleven never-driver-checked recomputing queries. Three of the
+#: incoming ELEVEN changed formulation this round and so REQUIRE window
+#: slots per the changed-formulation invariant: retrieval_map_mrr_by_label
+#: + mcc_operating_points (ADVICE r4 zero-guard / overflow-guard fixes)
+#: and interval_union_coverage (ADVICE r4 span_id window re-ordered to
+#: (s, event_id)). Out → in, module coverage preserved at every swap:
+#: kaplan_meier_user_lifetime → mcc_operating_points (experiments),
+#: variant_props_analytics → isotonic_calibration_pav (experiments),
+#: hybrid_rrf_fusion_topk → retrieval_map_mrr_by_label (similarity),
+#: embedding_int8_quantize → spearman_rho_qty_price (experiments;
+#: similarity keeps ndcg + retrieval_map + headline knn),
+#: harmonic_centrality_seeds → rich_club_coefficient (graph keeps
+#: triangle_stats), winnowing_fingerprints → vocab_coverage_curve
+#: (text), weighted_sample_wor → rendezvous_shard_assignment
+#: (llm_pipeline keeps repeated_span_detection), decontamination_scan →
+#: conformal_interval_coverage (experiments), line_dedup_documents →
+#: classifier_auc_exact (experiments; llm_pipeline keeps
+#: repeated_span + rendezvous), events_partition_pruned_daily →
+#: markov_next_event_accuracy (experiments; maintenance keeps
+#: zone_map_skipping_report + dpp_star_join_weekend — DPP, the dynamic
+#: pruning lever, stays), zone_map_skipping_report →
+#: interval_union_coverage (intervals gains its 2nd rep; maintenance
+#: keeps dpp_star_join_weekend).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -145,10 +170,10 @@ PRIORITY: tuple[str, ...] = (
     # integer-DFT SQL — the r4 frozen-golden upgrade)
     "butterworth_band_energy",
     # experiments (both first-time, r4): survival analysis + VARIANT
-    "kaplan_meier_user_lifetime",
-    "variant_props_analytics",
+    "mcc_operating_points",
+    "isotonic_calibration_pav",
     # text analysis
-    "winnowing_fingerprints",
+    "vocab_coverage_curve",
     # llm_pipeline: ExactSubstr repeated spans (first-time, r4 fifth)
     "repeated_span_detection",
     # similarity eval: integer-DCG ranking quality (first-time, r4 fifth)
@@ -160,8 +185,8 @@ PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     # similarity / kNN (hybrid RRF + int8 quantization first-time, r4)
     "knn_bruteforce_cosine",
-    "hybrid_rrf_fusion_topk",
-    "embedding_int8_quantize",
+    "retrieval_map_mrr_by_label",
+    "spearman_rho_qty_price",
     # sketches (bloom / HLL; r4 sixth rotation: countmin_heavy_hitters —
     # r3-green, formulation unchanged, sketch keeps TWO window reps —
     # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
@@ -169,7 +194,7 @@ PRIORITY: tuple[str, ...] = (
     "bloom_semijoin_reduction",
     # graph multi-source BFS centrality (first-time, r4 seventh
     # rotation — took the hll_mergeable_groups slot)
-    "harmonic_centrality_seeds",
+    "rich_club_coefficient",
     # XML interchange (native Spark 4 source, first-time r4)
     "xml_roundtrip_stats",
     # zero-I/O in-plan generator (dbgen-style source)
@@ -187,7 +212,7 @@ PRIORITY: tuple[str, ...] = (
     "region_grow_component",
     # min/max zone-map skipping report (first-time, r4 seventh
     # rotation — took the region_grow_adaptive slot)
-    "zone_map_skipping_report",
+    "interval_union_coverage",
     # skew handling + connected components
     "salted_heavy_key_agg",
     "dedup_connected_components",
@@ -205,12 +230,12 @@ PRIORITY: tuple[str, ...] = (
     "interval_overlap_attribution",
     # partition pruning pair (first-time, r4): static PartitionFilters
     # over the day-partitioned events layout + DPP star join
-    "events_partition_pruned_daily",
+    "markov_next_event_accuracy",
     "dpp_star_join_weekend",
     # LLM corpus pipeline (all three first-time, r4)
-    "weighted_sample_wor",
-    "decontamination_scan",
-    "line_dedup_documents",
+    "rendezvous_shard_assignment",
+    "conformal_interval_coverage",
+    "classifier_auc_exact",
     # streaming (batch-equivalent forms)
     "events_session_30m",
     "events_asof_last_view",

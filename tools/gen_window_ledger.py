@@ -1,0 +1,116 @@
+"""Generate WINDOW_LEDGER.json — the machine-readable driver-evidence
+ledger (VERDICT r4 item 8).
+
+Source of truth is the driver's own per-round artifacts
+``CORRECTNESS_r*.json`` (never the registry's prose rotation log): for
+every query that ever held a driver window slot, record the rounds it
+was checked and whether the check was fully green (rows + schema +
+hash, no err). Emits:
+
+    {"rounds": [1, 2, ...],
+     "queries": {name: {"confirmed_rounds": [...],   # fully green
+                        "checked_rounds": [...],      # held a slot
+                        "in_registry": bool}},
+     "summary": {"cumulative_confirmed": N,
+                 "registered": M,
+                 "never_checked": M - N_in_registry}}
+
+so a judge can verify the cumulative-confirmed claim by reading one
+file and cross-checking any entry against the CORRECTNESS artifacts.
+
+Usage: python tools/gen_window_ledger.py            # write + print summary
+       python tools/gen_window_ledger.py --check    # exit 1 if the file
+                                                    # on disk is stale
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build() -> dict:
+    from braintumor_data_pipeline_spark import registry
+
+    registered = set(registry.all_queries())
+    rounds: list[int] = []
+    queries: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m[1])
+        rounds.append(rnd)
+        data = json.load(open(path))
+        for name, row in data.items():
+            if not isinstance(row, dict) or "rows_match" not in row:
+                continue  # non-query metadata keys, if the driver adds any
+            q = queries.setdefault(
+                name,
+                {
+                    "confirmed_rounds": [],
+                    "checked_rounds": [],
+                    "in_registry": name in registered,
+                },
+            )
+            q["checked_rounds"].append(rnd)
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if green:
+                q["confirmed_rounds"].append(rnd)
+    confirmed = {n for n, q in queries.items() if q["confirmed_rounds"]}
+    return {
+        "rounds": rounds,
+        "queries": dict(sorted(queries.items())),
+        "summary": {
+            "cumulative_confirmed": len(confirmed),
+            "checked_ever": len(queries),
+            "registered": len(registered),
+            "never_checked": len(registered - set(queries)),
+        },
+    }
+
+
+def main() -> int:
+    out_path = os.path.join(REPO, "WINDOW_LEDGER.json")
+    ledger = build()
+    if "--check" in sys.argv[1:]:
+        if not os.path.exists(out_path):
+            print("DRIFT  WINDOW_LEDGER.json missing", file=sys.stderr)
+            return 1
+        on_disk = json.load(open(out_path))
+        if on_disk != ledger:
+            print(
+                "DRIFT  WINDOW_LEDGER.json stale vs CORRECTNESS_r*.json — "
+                "regenerate with tools/gen_window_ledger.py",
+                file=sys.stderr,
+            )
+            return 1
+        print("ok: WINDOW_LEDGER.json consistent", file=sys.stderr)
+        return 0
+    with open(out_path, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    s = ledger["summary"]
+    print(
+        f"wrote WINDOW_LEDGER.json: {s['cumulative_confirmed']} queries "
+        f"driver-confirmed across rounds {ledger['rounds']}; "
+        f"{s['never_checked']} of {s['registered']} registered never held "
+        f"a slot",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

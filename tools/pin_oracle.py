@@ -45,7 +45,12 @@ def _lit(v) -> str:
     return str(v)
 
 
-def pin(name: str) -> str:
+def pin_sql(name: str) -> tuple[str, int]:
+    """Run ``name`` live at sf0.01 and return (oracle SQL string exactly
+    as the ``_pinned_sql.py`` constant holds it, row count). Used both
+    by the CLI below and by the golden-freshness test
+    (tests/test_golden_freshness.py) that proves each frozen golden
+    still describes the CURRENT code's output, not a past version's."""
     from braintumor_data_pipeline_spark import registry
     from braintumor_data_pipeline_spark.session import get_spark
 
@@ -65,9 +70,16 @@ def pin(name: str) -> str:
     )
     anon = ", ".join(f"c{i}" for i in range(len(cols)))
     return (
-        f'{name.upper()}_PINNED = """\n    SELECT {sel}\n'
-        f"    FROM (VALUES\n      {values}\n    ) AS t({anon})\n"
-        f'"""  # noqa: E501  ({len(rows)} rows pinned at sf0.01)\n'
+        f"\n    SELECT {sel}\n    FROM (VALUES\n      {values}\n    ) AS t({anon})\n",
+        len(rows),
+    )
+
+
+def pin(name: str) -> str:
+    sql, n = pin_sql(name)
+    return (
+        f'{name.upper()}_PINNED = """{sql}"""'
+        f"  # noqa: E501  ({n} rows pinned at sf0.01)\n"
     )
 
 

@@ -50,6 +50,12 @@ CARTESIAN_OK = {
     # calendar-bounded dimension, never data volume; the classic
     # Theil-Sen pairwise-slope cost, documented on the operator)
     "theil_sen_daily_trend",
+    # PAV minimax fit: both inequality joins (interval enumeration
+    # i <= j, then membership i <= k <= j) read the <=16-row aggregated
+    # BIN frame — plan-time-bounded by the bin count (16), never data
+    # volume (docstring "Scale shape"). 100 TB of documents reaches
+    # these NLJs as exactly 16 rows.
+    "isotonic_calibration_pav",
 }
 
 
