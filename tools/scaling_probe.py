@@ -307,6 +307,180 @@ def _repeated_spans_shape(spark, s: int):
     )
 
 
+def _clustered_corpus(spark, s: int):
+    """Duplicate-heavy skew corpus (VERDICT r4 task 5): 5k·s docs where
+    25% sit in 8 LARGE exact-dup clusters (each cluster ~156·s docs —
+    identical token streams, hence identical minhash signatures and
+    identical band signatures in EVERY band: the hottest possible LSH
+    keys), the rest unique. This is the shape real crawl data has and
+    the uniform-dup probes above do not: hot shingles and a band-sig
+    key whose bucket grows linearly with corpus size."""
+    docs = 5_000 * s
+    tok_per_doc = 50
+    n_clustered = docs // 4
+    t = spark.range(docs * tok_per_doc).select(
+        (F.col("id") / tok_per_doc).cast("long").alias("doc_id"),
+        (F.col("id") % tok_per_doc).alias("pos"),
+    )
+    # content seed: docs < n_clustered collapse to 8 identical streams
+    seed = F.when(
+        F.col("doc_id") < n_clustered, F.col("doc_id") % 8
+    ).otherwise(F.col("doc_id"))
+    return t.select(
+        "doc_id", _mix(seed * tok_per_doc + F.col("pos"), 77).alias("h0")
+    )
+
+
+def main_dedup_skew() -> int:
+    """Stress the dedup path on the clustered-duplicate corpus. Three
+    measurements per factor, mirroring the registered queries' plans:
+
+    1. GROUP path (minhash_dedup_groups shape): full-signature groupBy —
+       the production dedup path; must stay linear (min-aggregable
+       partials, hot signature handled by map-side combine).
+    2. Candidate VOLUME by bucket-count math (SCALE.md "blocking
+       evaluated by counting"): sum m(m-1)/2 over (band, band_sig)
+       buckets — an aggregation, never enumeration. Reports how many
+       pairs naive enumeration WOULD emit (quadratic in cluster size)
+       without paying for them.
+    3. STAR-REDUCED edge build + one propagation join (the
+       dedup_connected_components plan): output sum m per bucket, so
+       hot buckets cost linear rows; partial-aggregable hub min/count
+       means the hot (band, band_sig) key never serializes a partition.
+
+    Usage: python tools/scaling_probe.py dedup-skew [factors...]
+    """
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+    )
+
+    factors = [int(x) for x in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="dedup-skew-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def sigs_df(s: int):
+        tok = _clustered_corpus(spark, s)
+        hs = F.array(
+            *[
+                (F.lit(MINHASH_A[i]) * F.col("h0") + F.lit(MINHASH_B[i]))
+                % F.lit(1 << 32)
+                for i in range(MINHASH_K)
+            ]
+        )
+        return (
+            tok.select("doc_id", hs.alias("hs"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.col("hs")[i]).alias(f"m{i}")
+                    for i in range(MINHASH_K)
+                ]
+            )
+        )
+
+    n_bands = MINHASH_K // BAND_ROWS
+
+    def bands_of(sigs):
+        cols = []
+        for b in range(n_bands):
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{i}").cast("string")
+                                for i in range(
+                                    b * BAND_ROWS, (b + 1) * BAND_ROWS
+                                )
+                            ],
+                        )
+                    ).alias("band_sig"),
+                )
+            )
+        return sigs.select(
+            "doc_id", F.explode(F.array(*cols)).alias("bs")
+        ).select("doc_id", "bs.band", "bs.band_sig")
+
+    # untimed warmup of all three sub-plans
+    w = sigs_df(1).persist()
+    w.count()
+    bands_of(w).groupBy("band", "band_sig").count().count()
+    w.unpersist()
+
+    for s in factors:
+        sigs = sigs_df(s).persist()
+
+        # 1. group path
+        t0 = time.time()
+        sig_hash = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{i}").cast("string") for i in range(MINHASH_K)]
+            )
+        )
+        groups = (
+            sigs.select("doc_id", sig_hash.alias("sig"))
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        )
+        n_groups = groups.count()
+        t_group = time.time() - t0
+
+        bands = bands_of(sigs).persist()
+        # 2. candidate volume by counting (one aggregation, no pairs)
+        t0 = time.time()
+        vol = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("m"))
+            .agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("naive_pairs"),
+                F.max("m").alias("hot_bucket"),
+            )
+            .collect()[0]
+        )
+        t_count = time.time() - t0
+
+        # 3. star-reduced edges + one propagation join (the CC plan)
+        t0 = time.time()
+        hubs = bands.groupBy("band", "band_sig").agg(
+            F.min("doc_id").alias("hub"), F.count("*").alias("m")
+        )
+        star = (
+            bands.join(hubs.filter(F.col("m") > 1), ["band", "band_sig"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select("hub", "doc_id")
+            .distinct()
+        )
+        n_edges = star.count()
+        t_star = time.time() - t0
+
+        bands.unpersist()
+        sigs.unpersist()
+        print(
+            json.dumps(
+                {
+                    "shape": "clustered_dup_dedup",
+                    "factor": s,
+                    "docs": 5_000 * s,
+                    "clustered_docs": (5_000 * s) // 4,
+                    "n_groups": n_groups,
+                    "group_path_s": round(t_group, 3),
+                    "naive_candidate_pairs": int(vol["naive_pairs"]),
+                    "hot_bucket_m": int(vol["hot_bucket"]),
+                    "count_math_s": round(t_count, 3),
+                    "star_edges": n_edges,
+                    "star_path_s": round(t_star, 3),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 HEADLINE_SHAPES = {
     "star_join": _star_join_shape,
     "minhash_groups": _minhash_groups_shape,
@@ -351,4 +525,6 @@ def main_headline() -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup-skew":
+        raise SystemExit(main_dedup_skew())
     raise SystemExit(main())

@@ -57,9 +57,42 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+# Full-catalog sf0.1 sweep skip list (VERDICT r4 task 3): applied ONLY
+# when the sf_dir is sf0.1 (pass --no-skip to force-run). Two documented
+# classes, each with its one-line justification:
+#   (a) LSH pair-graph fixture degeneracy — at sf >= 0.1 the documents
+#       fixture's near-dup density makes the banding pair graph a
+#       near-clique, so every graph/components query *consuming that
+#       edge list* has a quadratic ORACLE (full closure / all-pairs
+#       CTEs in DuckDB); the Spark sides run fine (star-reduced /
+#       bucketed) — this is a fixture shape artifact, not an engine
+#       scale limit (SCALE.md "sf0.1 cross-engine" section).
+#   (b) DuckDB-side recursive-CTE blowup — oracles that replay
+#       per-pixel flood fill / per-row recursion in SQL take minutes to
+#       hours at 10x data while the Spark side stays in seconds; the
+#       oracle, not the operator, is the bottleneck.
+SKIP_SF01 = {
+    "pagerank_fixed_point": "(a) degenerate clique edge list; unrolled power-iteration oracle quadratic at sf0.1",
+    "triangle_stats": "(a) degenerate clique edge list; triangle-closure oracle cubic-ish at sf0.1",
+    "dedup_connected_components": "(a) oracle is deliberately independent FULL pair closure — quadratic on the sf0.1 clique",
+    "component_modularity": "(a) same full-closure components oracle as dedup_connected_components",
+    "bfs_levels_from_min_vertex": "(a) per-level frontier-replay oracle over the sf0.1 clique",
+    "link_prediction_common_neighbors": "(a) common-neighbor pair enumeration over the sf0.1 clique",
+    "sssp_weighted_bellman": "(a) Bellman-Ford edge-relaxation replay over the sf0.1 clique",
+    "kcore_peeling": "(a) iterative peeling replay over the sf0.1 clique",
+    "local_clustering_coefficient": "(a) wedge enumeration over the sf0.1 clique",
+    "degree_assortativity": "(a) degree-pair products over the sf0.1 clique edge list",
+    "harmonic_centrality_seeds": "(a) multi-source BFS replay over the sf0.1 clique",
+    "rich_club_coefficient": "(a) degree-threshold subgraph edge counts over the sf0.1 clique",
+    "region_grow_adaptive": "(b) DuckDB recursive flood-fill CTE measured 330 s at sf0.1 (Spark side 1.8 s) — r4 window run",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[2:]
+    no_skip = "--no-skip" in args
+    filters = [a for a in args if a != "--no-skip"]
 
     spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
@@ -74,10 +107,15 @@ def main() -> int:
         for n in specs
         if not filters or any(f in n for f in filters)
     ]
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_skip = 0
     failures = []
+    apply_skips = ("sf0.1" in sf_dir.rstrip("/").rsplit("/", 1)[-1]) and not no_skip
     for name in names:
         spec = specs[name]
+        if apply_skips and name in SKIP_SF01:
+            n_skip += 1
+            print(f"skip  {name}: {SKIP_SF01[name]}")
+            continue
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -133,9 +171,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {msg}")
 
+    skip_part = f", {n_skip} skipped" if n_skip else ""
     print(
-        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
-        f"{len(names)} total"
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+        f"{skip_part}, {len(names)} total"
     )
     if failures:
         print("failed:", " ".join(failures))
