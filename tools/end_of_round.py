@@ -1,0 +1,49 @@
+"""End-of-round gate (VERDICT r4 task 1): one judge-reproducible command
+that must exit 0 on the final tree before a round closes, so post-gate
+additions can never land unaudited again (r4 shipped a CRIT-flagged plan
+because the audit ran before the last commits).
+
+Runs, in order, and fails fast on the first red:
+
+  1. doc-count drift     tools/gen_catalog.py --check
+  2. window ledger       tools/gen_window_ledger.py --check
+  3. physical-plan audit tools/plan_audit.py  (full catalog, sf0.001)
+  4. correctness gate    tools/verify_local.py /root/testdata/sf0.01
+
+pytest is intentionally not included (it is its own CI surface and takes
+~10 min); run it separately. Usage: python tools/end_of_round.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STEPS = [
+    ("doc-count drift", [sys.executable, "tools/gen_catalog.py", "--check"]),
+    ("window ledger", [sys.executable, "tools/gen_window_ledger.py", "--check"]),
+    ("plan audit", [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
+    ("correctness gate", [sys.executable, "tools/verify_local.py", "/root/testdata/sf0.01"]),
+]
+
+
+def main() -> int:
+    for label, cmd in STEPS:
+        t0 = time.time()
+        print(f"==> {label}: {' '.join(cmd[1:])}", flush=True)
+        proc = subprocess.run(cmd, cwd=REPO)
+        dt = time.time() - t0
+        if proc.returncode != 0:
+            print(f"RED  {label} exited {proc.returncode} after {dt:.0f}s")
+            return 1
+        print(f"ok   {label} [{dt:.0f}s]", flush=True)
+    print("ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
