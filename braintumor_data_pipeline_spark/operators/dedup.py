@@ -500,9 +500,23 @@ def lsh_pairs_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, provably implied by the final one); (2) Spark's bounded
     levenshtein(a, b, t) abandons the DP once distance exceeds t, and
     any distance above ~0.2·max_len fails the final filter anyway, so
-    the bound changes no output, only cost."""
+    the bound changes no output, only cost.
+
+    Skew fix (r5, found by the sf0.1 full-catalog sweep): the pair
+    relation comes out of the band self-join PARTITIONED BY the band
+    key, so every pair from one hot bucket (a large dup cluster shares
+    identical band_sigs — at sf0.1 that is 9.5M pairs in ONE task) sits
+    in one partition, serializing the expensive levenshtein stage on a
+    single core. The verify stage needs no co-location whatsoever
+    (row-local map), so hash-REPARTITION the narrow 2-column pair
+    relation on (doc_a, doc_b) — pair keys are unique, hence uniform —
+    before the text join + DP. One extra exchange of 16 bytes/row buys
+    an even spread of the O(len·t) work; result identity is trivial
+    (repartition is a row-preserving reshuffle) and oracle-checked."""
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     da = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta"))
     db = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb"))
     la, lb = F.length("ta"), F.length("tb")

@@ -141,6 +141,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: pruning lever, stays), zone_map_skipping_report →
 #: interval_union_coverage (intervals gains its 2nd rep; maintenance
 #: keeps dpp_star_join_weekend).
+#: r5 second rotation: the sf0.1 full-catalog sweep exposed a real
+#: skew serialization in lsh_pairs_edit_verified (hot band key put all
+#: 9.5M clique pairs in ONE levenshtein task); the fix adds a uniform
+#: (doc_a, doc_b) repartition before the verify stage — a formulation
+#: change, so the query enters the window per the invariant.
+#: interval_overlap_attribution (r4-green, formulation unchanged)
+#: vacates; intervals keeps interval_union_coverage, dedup gains a
+#: 3rd rep.
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -227,7 +235,7 @@ PRIORITY: tuple[str, ...] = (
     "rcte_clamped_balance",
     # indexing / intervals
     "global_dense_ids_documents",
-    "interval_overlap_attribution",
+    "lsh_pairs_edit_verified",
     # partition pruning pair (first-time, r4): static PartitionFilters
     # over the day-partitioned events layout + DPP star join
     "markov_next_event_accuracy",

@@ -92,7 +92,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     args = sys.argv[2:]
     no_skip = "--no-skip" in args
-    filters = [a for a in args if a != "--no-skip"]
+    budget = 0.0  # per-query wall budget, 0 = unlimited
+    filters = []
+    for a in args:
+        if a == "--no-skip":
+            continue
+        if a.startswith("--budget="):
+            budget = float(a.split("=", 1)[1])
+            continue
+        filters.append(a)
 
     spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
@@ -117,6 +125,30 @@ def main() -> int:
             print(f"skip  {name}: {SKIP_SF01[name]}")
             continue
         t0 = time.time()
+        # per-query watchdog (--budget=N): a daemon timer cancels the
+        # running Spark jobs / interrupts the DuckDB query once the
+        # budget elapses, so one degenerate-fixture oracle can't stall
+        # an unattended full-catalog sweep — it surfaces as a TIMEOUT
+        # failure line instead.
+        watchdog = None
+        timed_out = []
+        if budget > 0:
+            import threading
+
+            def _cancel():
+                timed_out.append(True)
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    con.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+
+            watchdog = threading.Timer(budget, _cancel)
+            watchdog.daemon = True
+            watchdog.start()
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -124,11 +156,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {exc}")
+            kind = "TIMEOUT (spark)" if timed_out else "spark error"
+            print(f"FAIL  {name}: {kind}: {str(exc)[:200]}")
+            if watchdog:
+                watchdog.cancel()
             continue
         if spec.oracle is None or (
             spec.pinned_sf and spec.pinned_sf not in sf_dir
         ):
+            if watchdog:
+                watchdog.cancel()
             n_rows_only += 1
             why = "no oracle" if spec.oracle is None else (
                 f"golden pinned at {spec.pinned_sf}"
@@ -145,8 +182,13 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {exc}")
+            kind = "TIMEOUT (oracle)" if timed_out else "duckdb error"
+            print(f"FAIL  {name}: {kind}: {str(exc)[:200]}")
+            if watchdog:
+                watchdog.cancel()
             continue
+        if watchdog:
+            watchdog.cancel()
         ok = True
         msg = ""
         if sorted(scols) != sorted(ocols):
