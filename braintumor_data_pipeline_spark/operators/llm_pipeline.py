@@ -969,11 +969,18 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(tf) AS BIGINT) AS n_tok
       FROM feat GROUP BY doc_id
     )
+    -- score = raw256 / (256·n_tok) rounded to 6 decimals IN INTEGER
+    -- SPACE (half away from zero on BIGINTs): the rational can land
+    -- exactly on a .5 tie at the 6th decimal (e.g. -406/6400 =
+    -- -0.0634375 at sf0.1), where double round() tie-handling diverges
+    -- between engines; floor((2·|10^6·raw256| + den) // (2·den)) is
+    -- engine-identical exact arithmetic, then ONE IEEE division by 1e6
     SELECT doc_id,
            n_tok AS n_tokens,
-           round(CAST(raw256 AS DOUBLE) / 256 / n_tok, 6) AS score,
-           CAST(CASE WHEN CAST(raw256 AS DOUBLE) / 256 / n_tok > 0
-                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+           CAST(CASE WHEN raw256 < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(1000000 * raw256) + 256 * n_tok)
+                   // (2 * 256 * n_tok)) AS DOUBLE) / 1e6 AS score,
+           CAST(CASE WHEN raw256 > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM weighted
     ORDER BY doc_id
     """,
@@ -1020,12 +1027,20 @@ def linear_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("tf") * weight).alias("raw256"),
         F.sum("tf").alias("n_tok"),
     )
-    score = F.col("raw256").cast("double") / 256 / F.col("n_tok")
+    # 6-decimal rounding done in exact BIGINT space (half away from
+    # zero), then ONE IEEE division to present: the rational
+    # raw256/(256·n_tok) can land exactly on a .5 tie at the 6th
+    # decimal (sf0.1 doc 1982: -406/6400 = -0.0634375), where
+    # double-based round() tie-handling diverges across engines.
+    # |2·10⁶·raw256| ≤ 2.56·10⁸·n_tok — BIGINT-safe to n_tok ~ 3·10¹⁰.
+    score_fix = F.when(F.col("raw256") < 0, -1).otherwise(1) * F.expr(
+        "(2 * abs(1000000 * raw256) + 256 * n_tok) div (2 * 256 * n_tok)"
+    )
     return weighted.select(
         "doc_id",
         F.col("n_tok").alias("n_tokens"),
-        F.round(score, 6).alias("score"),
-        F.when(score > 0, 1).otherwise(0).cast("int").alias("keep"),
+        (score_fix.cast("double") / F.lit(1e6)).alias("score"),
+        F.when(F.col("raw256") > 0, 1).otherwise(0).cast("int").alias("keep"),
     ).orderBy("doc_id")
 
 

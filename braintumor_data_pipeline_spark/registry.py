@@ -149,6 +149,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: interval_overlap_attribution (r4-green, formulation unchanged)
 #: vacates; intervals keeps interval_union_coverage, dedup gains a
 #: 3rd rep.
+#: r5 third rotation: the sf0.1 full-catalog sweep caught
+#: linear_quality_classifier_scores on an exact .5 rounding tie at the
+#: 6th decimal (-406/6400) where double round() tie-handling diverges
+#: across engines; the fix moves the rounding into exact BIGINT space
+#: (half away from zero) on BOTH sides — a formulation change, so it
+#: enters the window. repeated_span_detection (r4-green, formulation
+#: unchanged) vacates; llm_pipeline keeps rendezvous_shard_assignment
+#: plus the entering query.
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -183,7 +191,7 @@ PRIORITY: tuple[str, ...] = (
     # text analysis
     "vocab_coverage_curve",
     # llm_pipeline: ExactSubstr repeated spans (first-time, r4 fifth)
-    "repeated_span_detection",
+    "linear_quality_classifier_scores",
     # similarity eval: integer-DCG ranking quality (first-time, r4 fifth)
     "ndcg_label_relevance",
     # graph (first-time, r4)

@@ -85,6 +85,7 @@ SKIP_SF01 = {
     "harmonic_centrality_seeds": "(a) multi-source BFS replay over the sf0.1 clique",
     "rich_club_coefficient": "(a) degree-threshold subgraph edge counts over the sf0.1 clique",
     "region_grow_adaptive": "(b) DuckDB recursive flood-fill CTE measured 330 s at sf0.1 (Spark side 1.8 s) — r4 window run",
+    "lsh_pairs_edit_verified": "(b) oracle is UNBOUNDED levenshtein over the 9.5M clique pairs (>600 s, interrupted); Spark side 25.6 s after the r5 repartition fix",
 }
 
 
