@@ -906,3 +906,105 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("harmonic_fix").desc(), "source_doc")
     )
+
+
+@register(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e
+      ) GROUP BY v
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_parts, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(3 * n_triangles AS DOUBLE) / n_wedges
+           END AS transitivity
+    FROM agg, tri
+    """,
+    tags=("graph", "join", "relational"),
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the part CO-PURCHASE graph (parts sharing an
+    order are connected) — the graph-family operator on a DATA-DERIVED,
+    NON-DEGENERATE edge list, so unlike the LSH-pair graph it stays
+    cross-engine verifiable at every SF (the sf0.1 skip-list class (a)
+    does not apply here).
+
+    Scale shape: edge enumeration is the lineitem self-join on
+    l_orderkey — per-order pair fan-out is C(items, 2) <= C(7, 2) = 21
+    (TPC-H order size is business-bounded, independent of corpus
+    scale), so edges are linear in orders. Triangles use the oriented
+    two-hop join (pa < pb < pc, each triangle counted once at its
+    lowest vertex); wedges are one partial-aggregable degree pass.
+    Transitivity = 3*tri/wedges, an int/int division both engines
+    compute identically, NULL-guarded for the empty-graph edge."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.pa") == F.col("e1.pa"))
+            & (F.col("e2.pb") > F.col("e1.pb")),
+        )
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pb"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_parts"),
+        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return agg.crossJoin(tri).select(
+        "n_parts",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges"),
+        ).alias("transitivity"),
+    )
