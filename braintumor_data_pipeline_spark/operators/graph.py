@@ -1008,3 +1008,104 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges"),
         ).alias("transitivity"),
     )
+
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+"""
+
+
+@register(
+    "copurchase_pagerank_top20",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT p_partkey FROM part),
+    params AS (
+      SELECT CAST({PR_SCALE} // count(*) AS BIGINT) AS base FROM part
+    ),
+    it0 AS (SELECT p_partkey, (SELECT base FROM params) AS pr FROM nodes),
+    """ + ",\n    ".join(
+        f"""in{k} AS (
+      SELECT e.dst AS p_partkey, CAST(sum(p.pr // d.deg) AS BIGINT) AS inflow
+      FROM edges e
+      JOIN it{k - 1} p ON p.p_partkey = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    it{k} AS (
+      SELECT n.p_partkey,
+             ({_D_DEN - _D_NUM} * (SELECT base FROM params)) // {_D_DEN}
+             + ({_D_NUM} * coalesce(i.inflow, 0)) // {_D_DEN} AS pr
+      FROM nodes n LEFT JOIN in{k} i USING (p_partkey)
+    )"""
+        for k in range(1, PR_ITERS + 1)
+    ) + f"""
+    SELECT p_partkey, pr FROM it{PR_ITERS}
+    ORDER BY pr DESC, p_partkey LIMIT 20
+    """,
+    tags=("graph", "iterative", "relational"),
+)
+def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank hub parts of the co-purchase graph — the ITERATIVE
+    graph operator on the data-derived, non-degenerate edge list
+    (see ``copurchase_triangle_stats``), so unlike the LSH-graph
+    iterative family its unrolled oracle stays cross-engine verifiable
+    at sf0.1. Same BIGINT fixed-point recurrence as
+    ``pagerank_fixed_point`` (integer mass {PR_SCALE}, damping
+    {_D_NUM}/{_D_DEN} as an exact ratio, floor division everywhere —
+    bit-reproducible under any partitioning); nodes are ALL parts, so
+    never-co-purchased parts keep the teleport term only. Output is
+    the top-20 hubs with a total-order tie-break (pr DESC, p_partkey),
+    so both engines cut the identical prefix."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    base = part.agg(
+        F.expr(f"cast({PR_SCALE} div count(*) as bigint)").alias("base")
+    )
+    pr = part.crossJoin(F.broadcast(base)).select(
+        "p_partkey", F.col("base").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.p_partkey)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("p_partkey"),
+                F.expr("pr div deg").alias("share"),
+            )
+        )
+        inflow = contrib.groupBy("p_partkey").agg(
+            F.sum("share").alias("inflow")
+        )
+        pr = (
+            part.join(inflow, "p_partkey", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "p_partkey",
+                (
+                    F.expr(f"({_D_DEN - _D_NUM} * base) div {_D_DEN}")
+                    + F.expr(
+                        f"({_D_NUM} * coalesce(inflow, 0L)) div {_D_DEN}"
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.orderBy(F.col("pr").desc(), "p_partkey").limit(20)
