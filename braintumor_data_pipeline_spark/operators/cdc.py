@@ -279,3 +279,96 @@ def log_compaction_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_op_us", "value_cents")
         .orderBy("user_id")
     )
+
+
+@register(
+    "state_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      GROUP BY user_id, wk
+    ),
+    snap_b AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events
+      GROUP BY user_id, wk
+    ),
+    diff AS (
+      SELECT CASE
+               WHEN a.user_id IS NULL THEN 'added'
+               WHEN b.user_id IS NULL THEN 'removed'
+               WHEN md5(CAST(a.n_events AS VARCHAR) || '|'
+                        || CAST(a.total_cents AS VARCHAR))
+                    = md5(CAST(b.n_events AS VARCHAR) || '|'
+                          || CAST(b.total_cents AS VARCHAR))
+                 THEN 'unchanged'
+               ELSE 'changed'
+             END AS change_kind
+      FROM snap_a a FULL OUTER JOIN snap_b b USING (user_id, wk)
+    )
+    SELECT change_kind, CAST(count(*) AS BIGINT) AS n_keys
+    FROM diff GROUP BY change_kind
+    ORDER BY change_kind
+    """,
+    tags=("cdc", "join", "audit"),
+)
+def state_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two materializations of a keyed state
+    table — the data-ops audit run after every incremental pipeline
+    deploy ("did the rebuild change rows it shouldn't have?"): full
+    outer join on the key, rows compared by a CONTENT HASH of the
+    state columns (the generic contract — at 100 TB the hash is
+    computed per side in the scan projection and only the 16-byte
+    digest crosses the shuffle, never the wide row). Here snapshot A is
+    per-(user, week) event state at the day-15 watermark and snapshot B
+    the full-corpus rebuild of the same state
+    (removed is structurally 0 — event state only grows; the column
+    exists because a real tombstoning pipeline produces it). One
+    aggregation per snapshot + one key-partitioned join. The state key
+    is (user, ISO week): weeks fully before the watermark come out
+    unchanged, the week straddling it changed, later weeks added — all
+    three classes populated from honest late-arriving-data semantics."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def snap(df):
+        return df.groupBy(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    a = snap(e.filter(F.col("ts") < cut))
+    b = snap(e)
+    row_hash = lambda p: F.md5(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.col(f"{p}.n_events").cast("string"),
+            F.col(f"{p}.total_cents").cast("string"),
+        )
+    )
+    diff = (
+        a.alias("a")
+        .join(b.alias("b"), ["user_id", "wk"], "full_outer")
+        .select(
+            F.when(F.col("a.n_events").isNull(), "added")
+            .when(F.col("b.n_events").isNull(), "removed")
+            .when(row_hash("a") == row_hash("b"), "unchanged")
+            .otherwise("changed")
+            .alias("change_kind")
+        )
+    )
+    return (
+        diff.groupBy("change_kind")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("change_kind")
+    )

@@ -5004,3 +5004,162 @@ def mcc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(has_rates, F.round(tpr + tnr - 1, 6)).alias("youden_j"),
     ).orderBy("threshold")
+
+
+@register(
+    "cuped_adjusted_uplift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM per_user
+    ),
+    t AS (
+      SELECT n, sx,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS cnum,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS dxx,
+             CAST(CAST(n AS DECIMAL(38,0)) * syy
+                  - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS dyy
+      FROM g
+    ),
+    arm AS (
+      SELECT {_ARM_SQL} AS arm,
+             CAST(count(*) AS BIGINT) AS na,
+             CAST(sum(x) AS BIGINT) AS sxa,
+             CAST(sum(y) AS BIGINT) AS sya
+      FROM per_user GROUP BY 1
+    )
+    SELECT a.arm, a.na AS n_users,
+           CAST(CASE WHEN a.sya < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(1000000 * a.sya) + 100 * a.na)
+                   // (2 * 100 * a.na)) AS DOUBLE) / 1e6 AS mean_post,
+           CASE WHEN t.dxx > 0 THEN
+             round((CAST(a.sya AS DOUBLE) / a.na
+                    - (t.cnum / t.dxx)
+                      * (CAST(a.sxa AS DOUBLE) / a.na
+                         - CAST(t.sx AS DOUBLE) / t.n)) / 100, 6)
+           END AS mean_cuped,
+           CASE WHEN t.dxx > 0 AND t.dyy > 0 THEN
+             round(t.cnum * t.cnum / (t.dxx * t.dyy), 6)
+           END AS var_reduction
+    FROM arm a, t
+    ORDER BY a.arm
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance-reduced A/B uplift — the standard production
+    experimentation estimator: per-user post-period purchase cents (y)
+    adjusted by the pooled regression on pre-period cents (x),
+    mean_cuped = mean(y) − θ·(mean(x|arm) − mean(x)), with
+    θ = cov(x,y)/var(x) and the achievable variance reduction ρ²(x,y).
+
+    Engine-exact by the module's integer-algebra rule: every moment
+    (n, Σx, Σy, Σx², Σxy, Σy²) is an exact integer (DECIMAL(38,0) for
+    the product sums — cents² × users overflows BIGINT at scale); θ and
+    ρ² are fixed-shape float expressions over those exact integers
+    (identical IEEE on both engines), and the pure-rational mean_post
+    is rounded in BIGINT space (half away from zero) to dodge .5 ties
+    at the 6th decimal. Plan: one user-grain partial-aggregable groupBy,
+    one 2-row arm aggregate, one scalar broadcast — 100 TB-shaped.
+    Zero-variance covariate (dxx = 0) degrades to NULL adjustments."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    pu = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < cut),
+                cents,
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+                cents,
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    g = pu.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    ).select(
+        "n",
+        "sx",
+        F.expr(
+            "cast(cast(n as decimal(38,0)) * sxy"
+            " - cast(sx as decimal(38,0)) * sy as double)"
+        ).alias("cnum"),
+        F.expr(
+            "cast(cast(n as decimal(38,0)) * sxx"
+            " - cast(sx as decimal(38,0)) * sx as double)"
+        ).alias("dxx"),
+        F.expr(
+            "cast(cast(n as decimal(38,0)) * syy"
+            " - cast(sy as decimal(38,0)) * sy as double)"
+        ).alias("dyy"),
+    )
+    arm = pu.groupBy(_arm().alias("arm")).agg(
+        F.count("*").alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    mean_post = (
+        F.when(F.col("sya") < 0, -1).otherwise(1)
+        * F.expr("(2 * abs(1000000 * sya) + 100 * na) div (2 * 100 * na)")
+    ).cast("double") / F.lit(1e6)
+    return (
+        arm.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            F.col("na").alias("n_users"),
+            mean_post.alias("mean_post"),
+            F.when(
+                F.col("dxx") > 0,
+                F.round(
+                    (
+                        F.col("sya").cast("double") / F.col("na")
+                        - (F.col("cnum") / F.col("dxx"))
+                        * (
+                            F.col("sxa").cast("double") / F.col("na")
+                            - F.col("sx").cast("double") / F.col("n")
+                        )
+                    )
+                    / 100,
+                    6,
+                ),
+            ).alias("mean_cuped"),
+            F.when(
+                (F.col("dxx") > 0) & (F.col("dyy") > 0),
+                F.round(
+                    F.col("cnum") * F.col("cnum")
+                    / (F.col("dxx") * F.col("dyy")),
+                    6,
+                ),
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

@@ -71,7 +71,12 @@ def _all_nlj_are_scalar_broadcasts(plan: str) -> bool:
     n_joins = plan.count("BroadcastNestedLoopJoin")
     n_scalar = 0
     for m in re.finditer(r"BroadcastExchange IdentityBroadcastMode", plan):
-        tail = plan[m.end() : m.end() + 500]
+        # window must span the skippable Project/Filter lines between
+        # the exchange and the aggregate — a Project carrying wide
+        # post-aggregate expressions (e.g. DECIMAL(38) covariance
+        # algebra) alone can exceed 500 chars, so size for a few such
+        # lines, not one
+        tail = plan[m.end() : m.end() + 6000]
         for ln in tail.splitlines()[1:]:
             op = ln.strip(" :+-")
             if not op or op.startswith(("Filter", "Project", "ColumnarToRow")):
