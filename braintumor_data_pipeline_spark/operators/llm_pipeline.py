@@ -1614,3 +1614,125 @@ from ..registry import _REGISTRY as _R  # noqa: E402
 
 _R["greedy_set_cover_top5"].oracle = _set_cover_oracle()
 del _R
+
+
+@register(
+    "source_frequency_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "selection", "window"),
+)
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the crawl-curation stage that
+    stops any one domain from dominating the corpus: keep at most 10
+    docs per source, priority = (n_chars DESC, doc_id) so the cut is a
+    total order and both engines keep the identical prefix. One
+    source-partitioned window (uniform keys — source cardinality grows
+    with the corpus, and a pathological mega-domain is exactly what the
+    cap bounds: its partition processes then truncates to 10). Census
+    output: kept/dropped doc and char counts per source."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 10, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(
+                F.when(F.col("rn") <= 10, F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "jackknife_source_influence",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(n_chars) AS BIGINT) AS sg
+      FROM documents GROUP BY source
+    )
+    SELECT p.source, p.ng AS n_docs,
+           p.sg * g.n - g.s * p.ng AS influence_num,
+           g.n * (g.n - p.ng) AS influence_den,
+           CAST(CASE WHEN p.sg * g.n - g.s * p.ng < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(1000000 * (p.sg * g.n - g.s * p.ng))
+                    + g.n * (g.n - p.ng))
+                   // (2 * g.n * (g.n - p.ng))) AS BIGINT)
+             AS influence_micro
+    FROM per p, g
+    ORDER BY p.source
+    """,
+    tags=("llm", "stats", "audit"),
+)
+def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-SOURCE-out influence on the corpus mean doc length —
+    the data-debugging question "which source most skews my statistic"
+    answered ALGEBRAICALLY: influence_g = mean(all) − mean(without g)
+    = (s_g·N − S·n_g) / (N·(N − n_g)), all from ONE global (N, S) pair
+    and per-source partials — never a per-group recompute, so cost is
+    one aggregation regardless of group count. The exact integer
+    numerator/denominator ARE the hash signal; influence_micro is the
+    same rational rounded to micro-chars in BIGINT space (half away
+    from zero — no float round() tie exposure). BIGINT-safe while
+    s_g·N < 2^63 (~10⁹ docs of 10³ chars); past that the products move
+    to DECIMAL(38,0) unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("ng"), F.sum("n_chars").alias("sg")
+    )
+    num = F.col("sg") * F.col("n") - F.col("s") * F.col("ng")
+    den = F.col("n") * (F.col("n") - F.col("ng"))
+    micro = (
+        F.when(num < 0, -1).otherwise(1)
+        * F.expr(
+            "(2 * abs(1000000 * (sg * n - s * ng)) + n * (n - ng))"
+            " div (2 * n * (n - ng))"
+        )
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("ng").alias("n_docs"),
+            num.alias("influence_num"),
+            den.alias("influence_den"),
+            micro.alias("influence_micro"),
+        )
+        .orderBy("source")
+    )
