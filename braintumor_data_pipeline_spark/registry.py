@@ -157,6 +157,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: enters the window. repeated_span_detection (r4-green, formulation
 #: unchanged) vacates; llm_pipeline keeps rendezvous_shard_assignment
 #: plus the entering query.
+#: r5 fourth rotation (coverage amortization): six more r4-confirmed,
+#: formulation-unchanged, non-headline slots vacate for never-checked
+#: queries, every swap inside the SAME module so family coverage holds
+#: by construction — q21_sole_returning_supplier →
+#: q9_product_type_profit (tpch_shapes), butterworth_band_energy →
+#: edge_spectrum_agreement (imaging_udf — the X15 exact spectral
+#: companion gets its first slot), bpe_learn_merges → bpe_encode_stats
+#: (bpe), scd2_point_in_time_enrich → state_snapshot_diff (cdc — the
+#: new r5 rebuild audit), triangle_stats → copurchase_pagerank_top20
+#: (graph — the new non-degenerate-graph iterative op),
+#: cusum_changepoint_daily → user_activity_streaks (timeseries).
+#: All six incoming are sf0.01-gate green, sf0.1 cross-engine green,
+#: and in the 342/342 determinism certificate.
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -168,23 +181,23 @@ PRIORITY: tuple[str, ...] = (
     "rollup_lineitem",
     "histogram_totalprice",
     # CDC: SCD-2 point-in-time enrichment (first-time, r4)
-    "scd2_point_in_time_enrich",
+    "state_snapshot_diff",
     # timeseries (cusum first-time, r4)
-    "cusum_changepoint_daily",
+    "user_activity_streaks",
     # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
     # once-green r3, formulation unchanged, timeseries keeps cusum —
     # vacates for bpe_learn_merges, whose ORACLE changed this round
     # from a frozen golden to the 30-round training replay: changed
     # formulations get driver confirmation, and the bpe module's new
     # recomputing tier needs its window slot per the smoke invariant)
-    "bpe_learn_merges",
+    "bpe_encode_stats",
     # TPC-H shapes
-    "q21_sole_returning_supplier",
+    "q9_product_type_profit",
     # analytics (first-time, r4 fifth rotation: distributed skyline)
     "pareto_frontier_orders",
     # imaging UDF path (applyInPandas numpy, hash-checked vs exact
     # integer-DFT SQL — the r4 frozen-golden upgrade)
-    "butterworth_band_energy",
+    "edge_spectrum_agreement",
     # experiments (both first-time, r4): survival analysis + VARIANT
     "mcc_operating_points",
     "isotonic_calibration_pav",
@@ -195,7 +208,7 @@ PRIORITY: tuple[str, ...] = (
     # similarity eval: integer-DCG ranking quality (first-time, r4 fifth)
     "ndcg_label_relevance",
     # graph (first-time, r4)
-    "triangle_stats",
+    "copurchase_pagerank_top20",
     # dedup
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
