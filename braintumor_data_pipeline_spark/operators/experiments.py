@@ -1006,8 +1006,15 @@ def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-event distribution: seconds from a user's first view to
     their first purchase (converters only), summarized by discrete
     order statistics (the value at rank ⌈q·n⌉ — an actual datum, exact
-    in integer seconds). One user-grain conditional-min rollup, then
-    the rank window over the already-aggregated per-user durations."""
+    in integer seconds). One user-grain conditional-min rollup, then a
+    cumulative count over the distinct-duration grain.
+
+    Scale shape (r6 rework, VERDICT r5 task 6): |distinct dur_s| is
+    bounded only by the observed time span in seconds — a data-grown
+    frame — so the cumulative count is the blocked two-level prefix
+    sum (indexing.blocked_cumsum: parallel within-block running sums +
+    broadcast offsets from ≤RANGE_BLOCKS per-block partials), never a
+    single-partition window over the duration grain."""
     e = _t(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
@@ -1027,12 +1034,14 @@ def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("dur_s")
     )
+    from .indexing import blocked_cumsum
+
     per_d = durs.groupBy("dur_s").agg(F.count("*").alias("c"))
-    wc = Window.partitionBy().orderBy("dur_s")
-    cum = per_d.select(
-        "dur_s",
-        F.sum("c").over(wc).alias("cum_c"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+    tot = per_d.agg(F.sum("c").alias("n"))
+    cum = (
+        blocked_cumsum(per_d, "dur_s", "c", "cum_c")
+        .crossJoin(F.broadcast(tot))
+        .select("dur_s", "cum_c", "n")
     )
     med_rank = F.floor((F.col("n") + 1) / 2).cast("long")
     p90_rank = F.floor((9 * F.col("n") + 9) / 10).cast("long")
@@ -1301,18 +1310,33 @@ def psi_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift/gains table: users ranked by purchase spend, split
     into 10 equal buckets; per decile — revenue share, cumulative share
-    (the Lorenz/gains curve) and lift vs uniform. The ntile runs over
-    the user-grain AGGREGATE (one row per user, not per event); all
-    monetary math is exact cents with one float division per output
-    cell. Deterministic tie-break: (cents DESC, user_id)."""
+    (the Lorenz/gains curve) and lift vs uniform. All monetary math is
+    exact cents with one float division per output cell. Deterministic
+    tie-break: (cents DESC, user_id).
+
+    Scale shape (r6 rework, VERDICT r5 task 1): the user-grain spend
+    frame grows with the corpus, so the decile is the blocked global
+    rank (indexing.blocked_rank — no single-partition exchange over
+    user-grain rows) + the exact SQL-remainder ntile formula
+    (indexing.exact_ntile) against the broadcast user count; the
+    remaining cum-share window runs over the 10-row decile aggregate
+    (plan-time-bounded — GLOBAL_WINDOW_OK). Oracle keeps DuckDB's
+    native ntile, proving bucket-identical output."""
+    from .indexing import blocked_rank, exact_ntile
+
     e = _t(spark, sf_dir, "events")
     spend = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .withColumn("_negc", -F.col("cents"))
     )
-    wr = Window.partitionBy().orderBy(F.desc("cents"), "user_id")
-    ranked = spend.select("cents", F.ntile(10).over(wr).alias("decile"))
+    total = spend.agg(F.count("*").alias("_n"))
+    ranked = (
+        blocked_rank(spend, "_negc", "user_id")
+        .crossJoin(F.broadcast(total))
+        .select("cents", exact_ntile("_rank", "_n", 10).alias("decile"))
+    )
     per_d = ranked.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("cents").alias("cents")
     )
@@ -2967,9 +2991,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (days since last purchase, integer), frequency and monetary
     (exact cents); each scored into quintiles (score 1 = best) with
     user_id tie-breaks so bucket membership is engine-identical; then
-    the segment-grid rollup (counts + average spend). The ntile windows
-    run over the USER-grain aggregate — at 100 TB that relation is
-    |users|, not |events|, and each window is one ordered pass."""
+    the segment-grid rollup (counts + average spend).
+
+    Scale shape (r6 rework, VERDICT r5 task 1): the user-grain frame
+    grows with the corpus, so the three quintile scores are NOT ntile
+    windows — each is the blocked global rank (indexing.blocked_rank:
+    range-block → parallel per-block row_number → broadcast prefix-sum
+    offsets over ≤RANGE_BLOCKS count rows) fed into the exact
+    SQL-remainder ntile formula (indexing.exact_ntile) against the
+    broadcast user total. No single-partition exchange ever sees
+    user-grain rows; the oracle keeps DuckDB's native ntile, proving
+    the blocked plan computes the identical bucketing."""
     e = _t(spark, sf_dir, "events")
     ref = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
     per_user = (
@@ -2990,14 +3022,25 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_cents",
         )
     )
-    scored = per_user.select(
-        F.ntile(5).over(Window.partitionBy().orderBy("r_days", "user_id")).alias("r_score"),
-        F.ntile(5)
-        .over(Window.partitionBy().orderBy(F.desc("f_cnt"), "user_id"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.partitionBy().orderBy(F.desc("m_cents"), "user_id"))
-        .alias("m_score"),
+    from .indexing import blocked_rank, exact_ntile
+
+    per_user = per_user.withColumn("_negf", -F.col("f_cnt")).withColumn(
+        "_negm", -F.col("m_cents")
+    )
+    total = per_user.agg(F.count("*").alias("_n"))
+    ranked = blocked_rank(per_user, "r_days", "user_id").withColumnRenamed(
+        "_rank", "_rr"
+    )
+    ranked = blocked_rank(ranked, "_negf", "user_id").withColumnRenamed(
+        "_rank", "_rf"
+    )
+    ranked = blocked_rank(ranked, "_negm", "user_id").withColumnRenamed(
+        "_rank", "_rm"
+    )
+    scored = ranked.crossJoin(F.broadcast(total)).select(
+        exact_ntile("_rr", "_n", 5).alias("r_score"),
+        exact_ntile("_rf", "_n", 5).alias("f_score"),
+        exact_ntile("_rm", "_n", 5).alias("m_score"),
         "m_cents",
     )
     return (
@@ -3829,17 +3872,18 @@ def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct score, 2·avg_rank = 2·below + m + 1, so
     2·R1 = Σ p·(2·below + m + 1) is a BIGINT and the only float is the
     final division. Shuffle profile: one partial-aggregable groupBy on
-    the score, then a prefix-sum window over the already-aggregated
-    distinct-score grain (≤ one row per distinct score — the
-    aggregated-frame window pattern the plan audit allowlists)."""
+    the score, then — because |distinct scores| is a data-grown grain
+    (rationals c/n over per-doc token counts), NOT plan-time-bounded —
+    the below-rank prefix sum is the blocked two-level form
+    (indexing.blocked_cumsum, r6 rework per VERDICT r5 task 6): no
+    single-partition exchange ever sees the score grain."""
+    from .indexing import blocked_cumsum
+
     scored = _stop_score(spark, sf_dir)
     per_s = scored.groupBy("score").agg(
         F.count("*").alias("m"), F.sum("y").alias("p")
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_s.withColumn(
-        "below", F.coalesce(F.sum("m").over(w), F.lit(0))
-    )
+    ranked = blocked_cumsum(per_s, "score", "m", "below", inclusive=False)
     tot = ranked.agg(
         F.sum(F.col("p") * (2 * F.col("below") + F.col("m") + 1)).alias(
             "two_r1"
@@ -5079,7 +5123,13 @@ def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ρ² are fixed-shape float expressions over those exact integers
     (identical IEEE on both engines), and the pure-rational mean_post
     is rounded in BIGINT space (half away from zero) to dodge .5 ties
-    at the 6th decimal. Plan: one user-grain partial-aggregable groupBy,
+    at the 6th decimal. mean_post headroom (ADVICE r5): its binding
+    term is 2·10⁶·|Σy_arm|, BIGINT-safe while an arm's post-period
+    cents stay under 2^61/10⁶ ≈ $46B — far above any fixture but NOT
+    "any 100 TB": past that, route the 10⁶-scaled rounding through
+    DECIMAL(38,0) exactly like the sxx/sxy/syy moments (both engines
+    overflow together today, so parity is never at risk — only range).
+    Plan: one user-grain partial-aggregable groupBy,
     one 2-row arm aggregate, one scalar broadcast — 100 TB-shaped.
     Zero-variance covariate (dxx = 0) degrades to NULL adjustments."""
     e = _t(spark, sf_dir, "events")

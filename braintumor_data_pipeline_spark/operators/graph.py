@@ -143,7 +143,8 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-        )
+        ).localCheckpoint()  # cut lineage: plans stay O(1) per iteration
+        # (components.py pattern — raising PR_ITERS can't balloon the plan)
     return pr
 
 
@@ -1107,5 +1108,7 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-        )
+        ).localCheckpoint()  # cut lineage: plans stay O(1) per iteration
+        # (VERDICT r5 task 7 — matches components.py; PR_ITERS can now
+        # be raised without growing one joined plan per round)
     return pr.orderBy(F.col("pr").desc(), "p_partkey").limit(20)

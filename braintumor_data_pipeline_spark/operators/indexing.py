@@ -76,3 +76,109 @@ def global_dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — identical output, scalable plan."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return dense_ids(docs, "lang", "doc_id").select("doc_id", "lang", "gid")
+
+
+#: Range-block count for the value-keyed rank/cumsum helpers below. A
+#: PLAN-TIME constant: the per-block count aggregate that feeds the
+#: prefix-sum window is at most this many rows no matter the data
+#: volume, which is what makes that window's single partition benign
+#: (and what tools/plan_audit.py's GLOBAL_WINDOW_OK entries cite).
+RANGE_BLOCKS = 1024
+
+
+def _with_range_block(df: DataFrame, key_col: str) -> DataFrame:
+    """Append ``_blk`` ∈ [0, RANGE_BLOCKS): a deterministic, MONOTONE
+    function of ``key_col`` (equal keys ⇒ equal block; larger key ⇒
+    same-or-larger block), derived from the broadcast global min/max so
+    the assignment is retry/speculation stable — never
+    ``spark_partition_id``. Monotonicity is all correctness needs
+    (blocks are contiguous key ranges); IEEE double division only
+    shifts block BALANCE, never results, because every downstream sort
+    orders by the true key within the block."""
+    b = df.agg(
+        F.min(key_col).cast("double").alias("_mn"),
+        F.max(key_col).cast("double").alias("_mx"),
+    )
+    span = (F.col("_mx") - F.col("_mn")) / F.lit(float(RANGE_BLOCKS))
+    blk = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(key_col).cast("double") - F.col("_mn")) / span),
+            F.lit(RANGE_BLOCKS - 1),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .withColumn("_blk", blk.cast("long"))
+        .drop("_mn", "_mx")
+    )
+
+
+def blocked_rank(df: DataFrame, key_col: str, tiebreak_col: str) -> DataFrame:
+    """Append ``_rank``: the global ``row_number() OVER (ORDER BY
+    key_col, tiebreak_col)`` computed WITHOUT a data-grain
+    single-partition window — range-block the key space
+    (RANGE_BLOCKS blocks), row_number within each block in parallel,
+    and add per-block offsets from the prefix-sum over the ≤RANGE_BLOCKS
+    per-block counts (the only global window, plan-time-bounded).
+    For DESC order pass a negated key column. This is the scale-safe
+    replacement for ``ntile/row_number OVER (ORDER BY …)`` on
+    data-grain frames (VERDICT r5 task 1)."""
+    blocked = _with_range_block(df, key_col)
+    counts = blocked.groupBy("_blk").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_blk", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    wblk = Window.partitionBy("_blk").orderBy(key_col, tiebreak_col)
+    return (
+        blocked.join(F.broadcast(offsets), "_blk")
+        .withColumn("_rank", F.row_number().over(wblk) + F.col("_off"))
+        .drop("_blk", "_off")
+    )
+
+
+def blocked_cumsum(
+    df: DataFrame, key_col: str, val_col: str, out_col: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: the running ``sum(val_col) OVER (ORDER BY
+    key_col)`` for frames whose rows are DISTINCT on ``key_col``
+    (e.g. a groupBy(key) aggregate), via the same two-level plan as
+    :func:`blocked_rank`: per-block partial sums (≤RANGE_BLOCKS rows)
+    prefix-summed globally, plus a parallel within-block running sum.
+    ``inclusive=False`` gives the ROWS … AND 1 PRECEDING frame."""
+    blocked = _with_range_block(df, key_col)
+    bsums = blocked.groupBy("_blk").agg(F.sum(val_col).alias("_bsum"))
+    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bsums.select(
+        "_blk", F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_off")
+    )
+    hi = 0 if inclusive else -1
+    wblk = (
+        Window.partitionBy("_blk")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.coalesce(F.sum(val_col).over(wblk), F.lit(0))
+    return (
+        blocked.join(F.broadcast(offsets), "_blk")
+        .withColumn(out_col, local + F.col("_off"))
+        .drop("_blk", "_off")
+    )
+
+
+def exact_ntile(rank_expr: str, n_expr: str, k: int) -> "F.Column":
+    """SQL-standard ``ntile(k)`` from a precomputed global rank and
+    total count (both SQL expression strings over BIGINTs): with
+    q = n div k and rem = n mod k, the first ``rem`` buckets get q+1
+    rows — DuckDB's and Spark's shared remainder rule, verified by the
+    rfm/decile oracles' native ntile. Pure integer arithmetic (div),
+    so engine-identical at any n."""
+    q = f"(({n_expr}) div {k})"
+    rem = f"(({n_expr}) - {q} * {k})"
+    cut = f"(({q} + 1) * {rem})"
+    return F.expr(
+        f"cast(case when ({rank_expr}) <= {cut} "
+        f"then (({rank_expr}) - 1) div ({q} + 1) + 1 "
+        f"else {rem} + (({rank_expr}) - 1 - {cut}) div {q} + 1 end as int)"
+    )

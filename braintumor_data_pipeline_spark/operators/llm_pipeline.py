@@ -1687,10 +1687,11 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.source, p.ng AS n_docs,
            p.sg * g.n - g.s * p.ng AS influence_num,
            g.n * (g.n - p.ng) AS influence_den,
-           CAST(CASE WHEN p.sg * g.n - g.s * p.ng < 0 THEN -1 ELSE 1 END
+           CAST(CASE WHEN g.n > p.ng THEN
+                CASE WHEN p.sg * g.n - g.s * p.ng < 0 THEN -1 ELSE 1 END
                 * ((2 * abs(1000000 * (p.sg * g.n - g.s * p.ng))
                     + g.n * (g.n - p.ng))
-                   // (2 * g.n * (g.n - p.ng))) AS BIGINT)
+                   // (2 * g.n * (g.n - p.ng))) END AS BIGINT)
              AS influence_micro
     FROM per p, g
     ORDER BY p.source
@@ -1706,9 +1707,15 @@ def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregation regardless of group count. The exact integer
     numerator/denominator ARE the hash signal; influence_micro is the
     same rational rounded to micro-chars in BIGINT space (half away
-    from zero — no float round() tie exposure). BIGINT-safe while
-    s_g·N < 2^63 (~10⁹ docs of 10³ chars); past that the products move
-    to DECIMAL(38,0) unchanged."""
+    from zero — no float round() tie exposure), NULL when one source
+    owns every doc (N = n_g ⇒ the leave-one-out mean is undefined;
+    guarded with CASE WHEN N > n_g on both engines so neither raises
+    nor silently NULLs non-ANSI-style — ADVICE r5). Overflow headroom
+    (ADVICE r5 correction): the binding term is the micro-scaled
+    2·10⁶·|num|, so BIGINT-safe while |s_g·N − S·n_g| < 2^61/10⁶
+    ≈ 2.3×10^12 — ~10⁶× tighter than the raw num/den columns' own
+    s_g·N < 2^63 bound; past that, influence_micro (not num/den)
+    moves to DECIMAL(38,0)."""
     d = _t(spark, sf_dir, "documents")
     g = d.agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("s")
@@ -1718,12 +1725,13 @@ def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("sg") * F.col("n") - F.col("s") * F.col("ng")
     den = F.col("n") * (F.col("n") - F.col("ng"))
-    micro = (
+    micro = F.when(
+        F.col("n") > F.col("ng"),
         F.when(num < 0, -1).otherwise(1)
         * F.expr(
             "(2 * abs(1000000 * (sg * n - s * ng)) + n * (n - ng))"
             " div (2 * n * (n - ng))"
-        )
+        ),
     ).cast("long")
     return (
         per.crossJoin(F.broadcast(g))

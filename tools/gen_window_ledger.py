@@ -89,6 +89,20 @@ def main() -> int:
             print("DRIFT  WINDOW_LEDGER.json missing", file=sys.stderr)
             return 1
         on_disk = json.load(open(out_path))
+        # Explicit newest-round gate (VERDICT r5 task 5): the committed
+        # ledger lagging the latest driver artifact is the one drift
+        # class that recurs by construction (CORRECTNESS_rN lands after
+        # the builder's last rN commit), so name it precisely before
+        # the generic equality check.
+        missing = [r for r in ledger["rounds"] if r not in on_disk.get("rounds", [])]
+        if missing:
+            print(
+                f"DRIFT  WINDOW_LEDGER.json missing round(s) {missing} "
+                "present in CORRECTNESS_r*.json on disk — regenerate with "
+                "tools/gen_window_ledger.py and commit",
+                file=sys.stderr,
+            )
+            return 1
         if on_disk != ledger:
             print(
                 "DRIFT  WINDOW_LEDGER.json stale vs CORRECTNESS_r*.json — "

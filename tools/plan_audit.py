@@ -3,7 +3,20 @@ patterns that are fine at fixture scale but fatal at 100 TB.
 
 Flags:
   GLOBAL-WINDOW   WindowExec with an empty partition spec (all rows to
-                  one partition)
+                  one partition). r6 rule (VERDICT r5 task 2): the old
+                  "aggregated input ⇒ benign" downgrade admitted
+                  user-grain frames that grow with data; now a
+                  single-partition window is benign ONLY when (a) the
+                  exchange's child is an aggregate keyed exclusively by
+                  the range-block column ``_blk`` (the
+                  indexing.RANGE_BLOCKS ≤1024-row two-level prefix-sum
+                  helper — plan-time-bounded by construction), or
+                  (b) the query has a GLOBAL_WINDOW_OK entry whose text
+                  documents the plan-time bound of the aggregate's key
+                  domain. Anything else — including an aggregate keyed
+                  by a data-grain id (user_id, doc_id, score …) — is
+                  CRIT, so every new global window needs a written
+                  justification.
   CARTESIAN       CartesianProduct / BroadcastNestedLoopJoin without a
                   broadcast hint intent (nested-loop over big sides)
   PY-ROW-UDF      BatchEvalPython (row-at-a-time Python UDF — the slow
@@ -57,6 +70,15 @@ CARTESIAN_OK = {
     # these NLJs as exactly 16 rows.
     "isotonic_calibration_pav",
 }
+
+# Single-partition windows whose input aggregate's KEY DOMAIN is
+# plan-time-bounded — each entry documents the bound (VERDICT r5 task
+# 2: "aggregated input" alone is NOT benign; an aggregate keyed by a
+# data-grain id grows with the corpus). Windows over the range-block
+# helper's ``_blk`` key (≤ indexing.RANGE_BLOCKS rows by construction)
+# are recognized structurally and need no entry here. Every OTHER
+# global window must justify its bound below or the audit exits 1.
+GLOBAL_WINDOW_OK: dict[str, str] = {}  # populated below
 
 
 def _all_nlj_are_scalar_broadcasts(plan: str) -> bool:
@@ -112,11 +134,12 @@ def main() -> int:
         findings = []
         # An unpartitioned window shows up as Exchange SinglePartition
         # feeding a Sort+Window. That is fatal when the exchanged input
-        # is raw rows — but the standard two-level dense-index pattern
-        # (prefix sum over a per-block COUNT, one row per block) also
-        # matches; there the exchange's child is a HashAggregate and the
-        # moved data is ~N/block_size rows, which is by-construction
-        # tiny. Distinguish by the operator directly below the exchange.
+        # is raw rows, and (r6 rule) ALSO when it is an aggregate keyed
+        # by a data-grain column — |users|, |docs|, |distinct scores|
+        # grow with the corpus. Benign only when the aggregate's key
+        # domain is plan-time-bounded: structurally proven for the
+        # range-block helper (keys = [_blk] ⇒ ≤ RANGE_BLOCKS rows), or
+        # documented per-query in GLOBAL_WINDOW_OK.
         for m in re.finditer(r"Exchange SinglePartition", plan):
             tail = plan[m.end() : m.end() + 600]
             child = ""
@@ -139,8 +162,36 @@ def main() -> int:
                 break
             if "Window" not in plan[max(0, m.start() - 600) : m.start()]:
                 continue  # single-partition exchange for something else
-            if child.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
-                findings.append(("PREFIX-SUM-WINDOW (aggregated input)", False))
+            agg = re.match(
+                r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)"
+                r"\(keys?=\[([^\]]*)\]",
+                child,
+            )
+            if agg:
+                keys = [k.strip() for k in agg.group(1).split(",") if k.strip()]
+                if keys and all(
+                    re.fullmatch(r"_blk#\d+L?", k) for k in keys
+                ):
+                    findings.append(
+                        ("RANGE-BLOCK-PREFIX-SUM (≤RANGE_BLOCKS rows)", False)
+                    )
+                elif name in GLOBAL_WINDOW_OK:
+                    findings.append(
+                        (f"BOUNDED-GLOBAL-WINDOW ({GLOBAL_WINDOW_OK[name]})", False)
+                    )
+                else:
+                    findings.append(
+                        (
+                            "GLOBAL-WINDOW (aggregate keyed "
+                            f"[{agg.group(1)[:100]}] — no documented bound; "
+                            "add a GLOBAL_WINDOW_OK entry or range-block it)",
+                            True,
+                        )
+                    )
+            elif name in GLOBAL_WINDOW_OK:
+                findings.append(
+                    (f"BOUNDED-GLOBAL-WINDOW ({GLOBAL_WINDOW_OK[name]})", False)
+                )
             else:
                 findings.append(("GLOBAL-WINDOW", True))
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:

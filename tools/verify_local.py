@@ -119,6 +119,19 @@ def main() -> int:
     n_pass = n_fail = n_rows_only = n_skip = 0
     failures = []
     apply_skips = ("sf0.1" in sf_dir.rstrip("/").rsplit("/", 1)[-1]) and not no_skip
+    # Watchdog epoch (ADVICE r5): Timer.cancel() does not stop a
+    # callback that has already started, so a timer firing just as its
+    # query finishes could cancel/interrupt the NEXT query. Every
+    # callback re-checks the generation token under the lock, and the
+    # main thread bumps the token (under the same lock) the moment a
+    # query's protected section ends — a stale callback then returns
+    # without touching the engines; one that already holds the lock
+    # fires only no-ops (its query has finished, nothing is running)
+    # while the main thread waits to bump.
+    import threading
+
+    _wd_lock = threading.Lock()
+    _wd_epoch = [0]
     for name in names:
         spec = specs[name]
         if apply_skips and name in SKIP_SF01:
@@ -134,22 +147,32 @@ def main() -> int:
         watchdog = None
         timed_out = []
         if budget > 0:
-            import threading
+            my_epoch = _wd_epoch[0]
 
-            def _cancel():
-                timed_out.append(True)
-                try:
-                    spark.sparkContext.cancelAllJobs()
-                except Exception:  # noqa: BLE001
-                    pass
-                try:
-                    con.interrupt()
-                except Exception:  # noqa: BLE001
-                    pass
+            def _cancel(my_epoch=my_epoch):
+                with _wd_lock:
+                    if _wd_epoch[0] != my_epoch:
+                        return  # its query already finished — stand down
+                    timed_out.append(True)
+                    try:
+                        spark.sparkContext.cancelAllJobs()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    try:
+                        con.interrupt()
+                    except Exception:  # noqa: BLE001
+                        pass
 
             watchdog = threading.Timer(budget, _cancel)
             watchdog.daemon = True
             watchdog.start()
+
+        def _disarm(watchdog=None):
+            """Bump the epoch (stale callbacks stand down) and cancel."""
+            with _wd_lock:
+                _wd_epoch[0] += 1
+            if watchdog is not None:
+                watchdog.cancel()
         try:
             sdf = spec.fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -159,14 +182,12 @@ def main() -> int:
             failures.append(name)
             kind = "TIMEOUT (spark)" if timed_out else "spark error"
             print(f"FAIL  {name}: {kind}: {str(exc)[:200]}")
-            if watchdog:
-                watchdog.cancel()
+            _disarm(watchdog)
             continue
         if spec.oracle is None or (
             spec.pinned_sf and spec.pinned_sf not in sf_dir
         ):
-            if watchdog:
-                watchdog.cancel()
+            _disarm(watchdog)
             n_rows_only += 1
             why = "no oracle" if spec.oracle is None else (
                 f"golden pinned at {spec.pinned_sf}"
@@ -185,11 +206,9 @@ def main() -> int:
             failures.append(name)
             kind = "TIMEOUT (oracle)" if timed_out else "duckdb error"
             print(f"FAIL  {name}: {kind}: {str(exc)[:200]}")
-            if watchdog:
-                watchdog.cancel()
+            _disarm(watchdog)
             continue
-        if watchdog:
-            watchdog.cancel()
+        _disarm(watchdog)
         ok = True
         msg = ""
         if sorted(scols) != sorted(ocols):
