@@ -1033,24 +1033,28 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue across customers — "how concentrated
     is spend" — via the sorted-prefix identity
-    G = Σ(2i−n−1)·x_(i) / (n·Σx): one rank pass over the PER-CUSTOMER
-    aggregate (1.5k rows here; bounded by the customer dimension at any
-    scale — the global window rides the aggregated frame, plan_audit's
-    benign class) and an integer numerator in cents, so everything
-    hash-compared is exact; the final ratio is one rounded division.
-    Tie-break (cents, custkey) makes the rank — and thus the scaled
-    numerator — engine-identical even with equal revenues."""
+    G = Σ(2i−n−1)·x_(i) / (n·Σx): the global rank over the
+    PER-CUSTOMER aggregate is the blocked two-level form
+    (indexing.blocked_rank — |customers| GROWS with the corpus, so a
+    bare rank window would funnel the user grain through one task; r6
+    audit rule), n rides a 1-row broadcast, and the numerator is an
+    exact integer in cents, so everything hash-compared is exact; the
+    final ratio is one rounded division. Tie-break (cents, custkey)
+    makes the rank — and thus the scaled numerator —
+    engine-identical even with equal revenues."""
+    from .indexing import blocked_rank
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    total = per_cust.agg(F.count("*").alias("n"))
+    ranked = (
+        blocked_rank(per_cust, "cents", "o_custkey")
+        .crossJoin(F.broadcast(total))
+        .select("cents", F.col("_rank").alias("i"), "n")
     )
     num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
     return ranked.agg(
@@ -1162,12 +1166,20 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_orders").alias("n_orders"),
         )
     )
-    w_strict = (
-        Window.orderBy(F.col("price").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    final = survivors.withColumn(
-        "cummax_strict", F.max("odate").over(w_strict)
+    # r6 audit rule: distinct surviving prices still track the price
+    # grain, so the strict running max over price DESC is the blocked
+    # two-level form (indexing.blocked_cummax on the negated price) —
+    # parallel per-block running maxes + a prefix-max over the
+    # ≤RANGE_BLOCKS per-block partials; no single-partition exchange
+    # over the survivor relation.
+    from .indexing import blocked_cummax
+
+    final = blocked_cummax(
+        survivors.withColumn("_negp", -F.col("price")),
+        "_negp",
+        "odate",
+        "cummax_strict",
+        inclusive=False,
     )
     return (
         final.filter(

@@ -1963,24 +1963,33 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The PLAN is the scale-correct rewrite, not a global rank over raw
     rows: ranks are computed on the price-GRID aggregate (rank of a
-    price = 1 + Σ counts of higher prices, a prefix window over ≤
-    |distinct prices| rows), the ≤k surviving grid rows broadcast back
-    onto the fact side, and only matching rows are emitted — no
-    all-rows single-partition sort anywhere."""
+    price = 1 + Σ counts of higher prices), the ≤k surviving grid rows
+    broadcast back onto the fact side, and only matching rows are
+    emitted — no all-rows single-partition sort anywhere. r6 audit
+    rule: order totals are near-unique (|distinct prices| ≈ |orders|,
+    measured 149,743/150k at sf0.1), so the prefix sum over the grid is
+    the blocked two-level form (indexing.blocked_cumsum on the negated
+    price — parallel within-block running sums + ≤RANGE_BLOCKS
+    broadcast offsets), never a single-partition window over the
+    price grain."""
+    from .indexing import blocked_cumsum
+
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
     grid = o.groupBy("price_cents").agg(F.count("*").alias("c"))
-    w_prev = (
-        Window.partitionBy()
-        .orderBy(F.desc("price_cents"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        blocked_cumsum(
+            grid.withColumn("_negp", -F.col("price_cents")),
+            "_negp",
+            "c",
+            "_prev",
+            inclusive=False,
+        )
+        .select("price_cents", (F.col("_prev") + 1).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
     )
-    ranked = grid.select(
-        "price_cents",
-        (F.coalesce(F.sum("c").over(w_prev), F.lit(0)) + 1).alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
     return (
         o.join(F.broadcast(ranked), "price_cents")
         .select("o_custkey", "price_cents", "rnk")

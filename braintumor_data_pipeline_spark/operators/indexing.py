@@ -167,6 +167,41 @@ def blocked_cumsum(
     )
 
 
+def blocked_cummax(
+    df: DataFrame, key_col: str, val_col: str, out_col: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: the running ``max(val_col) OVER (ORDER BY
+    key_col)`` for frames DISTINCT on ``key_col`` — the running-max
+    sibling of :func:`blocked_cumsum` (max is associative and
+    prefix-decomposable exactly like sum): per-block partial maxes
+    (≤RANGE_BLOCKS rows) prefix-maxed globally over the tiny block
+    frame, plus a parallel within-block running max.
+    ``inclusive=False`` gives the strict ROWS … AND 1 PRECEDING frame
+    (NULL when nothing precedes — matching the SQL window's NULL)."""
+    blocked = _with_range_block(df, key_col)
+    bmax = blocked.groupBy("_blk").agg(F.max(val_col).alias("_bmx"))
+    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bmax.select(
+        "_blk", F.max("_bmx").over(woff).alias("_off")
+    )
+    hi = 0 if inclusive else -1
+    wblk = (
+        Window.partitionBy("_blk")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.max(val_col).over(wblk)
+    return (
+        blocked.join(F.broadcast(offsets), "_blk")
+        .withColumn(out_col, F.greatest(
+            F.coalesce(local, F.col("_off")),
+            F.coalesce(F.col("_off"), local),
+        ))
+        .drop("_blk", "_off")
+    )
+
+
 def exact_ntile(rank_expr: str, n_expr: str, k: int) -> "F.Column":
     """SQL-standard ``ntile(k)`` from a precomputed global rank and
     total count (both SQL expression strings over BIGINTs): with

@@ -1573,10 +1573,11 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking (query {spark, join, shuffle} over documents) and a dense
     cosine ranking (query = embedding 0 over the aligned vec_id space).
     Each signal is ranked independently — the BM25 relation and the
-    per-doc max-sim relation are aggregates, so the unpartitioned rank
-    windows run over reduced inputs (the benign prefix-sum class); the
-    fusion itself is a doc_id-keyed FULL OUTER join and the final top-10
-    is TakeOrdered. RRF sums two fixed-order reciprocals of integer
+    per-doc max-sim relation are doc-grain aggregates, so both global
+    ranks use the blocked two-level form (indexing.blocked_rank — the
+    doc grain grows with the corpus; r6 audit rule); the fusion itself
+    is a doc_id-keyed FULL OUTER join and the final top-10 is
+    TakeOrdered. RRF sums two fixed-order reciprocals of integer
     ranks → deterministic; BM25 rounds 6 and cosine rounds 4 BEFORE
     ranking so both engines rank identical doubles.
 
@@ -1616,8 +1617,16 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
-    ws = Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
-    sparse_rank = sparse.select("doc_id", F.row_number().over(ws).alias("rs"))
+    # r6 audit rule: the BM25 relation is doc-grain (grows with the
+    # corpus), so its global rank is the blocked two-level form
+    # (indexing.blocked_rank on the negated score) — no
+    # single-partition exchange over per-doc rows.
+    from .indexing import blocked_rank
+
+    sparse_rank = (
+        blocked_rank(sparse.withColumn("_negb", -F.col("bm25")), "_negb", "doc_id")
+        .select("doc_id", F.col("_rank").alias("rs"))
+    )
 
     vec = _vectors(spark, sf_dir)
     # groupless aggregate over the 1-row filter → the plan broadcasts a
@@ -1641,8 +1650,10 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("sim").alias("sim"))
     )
-    wd = Window.partitionBy().orderBy(F.desc("sim"), "doc_id")
-    dense_ranked = dense.select("doc_id", F.row_number().over(wd).alias("rd"))
+    dense_ranked = (
+        blocked_rank(dense.withColumn("_negs", -F.col("sim")), "_negs", "doc_id")
+        .select("doc_id", F.col("_rank").alias("rd"))
+    )
 
     fused = sparse_rank.join(dense_ranked, "doc_id", "full_outer").select(
         "doc_id",
@@ -2616,9 +2627,13 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm² plus the 5 smallest. Norm² is the exact BIGINT Σ x_fix²
     over 2¹²-quantized dims; the p99 threshold is a DISCRETE order
     statistic at rank ⌈0.99·n⌉ (the SCALE.md rank recipe — no float
-    quantiles), found by a window over the per-vector aggregated
-    grain. The only floats are the per-row sqrt rendering and nothing
-    crosses a sum."""
+    quantiles). The vector grain grows with the corpus, so the global
+    rank is the blocked two-level form (indexing.blocked_rank) and n
+    rides a 1-row broadcast — no single-partition window over
+    per-vector rows (r6 audit rule). The only floats are the per-row
+    sqrt rendering and nothing crosses a sum."""
+    from .indexing import blocked_rank
+
     vec = _t(spark, sf_dir, "embeddings")
     q = (
         vec.select(
@@ -2634,13 +2649,14 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("xf") * F.col("xf")).alias("norm2_fix"))
     )
-    w_rank = Window.orderBy("norm2_fix", "vec_id")
-    ranked = q.select(
-        "vec_id",
-        "label",
-        "norm2_fix",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    nrow = q.agg(F.count("*").alias("n"))
+    ranked = (
+        blocked_rank(q, "norm2_fix", "vec_id")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "vec_id", "label", "norm2_fix",
+            F.col("_rank").alias("rn"), "n",
+        )
     )
     # groupless aggregate (not a filter) so the broadcast side is the
     # scalar-subquery shape the plan audit certifies structurally

@@ -170,6 +170,42 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: cusum_changepoint_daily → user_activity_streaks (timeseries).
 #: All six incoming are sf0.01-gate green, sf0.1 cross-engine green,
 #: and in the 342/342 determinism certificate.
+#: r6 rotation (VERDICT r5 tasks 1, 3): eighteen r5-green,
+#: formulation-unchanged, non-headline slots vacate. Seven of the
+#: incoming REQUIRE slots under the changed-formulation invariant —
+#: the r6 user-grain global-window conversions to the blocked
+#: two-level helpers (indexing.blocked_rank/_cumsum/_cummax):
+#: rfm_segments, decile_lift_table, time_to_conversion_stats,
+#: gini_revenue_concentration, top_orders_with_ties,
+#: hybrid_rrf_fusion_topk, embedding_norm_outliers (plus
+#: pareto_frontier_orders and classifier_auc_exact, also converted,
+#: which already hold slots and stay). The rest are never-checked
+#: queries prioritized from the r5 judge's locally-verified list,
+#: plus the new graph_twins module's first rep. Out → in, module
+#: coverage preserved at every swap:
+#: user_activity_streaks → holt_linear_forecast (timeseries),
+#: mcc_operating_points → rfm_segments (experiments),
+#: isotonic_calibration_pav → decile_lift_table (experiments),
+#: spearman_rho_qty_price → time_to_conversion_stats (experiments),
+#: markov_next_event_accuracy → top_orders_with_ties (experiments),
+#: conformal_interval_coverage → gini_revenue_concentration
+#: (analytics gains a 2nd rep; experiments keeps classifier_auc +
+#: four incoming), ndcg_label_relevance → hybrid_rrf_fusion_topk
+#: (similarity), retrieval_map_mrr_by_label → embedding_norm_outliers
+#: (similarity keeps headline knn), copurchase_pagerank_top20 →
+#: copurchase_triangle_stats (graph), rich_club_coefficient →
+#: copurchase_components (graph_twins — the new module's smoke slot),
+#: bloom_semijoin_reduction → hll_set_intersection_estimate (sketch),
+#: phash_hamming_pairs → phash_signatures (phash),
+#: jsonl_roundtrip_stats → jsonl_corrupt_records_audit (jsonl),
+#: salted_heavy_key_agg → salted_join_heavy_key (skew),
+#: dedup_connected_components → component_modularity (components),
+#: lsh_pairs_edit_verified → pixel_histogram (pixels gains a 2nd rep;
+#: dedup keeps headline minhash + ngram),
+#: linear_quality_classifier_scores → k_anonymity_report
+#: (llm_pipeline), rendezvous_shard_assignment →
+#: region_grow_capped_morph (segmentation gains a 2nd rep;
+#: llm_pipeline keeps the incoming k_anonymity_report).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -182,8 +218,8 @@ PRIORITY: tuple[str, ...] = (
     "histogram_totalprice",
     # CDC: SCD-2 point-in-time enrichment (first-time, r4)
     "state_snapshot_diff",
-    # timeseries (cusum first-time, r4)
-    "user_activity_streaks",
+    # timeseries (r6: Holt linear double-exponential forecast)
+    "holt_linear_forecast",
     # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
     # once-green r3, formulation unchanged, timeseries keeps cusum —
     # vacates for bpe_learn_merges, whose ORACLE changed this round
@@ -198,40 +234,44 @@ PRIORITY: tuple[str, ...] = (
     # imaging UDF path (applyInPandas numpy, hash-checked vs exact
     # integer-DFT SQL — the r4 frozen-golden upgrade)
     "edge_spectrum_agreement",
-    # experiments (both first-time, r4): survival analysis + VARIANT
-    "mcc_operating_points",
-    "isotonic_calibration_pav",
+    # experiments (r6 changed formulations: user-grain ntiles → blocked
+    # rank + exact remainder ntile; both REQUIRE window slots)
+    "rfm_segments",
+    "decile_lift_table",
     # text analysis
     "vocab_coverage_curve",
-    # llm_pipeline: ExactSubstr repeated spans (first-time, r4 fifth)
-    "linear_quality_classifier_scores",
-    # similarity eval: integer-DCG ranking quality (first-time, r4 fifth)
-    "ndcg_label_relevance",
-    # graph (first-time, r4)
-    "copurchase_pagerank_top20",
+    # llm_pipeline (r6: k-anonymity quasi-identifier audit)
+    "k_anonymity_report",
+    # similarity (r6 changed formulation: doc-grain ranks → blocked)
+    "hybrid_rrf_fusion_topk",
+    # graph (r6: the non-degenerate triangle census twin)
+    "copurchase_triangle_stats",
     # dedup
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
-    # similarity / kNN (hybrid RRF + int8 quantization first-time, r4)
+    # similarity / kNN (embedding_norm_outliers: r6 changed formulation,
+    # vector-grain rank → blocked)
     "knn_bruteforce_cosine",
-    "retrieval_map_mrr_by_label",
-    "spearman_rho_qty_price",
+    "embedding_norm_outliers",
+    # experiments (r6 changed formulation: duration-grain cumulative →
+    # blocked_cumsum)
+    "time_to_conversion_stats",
     # sketches (bloom / HLL; r4 sixth rotation: countmin_heavy_hitters —
     # r3-green, formulation unchanged, sketch keeps TWO window reps —
     # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
     # the smoke family-coverage invariant)
-    "bloom_semijoin_reduction",
-    # graph multi-source BFS centrality (first-time, r4 seventh
-    # rotation — took the hll_mergeable_groups slot)
-    "rich_club_coefficient",
+    "hll_set_intersection_estimate",
+    # graph_twins (r6 new module: the 12-round label-propagation
+    # components twin — its smoke family slot)
+    "copurchase_components",
     # XML interchange (native Spark 4 source, first-time r4)
     "xml_roundtrip_stats",
     # zero-I/O in-plan generator (dbgen-style source)
     "synthetic_lineitem_pricing",
-    # multimodal image near-dup (pHash)
-    "phash_hamming_pairs",
-    # JSONL round-trip (source/sink fidelity)
-    "jsonl_roundtrip_stats",
+    # multimodal image near-dup (r6: per-image pHash signatures)
+    "phash_signatures",
+    # JSONL corrupt-records audit (r6: PERMISSIVE-mode fidelity)
+    "jsonl_corrupt_records_audit",
     # pixel relation (imaging as SQL)
     "pixel_minmax_normalize",
     # mask algebra / metrics
@@ -242,9 +282,10 @@ PRIORITY: tuple[str, ...] = (
     # min/max zone-map skipping report (first-time, r4 seventh
     # rotation — took the region_grow_adaptive slot)
     "interval_union_coverage",
-    # skew handling + connected components
-    "salted_heavy_key_agg",
-    "dedup_connected_components",
+    # skew handling (r6: the salted JOIN variant) + modularity over the
+    # closure components (components module keeps its rep)
+    "salted_join_heavy_key",
+    "component_modularity",
     # bucketed co-located join (zero-shuffle layout)
     "bucketed_star_join",
     # ORC + CSV interchange (lossless-egress gates)
@@ -254,16 +295,20 @@ PRIORITY: tuple[str, ...] = (
     "video_shot_boundaries",
     # engine-native recursion (byte-identical SQL on both engines)
     "rcte_clamped_balance",
-    # indexing / intervals
+    # indexing + pixels 2nd rep (r6: 50-bin pixel histogram)
     "global_dense_ids_documents",
-    "lsh_pairs_edit_verified",
-    # partition pruning pair (first-time, r4): static PartitionFilters
-    # over the day-partitioned events layout + DPP star join
-    "markov_next_event_accuracy",
+    "pixel_histogram",
+    # experiments (r6 changed formulation: near-unique price-grain
+    # prefix sum → blocked_cumsum) + DPP star join (the dynamic
+    # pruning lever stays)
+    "top_orders_with_ties",
     "dpp_star_join_weekend",
-    # LLM corpus pipeline (all three first-time, r4)
-    "rendezvous_shard_assignment",
-    "conformal_interval_coverage",
+    # segmentation 2nd rep (r6: capped BFS + morphology close, the
+    # FIFO-CTE oracle) + analytics (r6 changed formulation:
+    # customer-grain Lorenz rank → blocked_rank) + experiments
+    # (changed r5, stays per the invariant)
+    "region_grow_capped_morph",
+    "gini_revenue_concentration",
     "classifier_auc_exact",
     # streaming (batch-equivalent forms)
     "events_session_30m",
@@ -352,6 +397,7 @@ def _load_all() -> None:
         bpe,
         components,
         graph,
+        graph_twins,
         tpch_shapes,
         llm_pipeline,
         cdc,

@@ -75,10 +75,93 @@ CARTESIAN_OK = {
 # plan-time-bounded — each entry documents the bound (VERDICT r5 task
 # 2: "aggregated input" alone is NOT benign; an aggregate keyed by a
 # data-grain id grows with the corpus). Windows over the range-block
-# helper's ``_blk`` key (≤ indexing.RANGE_BLOCKS rows by construction)
-# are recognized structurally and need no entry here. Every OTHER
-# global window must justify its bound below or the audit exits 1.
-GLOBAL_WINDOW_OK: dict[str, str] = {}  # populated below
+# helper's ``_blk`` key (≤ indexing.RANGE_BLOCKS rows by construction,
+# single-key — the indexing._with_range_block product) are recognized
+# structurally and need no entry here. Every OTHER global window must
+# justify its bound below or the audit exits 1. Genuinely data-grain
+# windows get CONVERTED, not listed: r6 moved rfm_segments,
+# decile_lift_table (user grain), gini_revenue_concentration (customer
+# grain), hybrid_rrf_fusion_topk (doc grain), embedding_norm_outliers
+# (vector grain), top_orders_with_ties + pareto_frontier_orders
+# (near-unique price grain, 149,743/150k distinct at sf0.1), and
+# time_to_conversion_stats (duration grain) onto the blocked
+# two-level helpers (indexing.blocked_rank/_cumsum/_cummax).
+GLOBAL_WINDOW_OK: dict[str, str] = {}
+
+# -- calendar-grain: the window input is a per-DAY aggregate; its row
+#    count is the observed time span in days (grows with time, never
+#    with data volume — 100 TB of one year is still ≤366 rows).
+_CAL = "per-day aggregate; rows = observed calendar days, volume-free"
+for _q in (
+    "backtest_naive_wmape",
+    "cusum_changepoint_daily",
+    "locf_gap_fill_daily",
+    "rolling_7d_revenue",
+    "seasonal_decompose_daily",
+    "partition_freshness_skew_report",
+):
+    GLOBAL_WINDOW_OK[_q] = _CAL
+
+# -- constant / vocabulary domains: the aggregate's keys enumerate a
+#    plan-time-fixed set (bins, replicates, deciles, dimension vocab).
+GLOBAL_WINDOW_OK.update(
+    {
+        "binned_quantile_sketch": "fixed bin grid (constant bin count)",
+        "bootstrap_ci_mean_purchase": "32 bootstrap replicates (constant)",
+        "chi2_independence_type_dow": "event-type vocabulary x 7 weekdays",
+        "isotonic_calibration_pav": "16 calibration bins (constant; "
+        "CARTESIAN_OK documents the same bound for its NLJs)",
+        "kl_domain_balance": "source vocabulary (dimension-like domain)",
+        "mutual_information_lang_source": "lang x source vocabularies",
+        "ratio_to_parent_revenue": "region x nation dimension (<=25 rows)",
+        "decile_lift_table": "10-row decile aggregate (ntile K=10); the "
+        "user-grain rank below it is blocked_rank (r6 conversion)",
+        "theil_sen_daily_trend": "pairwise day-slopes: days^2 rows, "
+        "calendar-bounded (same bound as its CARTESIAN_OK entry)",
+        "kaplan_meier_user_lifetime": "distinct lifetime hours <= "
+        "observed time span in hours (volume-free)",
+        "ks_two_sample_purchase_value": "distinct purchase cents <= "
+        "price-domain range in cents (~48k; volume-free)",
+        "mann_whitney_u_purchase_value": "distinct purchase cents <= "
+        "price-domain range in cents (~48k; volume-free)",
+        "psi_value_drift_halves": "distinct purchase cents <= "
+        "price-domain range in cents (~48k; volume-free)",
+    }
+)
+
+# -- two-level global dense index (segmentation._dense_indexed_orders /
+#    indexing.dense_ids): the flagged window is the prefix sum over the
+#    PER-BLOCK COUNT aggregate (one row per key-span block) that the
+#    pattern immediately broadcasts back. The broadcast the pattern
+#    already requires IS the bound: blocks = N/span, and span is the
+#    plan-time dial (indexing.py docstring — "at 100 B rows pick ~1e6",
+#    keeping the offset table ~1e5 rows). A window whose input must fit
+#    in a broadcast cannot exceed the broadcast budget.
+_TWO_LEVEL = (
+    "two-level dense-index offsets: per-block count aggregate, "
+    "broadcast-bounded (blocks = N/span, span plan-time tunable)"
+)
+for _q in (
+    "app_analysis_chain",
+    "butterworth_band_energy",
+    "dummy_gt_dice",
+    "edge_spectrum_agreement",
+    "global_dense_ids_documents",
+    "imaging_udf_augment",
+    "imaging_udf_confusion",
+    "imaging_udf_stats",
+    "mask_regionprops_exact",
+    "multimodal_image_features",
+    "phash_hamming_pairs",
+    "phash_signatures",
+    "region_grow_adaptive",
+    "region_grow_capped",
+    "region_grow_capped_morph",
+    "region_grow_component",
+    "region_grow_faithful",
+    "ssim_window_map",
+):
+    GLOBAL_WINDOW_OK[_q] = _TWO_LEVEL
 
 
 def _all_nlj_are_scalar_broadcasts(plan: str) -> bool:

@@ -71,19 +71,25 @@ def _values_equal(a, b) -> bool:
 #       per-pixel flood fill / per-row recursion in SQL take minutes to
 #       hours at 10x data while the Spark side stays in seconds; the
 #       oracle, not the operator, is the bottleneck.
+# Class (a): the LSH candidate graph of the documents fixture is a
+# ~9.5M-edge near-clique at sf0.1, so these queries' deliberately
+# independent DuckDB closures are quadratic-plus there. Every entry
+# names its sf0.1-verified TWIN (graph_twins.py, r6): the SAME
+# algorithm + unrolled oracle over the non-degenerate co-purchase /
+# repeat-co-purchase edge lists, cross-engine green at sf0.1.
 SKIP_SF01 = {
-    "pagerank_fixed_point": "(a) degenerate clique edge list; unrolled power-iteration oracle quadratic at sf0.1",
-    "triangle_stats": "(a) degenerate clique edge list; triangle-closure oracle cubic-ish at sf0.1",
-    "dedup_connected_components": "(a) oracle is deliberately independent FULL pair closure — quadratic on the sf0.1 clique",
-    "component_modularity": "(a) same full-closure components oracle as dedup_connected_components",
-    "bfs_levels_from_min_vertex": "(a) per-level frontier-replay oracle over the sf0.1 clique",
-    "link_prediction_common_neighbors": "(a) common-neighbor pair enumeration over the sf0.1 clique",
-    "sssp_weighted_bellman": "(a) Bellman-Ford edge-relaxation replay over the sf0.1 clique",
-    "kcore_peeling": "(a) iterative peeling replay over the sf0.1 clique",
-    "local_clustering_coefficient": "(a) wedge enumeration over the sf0.1 clique",
-    "degree_assortativity": "(a) degree-pair products over the sf0.1 clique edge list",
-    "harmonic_centrality_seeds": "(a) multi-source BFS replay over the sf0.1 clique",
-    "rich_club_coefficient": "(a) degree-threshold subgraph edge counts over the sf0.1 clique",
+    "pagerank_fixed_point": "(a) degenerate clique edge list; unrolled power-iteration oracle quadratic at sf0.1 — twin: copurchase_pagerank_top20",
+    "triangle_stats": "(a) degenerate clique edge list; triangle-closure oracle cubic-ish at sf0.1 — twin: copurchase_triangle_stats",
+    "dedup_connected_components": "(a) oracle is deliberately independent FULL pair closure — quadratic on the sf0.1 clique — twin: copurchase_components",
+    "component_modularity": "(a) same full-closure components oracle as dedup_connected_components — twin: copurchase_modularity",
+    "bfs_levels_from_min_vertex": "(a) per-level frontier-replay oracle over the sf0.1 clique — twin: copurchase_bfs_levels",
+    "link_prediction_common_neighbors": "(a) common-neighbor pair enumeration over the sf0.1 clique — twin: copurchase_link_prediction",
+    "sssp_weighted_bellman": "(a) Bellman-Ford edge-relaxation replay over the sf0.1 clique — twin: copurchase_sssp_bellman",
+    "kcore_peeling": "(a) iterative peeling replay over the sf0.1 clique — twin: copurchase_kcore",
+    "local_clustering_coefficient": "(a) wedge enumeration over the sf0.1 clique — twin: copurchase_local_clustering",
+    "degree_assortativity": "(a) degree-pair products over the sf0.1 clique edge list — twin: copurchase_assortativity",
+    "harmonic_centrality_seeds": "(a) multi-source BFS replay over the sf0.1 clique — twin: copurchase_harmonic_centrality",
+    "rich_club_coefficient": "(a) degree-threshold subgraph edge counts over the sf0.1 clique — twin: copurchase_rich_club",
     "region_grow_adaptive": "(b) DuckDB recursive flood-fill CTE measured 330 s at sf0.1 (Spark side 1.8 s) — r4 window run",
     "lsh_pairs_edit_verified": "(b) oracle is UNBOUNDED levenshtein over the 9.5M clique pairs (>600 s, interrupted); Spark side 25.6 s after the r5 repartition fix",
 }
