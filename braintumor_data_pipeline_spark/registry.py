@@ -183,7 +183,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: queries prioritized from the r5 judge's locally-verified list,
 #: plus the new graph_twins module's first rep. Out → in, module
 #: coverage preserved at every swap:
-#: user_activity_streaks → holt_linear_forecast (timeseries),
+#: user_activity_streaks → funnel_view_click_purchase (timeseries),
 #: mcc_operating_points → rfm_segments (experiments),
 #: isotonic_calibration_pav → decile_lift_table (experiments),
 #: spearman_rho_qty_price → time_to_conversion_stats (experiments),
@@ -218,8 +218,11 @@ PRIORITY: tuple[str, ...] = (
     "histogram_totalprice",
     # CDC: SCD-2 point-in-time enrichment (first-time, r4)
     "state_snapshot_diff",
-    # timeseries (r6: Holt linear double-exponential forecast)
-    "holt_linear_forecast",
+    # timeseries (r6: ordered view→click→purchase funnel — keeps the
+    # timeseries family slot; holt_linear_forecast from the judge's
+    # list lives in `recursive`, which rcte_clamped_balance already
+    # covers)
+    "funnel_view_click_purchase",
     # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
     # once-green r3, formulation unchanged, timeseries keeps cusum —
     # vacates for bpe_learn_merges, whose ORACLE changed this round

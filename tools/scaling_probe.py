@@ -522,9 +522,131 @@ def main_headline() -> int:
     return 0
 
 
+def main_verify_skew() -> int:
+    """Time the dedup VERIFY stage itself — candidate pairs → bounded
+    levenshtein — on the clustered-duplicate corpus (VERDICT r5 task
+    8: the r5 sf0.1 sweep caught all clique pairs of one hot band key
+    landing in ONE levenshtein task; the fix repartitions the pair
+    relation on the uniform (doc_a, doc_b) key before the DP. This
+    probe validates that fix beyond sf0.1 by growing the clusters).
+
+    Corpus: 5k·s docs, 25% in 8 exact-dup-family clusters (size 156·s;
+    members share a ~134-char text differing only in a 6-char tail, so
+    every within-cluster pair passes the ≥0.8 gate and pays the real
+    bounded-DP cost). Candidate pairs come from a self-join ON THE
+    CLUSTER KEY — the band-join shape, so the pair relation leaves the
+    join partitioned by 8 hot keys, exactly the straggler layout.
+
+    Two timings per factor over the identical pair volume:
+    - hot_layout_s: verify directly on the join output (≤8 non-empty
+      partitions carry ALL pairs — the pre-fix serialization);
+    - repart_s: verify after .repartition(defaultParallelism,
+      doc_a, doc_b) (the registered lsh_pairs_edit_verified plan).
+    Pass criteria: repart_s / pairs stays ~flat as clusters grow
+    (stage linear in its input) and repart_s ≪ hot_layout_s at every
+    factor (the exchange buys even spread).
+
+    Usage: python tools/scaling_probe.py verify-skew [factors...]
+    """
+    factors = [int(x) for x in sys.argv[2:]] or [1, 2, 4]
+    spark = get_spark(app_name="verify-skew-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    par = spark.sparkContext.defaultParallelism
+
+    def corpus(s: int):
+        docs = 5_000 * s
+        n_clustered = docs // 4
+        ckey = F.when(
+            F.col("id") < n_clustered, F.col("id") % 8
+        ).otherwise(F.col("id"))
+        # ~134 chars: 4×md5(cluster) body + 6-char per-doc tail
+        text = F.concat(
+            F.repeat(F.md5(ckey.cast("string")), 4),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+        )
+        return spark.range(docs).select(
+            F.col("id").alias("doc_id"),
+            ckey.alias("ckey"),
+            text.alias("text"),
+        )
+
+    def verify_time(pairs_df, texts):
+        da = texts.select(
+            F.col("doc_id").alias("ida"), F.col("text").alias("ta")
+        )
+        db = texts.select(
+            F.col("doc_id").alias("idb"), F.col("text").alias("tb")
+        )
+        lev = F.expr(
+            "levenshtein(ta, tb, cast(floor(0.2 * greatest(length(ta),"
+            " length(tb), 1)) + 2 as int))"
+        )
+        mx = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+        t0 = time.time()
+        n = (
+            pairs_df.join(F.broadcast(da), pairs_df.doc_a == F.col("ida"))
+            .join(F.broadcast(db), pairs_df.doc_b == F.col("idb"))
+            .select(lev.alias("lev"), mx.alias("mx"))
+            .filter(
+                (F.col("lev") >= 0)
+                & (F.lit(1.0) - F.col("lev") / F.col("mx") >= 0.8)
+            )
+            .count()
+        )
+        return n, time.time() - t0
+
+    for s in factors:
+        d = corpus(s).persist()
+        d.count()
+        texts = d.select("doc_id", "text")
+        clustered = d.filter(F.col("ckey") < 8).select("doc_id", "ckey")
+        a = clustered.select(F.col("doc_id").alias("doc_a"), "ckey")
+        b = clustered.select(
+            F.col("doc_id").alias("doc_b"), F.col("ckey").alias("ckey_b")
+        )
+        # band-join shape: shuffle both sides on the 8-value hot key
+        pairs = (
+            a.hint("shuffle_hash")
+            .join(
+                b,
+                (F.col("ckey") == F.col("ckey_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+        ).persist()
+        n_pairs = pairs.count()
+
+        n_hot, t_hot = verify_time(pairs, texts)
+        n_rep, t_rep = verify_time(
+            pairs.repartition(par, "doc_a", "doc_b"), texts
+        )
+        assert n_hot == n_rep, (n_hot, n_rep)  # repartition is row-preserving
+        pairs.unpersist()
+        d.unpersist()
+        print(
+            json.dumps(
+                {
+                    "shape": "verify_stage_skew",
+                    "factor": s,
+                    "docs": 5_000 * s,
+                    "cluster_m": 156 * s + (1 if s > 1 else 1),
+                    "pairs": n_pairs,
+                    "survivors": n_rep,
+                    "hot_layout_s": round(t_hot, 3),
+                    "repart_s": round(t_rep, 3),
+                    "repart_us_per_pair": round(t_rep / max(n_pairs, 1) * 1e6, 3),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
     if len(sys.argv) > 1 and sys.argv[1] == "dedup-skew":
         raise SystemExit(main_dedup_skew())
+    if len(sys.argv) > 1 and sys.argv[1] == "verify-skew":
+        raise SystemExit(main_verify_skew())
     raise SystemExit(main())
