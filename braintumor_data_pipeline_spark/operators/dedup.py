@@ -550,6 +550,105 @@ def lsh_pairs_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_verify_pair_sample",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    samp AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE ('0x' || substr(md5(doc_a || ':' || doc_b), 1, 4))::BIGINT
+            % 100 = 0
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           round(1.0 - levenshtein(da.text, db.text)
+                 / greatest(length(da.text), length(db.text), 1), 6)
+             AS edit_sim
+    FROM samp
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE abs(length(da.text) - length(db.text))
+          <= 0.2 * greatest(length(da.text), length(db.text), 1) + 1e-9
+      AND 1.0 - levenshtein(da.text, db.text)
+          / greatest(length(da.text), length(db.text), 1) >= 0.8
+    """,
+    tags=("dedup", "minhash", "verify", "sampling"),
+)
+def lsh_verify_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1% HASH-SAMPLE of the LSH verify stage — the
+    sf0.1-verifiable twin of ``lsh_pairs_edit_verified`` (SKIP_SF01
+    class (b) points here): the full verify oracle levenshteins all
+    ~9.5M clique pairs at sf0.1 (>600 s in DuckDB), so the twin keeps
+    candidates whose pair-key md5 lands in 1 of 100 residues —
+    membership is a pure function of (doc_a, doc_b), so both engines
+    verify the IDENTICAL pair subset (~95k pairs at sf0.1) through the
+    identical edit-distance + 0.8-similarity semantics. Sampled QA of
+    an expensive verify stage is itself the production pattern (you
+    spot-check the verifier at scale, you don't rerun it twice). The
+    Spark side is the registered plan end-to-end: same bands, same
+    uniform (doc_a, doc_b) repartition, same bounded levenshtein."""
+    d = _t(spark, sf_dir, "documents")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        == 0
+    )
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(keep)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+    )
+    da = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb"))
+    la, lb = F.length("ta"), F.length("tb")
+    mx = F.greatest(la, lb, F.lit(1))
+    len_ok = F.abs(la - lb) <= 0.2 * mx + 1e-9
+    lev = F.expr(
+        "levenshtein(ta, tb, cast(floor(0.2 * greatest(length(ta),"
+        " length(tb), 1)) + 2 as int))"
+    )
+    return (
+        pairs.join(F.broadcast(da), pairs.doc_a == F.col("ida"))
+        .join(F.broadcast(db), pairs.doc_b == F.col("idb"))
+        .filter(len_ok)
+        .select("doc_a", "doc_b", lev.alias("lev"), mx.alias("mx"))
+        .filter(
+            (F.col("lev") >= 0)
+            & (F.lit(1.0) - F.col("lev") / F.col("mx") >= 0.8)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev").alias("edit_dist"),
+            F.round(F.lit(1.0) - F.col("lev") / F.col("mx"), 6).alias(
+                "edit_sim"
+            ),
+        )
+    )
+
+
+@register(
     "simhash_hamming_pairs",
     oracle=f"""
     WITH sh AS ({SIMHASH_SQL}),

@@ -476,9 +476,13 @@ _ADM_F32_SQL = (
 # Integer forms of the size-band predicates: min_size = 1024·0.005 = 5.12
 # → "area < min" ⟺ sz ≤ 5; max_size = 1024·0.3 ≈ 307.2 → "area > max"
 # ⟺ sz ≥ 308. Exact (no float compare needed on counts).
-_ADAPTIVE_ORACLE = f"""
+def _adaptive_oracle(cap_px: str) -> str:
+    """The adaptive-schedule replay oracle; ``cap_px`` is an optional
+    extra grid predicate (e.g. " AND rn0 < 8192") for the bounded
+    image-subset twin — "" replays every image."""
+    return f"""
     WITH RECURSIVE grid AS ({_GRID_SQL}
-      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024
+      WHERE rn0 < ((SELECT count(*) FROM orders) // 1024) * 1024{cap_px}
     ),
     seeds AS (SELECT image_id, v AS sv FROM grid WHERE y = 16 AND x = 16),
     thr(phase, ti, t) AS (VALUES {_THR_VALUES}),
@@ -578,6 +582,9 @@ _ADAPTIVE_ORACLE = f"""
 """
 
 
+_ADAPTIVE_ORACLE = _adaptive_oracle("")
+
+
 @register(
     "region_grow_adaptive",
     oracle=_ADAPTIVE_ORACLE,
@@ -594,6 +601,26 @@ def region_grow_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     size and replays the up/down schedule in SQL (integer size-band
     predicates; float32 admissibility via REAL casts)."""
     g = grid_images_df(spark, sf_dir)
+    return g.groupBy("image_id").applyInPandas(
+        _adaptive_apply, schema="image_id int, area long, threshold_used double"
+    )
+
+
+@register(
+    "region_grow_adaptive_first8",
+    oracle=_adaptive_oracle(" AND rn0 < 8192"),
+    tags=("segmentation", "iterative"),
+)
+def region_grow_adaptive_first8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``region_grow_adaptive`` restricted to the first 8 images — the
+    sf0.1-verifiable twin of the class-(b) skip (SKIP_SF01 points
+    here): the full oracle's recursive flood-fill × threshold-schedule
+    replay costs ~330 s over sf0.1's 146 images, so the twin pins the
+    image subset (rn0 < 8·1024 on both sides — the identical grid
+    prefix) and replays the IDENTICAL adaptive schedule there at any
+    SF. The Spark side runs the exact same applyInPandas operator code
+    path; only the input grid is bounded."""
+    g = grid_images_df(spark, sf_dir).filter(F.col("image_id") < 8)
     return g.groupBy("image_id").applyInPandas(
         _adaptive_apply, schema="image_id int, area long, threshold_used double"
     )

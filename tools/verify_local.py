@@ -90,8 +90,8 @@ SKIP_SF01 = {
     "degree_assortativity": "(a) degree-pair products over the sf0.1 clique edge list — twin: copurchase_assortativity",
     "harmonic_centrality_seeds": "(a) multi-source BFS replay over the sf0.1 clique — twin: copurchase_harmonic_centrality",
     "rich_club_coefficient": "(a) degree-threshold subgraph edge counts over the sf0.1 clique — twin: copurchase_rich_club",
-    "region_grow_adaptive": "(b) DuckDB recursive flood-fill CTE measured 330 s at sf0.1 (Spark side 1.8 s) — r4 window run",
-    "lsh_pairs_edit_verified": "(b) oracle is UNBOUNDED levenshtein over the 9.5M clique pairs (>600 s, interrupted); Spark side 25.6 s after the r5 repartition fix",
+    "region_grow_adaptive": "(b) DuckDB recursive flood-fill CTE measured 330 s at sf0.1 (Spark side 1.8 s) — r4 window run — twin: region_grow_adaptive_first8",
+    "lsh_pairs_edit_verified": "(b) oracle is UNBOUNDED levenshtein over the 9.5M clique pairs (>600 s, interrupted); Spark side 25.6 s after the r5 repartition fix — twin: lsh_verify_pair_sample",
 }
 
 
