@@ -155,6 +155,7 @@ for _q in (
     "phash_hamming_pairs",
     "phash_signatures",
     "region_grow_adaptive",
+    "region_grow_adaptive_first8",
     "region_grow_capped",
     "region_grow_capped_morph",
     "region_grow_component",
