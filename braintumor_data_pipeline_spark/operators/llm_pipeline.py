@@ -1744,3 +1744,107 @@ def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Temperature-mix budget and weight scale. α = 0.5 (weights ∝ √n_g,
+#: the multilingual temperature-sampling standard at T = 2): IEEE-754
+#: sqrt is correctly rounded on BOTH engines, and floor(√n·10⁶) moves
+#: it into BIGINT before anything sums, so the whole allocation is
+#: exact integer arithmetic — order-independent under any partial
+#: aggregation. B·w ≤ 10⁵·√(10¹²)·10⁶ = 10¹⁷ < 2⁶³ at a trillion docs
+#: per source.
+MIX_BUDGET = 100_000
+MIX_W_SCALE = 1_000_000
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {MIX_W_SCALE})
+                  AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per),
+    base AS (
+      SELECT p.source, p.n_docs, p.w,
+             ({MIX_BUDGET} * p.w) // t.tw AS alloc0,
+             ({MIX_BUDGET} * p.w) % t.tw AS rem
+      FROM per p, tot t
+    ),
+    lo AS (
+      SELECT CAST({MIX_BUDGET} - sum(alloc0) AS BIGINT) AS leftover
+      FROM base
+    ),
+    ranked AS (
+      SELECT source, n_docs, w, alloc0,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr
+      FROM base
+    )
+    SELECT r.source, r.n_docs, r.w AS weight_fix,
+           CAST(r.alloc0 + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           round(CAST(r.alloc0
+                      + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
+                      AS DOUBLE) / {MIX_BUDGET}, 6) AS share
+    FROM ranked r, lo l
+    ORDER BY r.source
+    """,
+    tags=("llm", "sampling", "mixing", "agg"),
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: allocate a {MIX_BUDGET}-example
+    sampling budget across sources ∝ √n_g (T = 2 temperature sampling —
+    the standard upweighting of low-resource sources in multilingual /
+    multi-domain pretraining mixes), with LARGEST-REMAINDER rounding so
+    allocations sum exactly to the budget. All integer after the one
+    correctly-rounded IEEE sqrt: base = B·w div ΣW, remainder rank
+    gets the leftover units (total order (rem DESC, source)).
+
+    Scale shape: one partial-aggregable count per source, a 1-row
+    broadcast total, and a rank window over the SOURCE-VOCABULARY
+    aggregate (plan-time-bounded domain — the GLOBAL_WINDOW_OK class
+    kl_domain_balance already documents)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(
+            F.sqrt(F.count("*").cast("double")) * MIX_W_SCALE
+        ).cast("long").alias("w"),
+    )
+    tot = per.agg(F.sum("w").alias("tw"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"({MIX_BUDGET} * w) div tw").alias("alloc0"),
+        (F.lit(MIX_BUDGET) * F.col("w") % F.col("tw")).alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(MIX_BUDGET) - F.sum("alloc0")).cast("long").alias("leftover")
+    )
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "w",
+        "alloc0",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "source"))
+        .alias("rr"),
+    )
+    alloc = F.col("alloc0") + F.when(
+        F.col("rr") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight_fix"),
+            alloc.cast("long").alias("alloc"),
+            F.round(alloc.cast("double") / MIX_BUDGET, 6).alias("share"),
+        )
+        .orderBy("source")
+    )

@@ -2834,3 +2834,186 @@ def retrieval_map_mrr_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: SemDeDup centroid count and similarity gate. K seed centroids = the
+#: K lowest vec_ids (deterministic, training-free — the MIPS-assignment
+#: variant of SemDeDup's k-means stage; at 100 TB you would feed real
+#: k-means centroids through the same plan). τ = 0.35 suits THIS
+#: embedding space (fixture max pairwise cosine ≈ 0.5 — there are no
+#: 0.9-level near-dups to find); the comparison constant is
+#: τ²·10⁴ = 1225, held exactly in integer space.
+SEMDEDUP_K = 16
+SEMDEDUP_TAU2_E4 = 1225
+
+
+@register(
+    "semdedup_prune_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, d.d AS i,
+             CAST(round(CAST(embedding[d.d] AS DOUBLE) * {NCC_SCALE})
+                  AS BIGINT) AS xf
+      FROM embeddings, range(1, 65) d(d)
+    ),
+    n2 AS (
+      SELECT vec_id, CAST(sum(xf * xf) AS BIGINT) AS n2 FROM q
+      GROUP BY vec_id
+    ),
+    cent AS (
+      SELECT vec_id AS cid, i, xf FROM q
+      WHERE vec_id IN (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}
+      )
+    ),
+    adots AS (
+      SELECT q.vec_id, c.cid, CAST(sum(q.xf * c.xf) AS BIGINT) AS dot
+      FROM q JOIN cent c ON c.i = q.i
+      GROUP BY q.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid) AS rn
+        FROM adots
+      ) WHERE rn = 1
+    ),
+    pdots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster,
+             CAST(sum(qa.xf * qb.xf) AS BIGINT) AS dot
+      FROM assign a
+      JOIN assign b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+      GROUP BY a.vec_id, b.vec_id, a.cluster
+    ),
+    dup AS (
+      SELECT p.va, p.vb, p.cluster
+      FROM pdots p
+      JOIN n2 na ON na.vec_id = p.va
+      JOIN n2 nb ON nb.vec_id = p.vb
+      WHERE p.dot > 0
+        AND CAST(p.dot AS DECIMAL(38,0)) * p.dot * 10000
+            >= CAST({SEMDEDUP_TAU2_E4} AS DECIMAL(38,0)) * na.n2 * nb.n2
+    ),
+    members AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+      FROM assign GROUP BY cluster
+    ),
+    pairs AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs
+      FROM dup GROUP BY cluster
+    ),
+    pruned AS (
+      SELECT cluster, CAST(count(DISTINCT vb) AS BIGINT) AS n_pruned
+      FROM dup GROUP BY cluster
+    )
+    SELECT m.cluster, m.n_members,
+           coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+           coalesce(r.n_pruned, 0) AS n_pruned
+    FROM members m
+    LEFT JOIN pairs p ON p.cluster = m.cluster
+    LEFT JOIN pruned r ON r.cluster = m.cluster
+    ORDER BY m.cluster
+    """,
+    tags=("similarity", "dedup", "embedding", "llm"),
+)
+def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
+    every embedding to its max-inner-product cluster among
+    {SEMDEDUP_K} deterministic seed centroids, enumerate SAME-CLUSTER
+    pairs only (the clustering is the quadratic-work bound: per-cluster
+    m², never corpus²), gate on exact integer cosine
+    (dot²·10⁴ ≥ τ²·10⁴·‖a‖²·‖b‖² in DECIMAL(38,0) — no float dot ever
+    crosses an aggregation), and prune the HIGHER vec_id of every dup
+    pair (keep-first). Per-cluster report: members, dup pairs, pruned.
+
+    Scale shape: assignment is one broadcast join against K quantized
+    centroid vectors + a partial-aggregable argmax (max struct);
+    pair enumeration shuffles once on the cluster key; the integer dot
+    is a fixed-order zip_with/aggregate fold, bit-identical on any
+    partitioning. The oracle replays assignment, pairing, and the
+    integer gate with the same 2¹²-quantized fixed-point vectors."""
+    vec = _t(spark, sf_dir, "embeddings")
+    qexpr = F.expr(
+        f"transform(embedding, x -> cast(round(cast(x as double)"
+        f" * {NCC_SCALE}) as bigint))"
+    )
+    q = vec.select("vec_id", qexpr.alias("qv"))
+    dot_self = F.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    n2 = q.select("vec_id", dot_self.alias("n2"))
+    cent = (
+        q.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    dot_qc = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    adots = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", dot_qc.alias("dot")
+    )
+    assign = (
+        adots.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("dot"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cluster"))
+    )
+    aq = assign.join(q, "vec_id")
+    a = aq.select(
+        F.col("vec_id").alias("va"), "cluster", F.col("qv").alias("qa")
+    )
+    b = aq.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("qv").alias("qb"),
+    )
+    dot_ab = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    pdots = (
+        a.join(
+            b,
+            (F.col("cluster_b") == F.col("cluster"))
+            & (F.col("vb") > F.col("va")),
+        )
+        .select("va", "vb", "cluster", dot_ab.alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("va"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("vec_id").alias("vb"), F.col("n2").alias("n2b"))
+    dotd = F.col("dot").cast("decimal(38,0)")
+    dup = (
+        pdots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                dotd * F.col("dot") * 10000
+                >= F.lit(SEMDEDUP_TAU2_E4).cast("decimal(38,0)")
+                * F.col("n2a")
+                * F.col("n2b")
+            )
+        )
+        .select("va", "vb", "cluster")
+    )
+    members = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    pairs = dup.groupBy("cluster").agg(F.count("*").alias("n_dup_pairs"))
+    pruned = dup.groupBy("cluster").agg(
+        F.countDistinct("vb").alias("n_pruned")
+    )
+    return (
+        members.join(pairs, "cluster", "left")
+        .join(pruned, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+        )
+        .orderBy("cluster")
+    )

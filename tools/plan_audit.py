@@ -69,6 +69,11 @@ CARTESIAN_OK = {
     # volume (docstring "Scale shape"). 100 TB of documents reaches
     # these NLJs as exactly 16 rows.
     "isotonic_calibration_pav",
+    # SEMDEDUP_K(=16)-row broadcast centroid block crossed against the
+    # vector scan — the same map-side broadcast-kNN shape as
+    # hard_negative_mining: cost linear in vectors × a plan-time
+    # constant centroid count, no shuffle of the big side
+    "semdedup_prune_report",
 }
 
 # Single-partition windows whose input aggregate's KEY DOMAIN is
@@ -112,6 +117,8 @@ GLOBAL_WINDOW_OK.update(
         "isotonic_calibration_pav": "16 calibration bins (constant; "
         "CARTESIAN_OK documents the same bound for its NLJs)",
         "kl_domain_balance": "source vocabulary (dimension-like domain)",
+        "temperature_mix_allocation": "source vocabulary (largest-"
+        "remainder rank over the per-source aggregate)",
         "mutual_information_lang_source": "lang x source vocabularies",
         "ratio_to_parent_revenue": "region x nation dimension (<=25 rows)",
         "decile_lift_table": "10-row decile aggregate (ntile K=10); the "

@@ -642,6 +642,93 @@ def main_verify_skew() -> int:
     return 0
 
 
+def main_blocked_rank() -> int:
+    """Measure the r6 global-window rewrite: naive
+    ``row_number() OVER (ORDER BY key)`` (one Exchange SinglePartition
+    carrying EVERY row through one task) vs ``indexing.blocked_rank``
+    (range-block + parallel per-block windows + ≤RANGE_BLOCKS broadcast
+    offsets) on a growing user-grain aggregate — the exact frame class
+    the audit now rejects (rfm/decile/gini/RRF/norm-outlier shape).
+
+    Both paths compute the identical rank (asserted via a full
+    anti-join count at the smallest factor); the probe times a count()
+    over the ranked relation. Expect the naive path's wall to grow
+    superlinearly with one hot task while blocked stays near-linear
+    with flat per-row cost — the local[32] proxy for the cluster
+    argument (at 1000 executors the naive plan is not slow, it is
+    DEAD: one task sorts the entire corpus).
+
+    Usage: python tools/scaling_probe.py blocked-rank [factors...]
+    """
+    from braintumor_data_pipeline_spark.operators.indexing import (
+        blocked_rank,
+    )
+    from pyspark.sql import Window
+
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="blocked-rank-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def frame(n_users: int):
+        # per-user aggregate shape: unique key, skewless value domain
+        return spark.range(n_users).select(
+            F.col("id").alias("user_id"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("cents"),
+        )
+
+    base_users = 500_000
+    checked = False
+    for n in factors:
+        users = frame(base_users * n).persist()
+        users.count()
+
+        t0 = time.time()
+        w = Window.orderBy("cents", "user_id")
+        naive = users.select(
+            "user_id", F.row_number().over(w).alias("rank")
+        )
+        naive.select(F.max("rank")).collect()
+        t_naive = time.time() - t0
+
+        t0 = time.time()
+        blocked = blocked_rank(users, "cents", "user_id").select(
+            "user_id", F.col("_rank").alias("rank")
+        )
+        blocked.select(F.max("rank")).collect()
+        t_blocked = time.time() - t0
+
+        if not checked:  # identity proof once, at the cheapest factor
+            diff = (
+                naive.join(blocked, ["user_id", "rank"], "left_anti").count()
+            )
+            assert diff == 0, f"rank mismatch rows: {diff}"
+            checked = True
+
+        users.unpersist()
+        print(
+            json.dumps(
+                {
+                    "shape": "blocked_rank_vs_naive",
+                    "factor": n,
+                    "rows": base_users * n,
+                    "naive_global_window_s": round(t_naive, 3),
+                    "blocked_rank_s": round(t_blocked, 3),
+                    "blocked_ns_per_row": round(
+                        t_blocked / (base_users * n) * 1e9, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
@@ -649,4 +736,6 @@ if __name__ == "__main__":
         raise SystemExit(main_dedup_skew())
     if len(sys.argv) > 1 and sys.argv[1] == "verify-skew":
         raise SystemExit(main_verify_skew())
+    if len(sys.argv) > 1 and sys.argv[1] == "blocked-rank":
+        raise SystemExit(main_blocked_rank())
     raise SystemExit(main())
