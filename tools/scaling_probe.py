@@ -729,9 +729,128 @@ def main_blocked_rank() -> int:
     return 0
 
 
+def main_graph_cc() -> int:
+    """Scale the repeat-co-purchase components twin
+    (graph_twins.copurchase_components shape): replicate sf0.1
+    lineitem N× with BOTH key spaces offset (copies stay disjoint, so
+    the graph gains components without densifying — the way a bigger
+    corpus actually grows), build the support-2 edge list, run the
+    bounded min-label propagation, and report edges / rounds-to-
+    convergence / wall. Pass criteria: rounds stay flat (component
+    diameter is a property of order structure, not corpus size) and
+    wall grows ~linearly with edges — each round is one edges⋈labels
+    join + min-groupBy, all partial-aggregable.
+
+    Usage: python tools/scaling_probe.py graph-cc [factors...]
+    """
+    from braintumor_data_pipeline_spark.operators.graph_twins import (
+        CC_ROUNDS,
+        _sym,
+    )
+
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="graph-cc-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    for n in factors:
+        copies = [
+            base.select(
+                (F.col("l_orderkey") + F.lit(i * 10_000_000)).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(i * 10_000_000)).alias(
+                    "l_partkey"
+                ),
+            )
+            for i in range(n)
+        ]
+        li = copies[0]
+        for c in copies[1:]:
+            li = li.unionAll(c)
+        t0 = time.time()
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.countDistinct("a.l_orderkey").alias("n_ord"))
+            .filter(F.col("n_ord") >= 2)
+            .select("pa", "pb")
+        )
+        edges = _sym(pairs).localCheckpoint()
+        n_edges = edges.count()
+        t_edges = time.time() - t0
+
+        t0 = time.time()
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()
+        )
+        rounds = 0
+        for _ in range(CC_ROUNDS):
+            nbr = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("n2"))
+                .agg(F.min("label").alias("nl"))
+            )
+            new = (
+                labels.join(nbr, labels.node == nbr.n2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nl"), F.col("label")),
+                    ).alias("label"),
+                    (F.col("nl") < F.col("label")).alias("_chg"),
+                )
+            ).localCheckpoint()
+            changed = new.agg(
+                F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("c")
+            ).collect()[0]["c"]
+            labels = new.select("node", "label")
+            rounds += 1
+            if not changed:
+                break
+        n_comp = labels.select("label").distinct().count()
+        t_cc = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "shape": "copurchase_components_scale",
+                    "factor": n,
+                    "edges_directed": n_edges,
+                    "edge_build_s": round(t_edges, 3),
+                    "rounds": rounds,
+                    "components": n_comp,
+                    "propagation_s": round(t_cc, 3),
+                    "ms_per_kedge_round": round(
+                        t_cc / max(rounds, 1) / max(n_edges / 1000, 1) * 1000,
+                        2,
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
+    if len(sys.argv) > 1 and sys.argv[1] == "graph-cc":
+        raise SystemExit(main_graph_cc())
     if len(sys.argv) > 1 and sys.argv[1] == "dedup-skew":
         raise SystemExit(main_dedup_skew())
     if len(sys.argv) > 1 and sys.argv[1] == "verify-skew":
