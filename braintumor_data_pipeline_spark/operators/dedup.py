@@ -216,7 +216,7 @@ LSH_PAIRS_SQL = f"""
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the k-hash signature
-    ({MINHASH_K // BAND_ROWS} bands × {BAND_ROWS} rows), hash each band,
+    ({MINHASH_K // BAND_ROWS} bands × 2 rows), hash each band,
     self-join on (band, band_sig). The join key is the band signature —
     pairs appear only when a full band collides, which is the standard
     sub-quadratic near-dup candidate generation. The band relation feeds
@@ -887,7 +887,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup inside hot shingles) shrinks by ~t/(1+t) per doc, while the
     verify stage stays proportional to true candidates. All arithmetic
     is integer (threshold as the exact cross-multiplied
-    {PPJOIN_T_DEN}·inter ≥ {PPJOIN_T_NUM}·union, prefix length in
+    2·inter ≥ 1·union, prefix length in
     integer div); the oracle recomputes the same pair set with NO
     prefix filter, so the driver hash certifies zero pruning loss."""
     from pyspark.sql import Window
@@ -1187,7 +1187,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking — the OTHER classic sub-quadratic
     candidate generator next to LSH (Hernández–Stolfo): sort the corpus
     by a normalized key (lowercased 24-char text prefix) and emit every
-    pair within a width-{SN_WINDOW} sliding window of the sort order —
+    pair within a width-3 sliding window of the sort order —
     exactly 2N−3 candidates, the cheapest blocking there is, strong on
     prefix-preserving near-dups that token-set methods miss.
 

@@ -499,16 +499,16 @@ def _kcore_round_sql(r: int) -> str:
     tags=("graph", "iterative", "dedup"),
 )
 def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{KCORE_K}-core of the LSH candidate graph by bounded iterative
-    peeling ({KCORE_ROUNDS} rounds): repeatedly drop vertices with
-    degree < {KCORE_K} and the edges they carry — the standard
+    """2-core of the LSH candidate graph by bounded iterative
+    peeling (4 rounds): repeatedly drop vertices with
+    degree < 2 and the edges they carry — the standard
     dense-cluster extractor that separates true near-dup cliques from
     the degree-1 hair of LSH false-positive bands (a star's leaves
     peel away; a clique survives).
 
     Pure integer algorithm (degrees and joins only), so any
     partitioning yields the identical core, and the oracle unrolls the
-    same {KCORE_ROUNDS} peel rounds as SQL stages. Scale shape per
+    same 4 peel rounds as SQL stages. Scale shape per
     round: one groupBy(src) count + two semi-join-shaped filters on
     the shrinking edge relation (each round's edge set is cut with
     localCheckpoint — lineage stays flat, and the relation only ever
@@ -749,7 +749,7 @@ RICH_CLUB_KS = (2, 4, 8)
 )
 def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient φ(k) of the LSH candidate graph at
-    k ∈ {RICH_CLUB_KS}: among nodes of degree > k, what fraction of
+    k ∈ (2, 4, 8): among nodes of degree > k, what fraction of
     their possible pairwise edges exist? A rising φ(k) means the most
     collision-prone documents preferentially collide with EACH OTHER —
     the signature of a shared boilerplate core (one giant template
@@ -847,7 +847,7 @@ HARM_SEEDS = 8
 )
 def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality (Σ 1/d over reachable targets, the
-    disconnected-graph-safe closeness variant) for the {HARM_SEEDS}
+    disconnected-graph-safe closeness variant) for the 8
     lowest-id candidate-graph vertices, by one MULTI-SOURCE 4-hop BFS —
     the "which documents sit closest to the rest of their near-dup
     neighborhood" ranking, and the multi-source generalization of
@@ -1056,7 +1056,7 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``copurchase_triangle_stats``), so unlike the LSH-graph
     iterative family its unrolled oracle stays cross-engine verifiable
     at sf0.1. Same BIGINT fixed-point recurrence as
-    ``pagerank_fixed_point`` (integer mass {PR_SCALE}, damping
+    ``pagerank_fixed_point`` (integer mass 10**12, damping
     {_D_NUM}/{_D_DEN} as an exact ratio, floor division everywhere —
     bit-reproducible under any partitioning); nodes are ALL parts, so
     never-co-purchased parts keep the teleport term only. Output is

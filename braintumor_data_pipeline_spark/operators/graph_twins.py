@@ -198,7 +198,7 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (components.py:67; SKIP_SF01 points here). Same distributed
     min-label propagation (label ← min(label, neighbor labels); one
     edges⋈labels join + min-groupBy per round, lineage cut per round),
-    but the oracle UNROLLS the bounded {CC_ROUNDS}-round recurrence as
+    but the oracle UNROLLS the bounded 12-round recurrence as
     SQL stages over the sparse support-2 graph instead of a quadratic
     full-pair closure — each stage is one V-row table joined to the
     3.9k-edge list. Labels are exact integers, so the driver hash is
@@ -342,7 +342,7 @@ def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative", "relational"),
 )
 def copurchase_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unweighted BFS levels ({BFS_HOPS} hops) over the repeat
+    """Unweighted BFS levels (4 hops) over the repeat
     co-purchase graph from its MAX-DEGREE hub part (tie-break: min id
     — a total order, so both engines pick the identical source; the
     min-id vertex of the LSH original would land in a 2-node
@@ -424,7 +424,7 @@ def _sssp_twin_round_sql(k: int) -> str:
 )
 def copurchase_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (bounded Bellman-Ford,
-    {SSSP_ROUNDS} rounds) over the repeat co-purchase graph from its
+    6 rounds) over the repeat co-purchase graph from its
     MAX-DEGREE hub part (total-order tie-break (deg DESC, id), so both
     engines relax from the identical source and the reached set is a
     real component, not a 2-node islet) — the sf0.1-verifiable twin of
@@ -507,14 +507,14 @@ def _kcore_twin_round_sql(r: int) -> str:
     tags=("graph", "iterative", "relational"),
 )
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{KCORE_K}-core of the repeat co-purchase graph by bounded
-    iterative peeling ({KCORE_ROUNDS} rounds) — the sf0.1-verifiable
+    """2-core of the repeat co-purchase graph by bounded
+    iterative peeling (4 rounds) — the sf0.1-verifiable
     twin of ``kcore_peeling`` (graph.py:501; SKIP_SF01 points here),
     and on THIS graph the peel actually bites (half the vertices are
     degree-1 leaves of association pairs). Same per-round shape: one
     degree count + two semi-joins on the shrinking, per-round
     checkpointed edge relation; the oracle unrolls the identical
-    {KCORE_ROUNDS} rounds."""
+    4 rounds."""
     pairs = _repeat_pairs(spark, sf_dir)
     edges = _sym(pairs).localCheckpoint()
     for _ in range(KCORE_ROUNDS):
@@ -707,12 +707,12 @@ def copurchase_harmonic_centrality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Harmonic centrality (Σ 1/d, exact LCM-scaled integers) of the
-    {HARM_SEEDS} lowest-id repeat-co-purchase parts via one
-    multi-source {BFS_HOPS}-hop BFS — the sf0.1-verifiable twin of
+    8 lowest-id repeat-co-purchase parts via one
+    multi-source 4-hop BFS — the sf0.1-verifiable twin of
     ``harmonic_centrality_seeds`` (graph.py:848; SKIP_SF01 points
     here). Same traversal (source id rides as a key column; frontier
     distinct + anti-join visited + per-hop checkpoint), same exact
-    {HARM_SCALE}//d scores; the recursive-CTE oracle replays it over
+    840//d scores; the recursive-CTE oracle replays it over
     wavefronts bounded by the ≤29-node components."""
     pairs = _repeat_pairs(spark, sf_dir)
     edges = (
@@ -880,7 +880,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient φ(k) of the FULL co-purchase graph at
-    k ∈ {RICH_KS} (degree scale of THIS graph: max 222 at sf0.1) — the
+    k ∈ (16, 64, 128) (degree scale of THIS graph: max 222 at sf0.1) — the
     sf0.1-verifiable twin of ``rich_club_coefficient`` (graph.py:750;
     SKIP_SF01 points here). Exact counts: club sizes from a degree
     filter per k (3-value constant domain via a literal-array explode),

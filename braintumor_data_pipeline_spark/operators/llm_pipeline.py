@@ -1795,7 +1795,7 @@ MIX_W_SCALE = 1_000_000
     tags=("llm", "sampling", "mixing", "agg"),
 )
 def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixing: allocate a {MIX_BUDGET}-example
+    """Temperature-scaled source mixing: allocate a 100,000-example
     sampling budget across sources ∝ √n_g (T = 2 temperature sampling —
     the standard upweighting of low-resource sources in multilingual /
     multi-domain pretraining mixes), with LARGEST-REMAINDER rounding so

@@ -135,20 +135,24 @@ def test_temperature_mix_sums_to_budget(spark):
 
 def test_semdedup_report_invariants(spark):
     from braintumor_data_pipeline_spark.operators.similarity import (
-        SEMDEDUP_K,
+        SEMDEDUP_CAP,
         semdedup_prune_report,
     )
 
     rows = semdedup_prune_report(spark, "/root/testdata/sf0.001").collect()
-    assert 1 <= len(rows) <= SEMDEDUP_K
+    assert len(rows) >= 1
     total_members = sum(r["n_members"] for r in rows)
-    # every embedding is assigned to exactly one cluster
+    # every embedding is assigned to exactly one (cluster, subcluster)
     from braintumor_data_pipeline_spark.sources.fixtures import load_table
 
     n_vec = load_table(spark, "/root/testdata/sf0.001", "embeddings").count()
     assert total_members == n_vec
     for r in rows:
+        # the hard cap is the linearity guarantee: no subcluster ever
+        # exceeds SEMDEDUP_CAP members, so pairs <= N*CAP/2
+        assert 1 <= r["n_members"] <= SEMDEDUP_CAP
+        assert r["subcluster"] >= 0
         # keep-first: at least one member of any dup-bearing cluster
         # survives; pair count bounds pruned count
         assert 0 <= r["n_pruned"] < max(r["n_members"], 1)
-        assert r["n_pruned"] <= r["n_dup_pairs"] * 1 or r["n_dup_pairs"] == 0
+        assert r["n_pruned"] <= r["n_dup_pairs"]

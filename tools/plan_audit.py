@@ -69,10 +69,12 @@ CARTESIAN_OK = {
     # volume (docstring "Scale shape"). 100 TB of documents reaches
     # these NLJs as exactly 16 rows.
     "isotonic_calibration_pav",
-    # SEMDEDUP_K(=16)-row broadcast centroid block crossed against the
-    # vector scan — the same map-side broadcast-kNN shape as
-    # hard_negative_mining: cost linear in vectors × a plan-time
-    # constant centroid count, no shuffle of the big side
+    # G-row broadcast SUPER-centroid block (G = ceil(sqrt(K)),
+    # K ≈ N/SEMDEDUP_STRIDE — model-sized routing state, not data)
+    # crossed against the vector scan for level-1 routing — the same
+    # map-side broadcast-kNN shape as hard_negative_mining: cost
+    # N·G = O(N·√K) dots, no shuffle of the big side; level-2 is a
+    # keyed join on the hash group, not a cross
     "semdedup_prune_report",
 }
 

@@ -846,7 +846,147 @@ def main_graph_cc() -> int:
     return 0
 
 
+def main_semdedup() -> int:
+    """Scale the r7 SemDeDup formulation (VERDICT r6 task 1): grow a
+    synthetic embedding corpus N×, let K ≈ N/SEMDEDUP_STRIDE scale WITH
+    it, and time the two stages separately:
+
+    - route_s: seed selection + two-level assignment + cap rank
+      (_semdedup_capped — the O(N·√K) routing);
+    - pair_s: same-(cluster, subcluster) enumeration + integer cosine
+      gate + report (_semdedup_report_from — bounded by N·CAP/2).
+
+    Corpus: 64-dim integer vectors around 96·s true centers (center
+    id = _mix(id) % (96·s), coordinate = center base ± small noise) so
+    clusters actually form and pair volume is realistic. Pass criteria:
+    cand_pairs grows ~linearly with N (K scaling keeps E[cluster] at
+    STRIDE) and pair_us_per_pair stays flat.
+
+    An ADVERSARIAL single-blob corpus (every vector identical up to
+    noise → the router sends everything to ONE cluster) is probed at
+    the smallest factor: without the cap this is N²/2 pairs; the probe
+    asserts the capped pair count is ≤ N·CAP/2 and reports both.
+
+    Usage: python tools/scaling_probe.py semdedup [factors...]
+    """
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        SEMDEDUP_CAP,
+        _semdedup_capped,
+        _semdedup_report_from,
+    )
+
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="semdedup-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    base_n = 50_000
+
+    def corpus(n_vec: int, n_centers: int):
+        center = _mix(F.col("id"), 3) % n_centers
+        dim = F.sequence(F.lit(0), F.lit(63))
+        qv = F.transform(
+            dim,
+            lambda d: (
+                (_mix(center * 64 + d, 11) % 2048 - 1024)
+                + (_mix(F.col("id") * 64 + d, 23) % 128 - 64)
+            ).cast("long"),
+        )
+        return spark.range(n_vec).select(
+            F.col("id").alias("vec_id"), qv.alias("qv")
+        )
+
+    # untimed warmup of both sub-plans
+    wq = corpus(2_000, 8)
+    _semdedup_report_from(_semdedup_capped(wq), wq).count()
+
+    for s in factors:
+        n_vec = base_n * s
+        q = corpus(n_vec, 96 * s).persist()
+        q.count()
+
+        t0 = time.time()
+        capped = _semdedup_capped(q).persist()
+        capped.count()
+        t_route = time.time() - t0
+
+        # candidate-pair volume by bucket-count math (never enumerated
+        # twice): sum m(m-1)/2 over (cluster, subcluster)
+        vol = (
+            capped.groupBy("cluster", "subcluster")
+            .agg(F.count("*").alias("m"))
+            .agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pairs"),
+                F.max("m").alias("hot"),
+                F.count("*").alias("n_buckets"),
+            )
+            .collect()[0]
+        )
+        assert int(vol["hot"]) <= SEMDEDUP_CAP
+
+        t0 = time.time()
+        report = _semdedup_report_from(capped, q)
+        n_dup = report.agg(F.sum("n_dup_pairs")).collect()[0][0]
+        t_pair = time.time() - t0
+        capped.unpersist()
+        q.unpersist()
+
+        print(
+            json.dumps(
+                {
+                    "shape": "semdedup_k_scaled",
+                    "factor": s,
+                    "vectors": n_vec,
+                    "buckets": int(vol["n_buckets"]),
+                    "hot_bucket_m": int(vol["hot"]),
+                    "cand_pairs": int(vol["pairs"]),
+                    "dup_pairs": int(n_dup or 0),
+                    "route_s": round(t_route, 3),
+                    "pair_s": round(t_pair, 3),
+                    "pair_us_per_pair": round(
+                        t_pair / max(int(vol["pairs"]), 1) * 1e6, 3
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+    # adversarial one-blob corpus: every vector near ONE center
+    n_vec = base_n
+    q = corpus(n_vec, 1).persist()
+    q.count()
+    capped = _semdedup_capped(q).persist()
+    vol = (
+        capped.groupBy("cluster", "subcluster")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pairs"),
+            F.max("m").alias("hot"),
+        )
+        .collect()[0]
+    )
+    capped.unpersist()
+    q.unpersist()
+    capped_pairs = int(vol["pairs"])
+    assert int(vol["hot"]) <= SEMDEDUP_CAP
+    assert capped_pairs <= n_vec * SEMDEDUP_CAP // 2
+    print(
+        json.dumps(
+            {
+                "shape": "semdedup_adversarial_one_blob",
+                "vectors": n_vec,
+                "uncapped_pairs_would_be": n_vec * (n_vec - 1) // 2,
+                "capped_pairs": capped_pairs,
+                "hot_bucket_m": int(vol["hot"]),
+                "bound_n_cap_over_2": n_vec * SEMDEDUP_CAP // 2,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        raise SystemExit(main_semdedup())
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
     if len(sys.argv) > 1 and sys.argv[1] == "graph-cc":
