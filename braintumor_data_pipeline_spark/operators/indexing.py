@@ -83,33 +83,152 @@ def global_dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-sum window is at most this many rows no matter the data
 #: volume, which is what makes that window's single partition benign
 #: (and what tools/plan_audit.py's GLOBAL_WINDOW_OK entries cite).
+#: Must stay a perfect square of _COARSE (the two-level boundary
+#: lookup below).
 RANGE_BLOCKS = 1024
+_COARSE = 32  # sqrt(RANGE_BLOCKS): boundary lookup = 2×31 comparisons
 
 
 def _with_range_block(df: DataFrame, key_col: str) -> DataFrame:
     """Append ``_blk`` ∈ [0, RANGE_BLOCKS): a deterministic, MONOTONE
     function of ``key_col`` (equal keys ⇒ equal block; larger key ⇒
-    same-or-larger block), derived from the broadcast global min/max so
-    the assignment is retry/speculation stable — never
-    ``spark_partition_id``. Monotonicity is all correctness needs
-    (blocks are contiguous key ranges); IEEE double division only
-    shifts block BALANCE, never results, because every downstream sort
-    orders by the true key within the block."""
-    b = df.agg(
-        F.min(key_col).cast("double").alias("_mn"),
-        F.max(key_col).cast("double").alias("_mx"),
+    same-or-larger block). Boundaries are COUNT-BALANCED (r7, VERDICT
+    r6 task 2): the RANGE_BLOCKS−1 quantiles of the key from one
+    ``approx_percentile`` pass, broadcast as a sorted array, so a
+    clustered or heavy-tailed key distribution still splits into
+    ~equal-count blocks — the old linear min/max interpolation packed
+    most of a Zipf-ish key's rows into a few blocks (probe table in
+    SCALE.md r7). ``_blk`` = number of boundaries ≤ key, found by two
+    broadcast interval joins (32-row coarse BNLJ → per-segment
+    BroadcastHashJoin, ≤64 codegen comparisons/row — see the inline
+    note for why not an expression or HOF fold).
+
+    Correctness never depends on WHERE the boundaries fall (each
+    downstream sort orders by the true key within the block, and the
+    offsets are exact counts), so approx_percentile's partition-order
+    sensitivity only shifts block balance — the helper's output is
+    bit-identical across partitionings, which the determinism sweep
+    checks. The assignment is a pure function of (key, broadcast
+    boundary array) — retry/speculation stable, never
+    ``spark_partition_id``.
+
+    Preconditions and edge semantics:
+
+    - **NULL keys map to block 0** (every NULL comparison folds to 0)
+      and sort first within it — matching Spark's ASC NULLS FIRST, so
+      blocked_rank agrees with the naive ``ORDER BY key`` window it
+      replaces. (Before r7, NULL keys produced a NULL ``_blk`` and the
+      offsets join silently DROPPED those rows — ADVICE r6.)
+    - **An all-equal key frame degenerates to ONE block** — every
+      boundary equals the key, so every row lands in block 1023. Any
+      monotone-in-key function must do this (equal keys are
+      indistinguishable); callers whose key can be near-constant at
+      scale should rank on a different/composite key. Equal-key TIES
+      inside a block are still broken by the caller's tiebreak column,
+      so results stay correct — only parallelism degrades.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    key_type = df.schema[key_col].dataType
+    pcts = F.array(
+        *[F.lit(i / RANGE_BLOCKS) for i in range(1, RANGE_BLOCKS)]
     )
-    span = (F.col("_mx") - F.col("_mn")) / F.lit(float(RANGE_BLOCKS))
-    blk = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col(key_col).cast("double") - F.col("_mn")) / span),
-            F.lit(RANGE_BLOCKS - 1),
+    # accuracy 4096: GK rank error ≤ N/4096 = a quarter-block — block
+    # sizes within ~±25% of N/1024 (measured hot block 8447 vs ideal
+    # 7812 at 8M rows), at a third of the accuracy-10000 agg cost.
+    # 1-row model-SIZING collect (house pattern: bounded model state,
+    # like the IVF centroid table) — the ≤1023 boundary values become
+    # LOCAL interval tables below. Keeping them as lazy subtrees
+    # instead puts the input plan into the lookup's broadcast branches
+    # ~7 times per helper call, and CHAINED calls (rfm_segments ranks
+    # three times) then grow the logical plan exponentially — measured
+    # 603 s at sf0.001 before this collect, ~10 s after.
+    bnds = (
+        df.agg(
+            F.percentile_approx(F.col(key_col), pcts, 4096).alias("_bnds")
+        ).collect()[0]["_bnds"]
+        or []
+    )
+    spark = df.sparkSession
+    key = F.col(key_col)
+
+    # The lookup is TWO BROADCAST INTERVAL JOINS, not a per-row
+    # expression over the boundary array: an unrolled comparison tree
+    # gets its shared sub-expressions re-inlined by projection
+    # collapsing (measured 15 s/8M rows), and aggregate()/filter()
+    # HOFs are interpreted per element (9 s). The join form keeps every
+    # comparison in whole-stage codegen: level 1 probes a ≤32-row
+    # coarse-interval table (BroadcastNestedLoopJoin, ≤32 predicate
+    # evals/row), level 2 an equi-key BroadcastHashJoin on the segment
+    # whose build buckets hold ≤32 fine intervals each — measured
+    # 4.4 s/8M rows for the full blocked_rank vs 8.1 s naive.
+    # Intervals are half-open [lo, hi) with NULL = unbounded, so every
+    # non-NULL key matches EXACTLY ONE row per level even when
+    # boundary values repeat (duplicate-value intervals are empty);
+    # an empty boundary list (empty/all-NULL frame) yields one
+    # catch-all interval and a single block 0.
+    cvals = [
+        bnds[i * _COARSE - 1]
+        for i in range(1, (len(bnds) + 1) // _COARSE)
+    ]
+    coarse_rows = [
+        (
+            s,
+            cvals[s - 1] if s >= 1 else None,
+            cvals[s] if s < len(cvals) else None,
         )
+        for s in range(len(cvals) + 1)
+    ]
+    coarse = spark.createDataFrame(
+        coarse_rows,
+        StructType(
+            [
+                StructField("_rb_seg", IntegerType(), False),
+                StructField("_rb_clo", key_type, True),
+                StructField("_rb_chi", key_type, True),
+            ]
+        ),
+    )
+    fine_rows = [
+        (
+            c // _COARSE,
+            c,
+            bnds[c - 1] if c >= 1 else None,
+            bnds[c] if c < len(bnds) else None,
+        )
+        for c in range(len(bnds) + 1)
+    ]
+    fine = spark.createDataFrame(
+        fine_rows,
+        StructType(
+            [
+                StructField("_rb_fseg", IntegerType(), False),
+                StructField("_rb_blk", IntegerType(), False),
+                StructField("_rb_lo", key_type, True),
+                StructField("_rb_hi", key_type, True),
+            ]
+        ),
+    )
+    ccond = (
+        F.col("_rb_clo").isNull() | (key >= F.col("_rb_clo"))
+    ) & (F.col("_rb_chi").isNull() | (key < F.col("_rb_chi")))
+    # LEFT joins: a NULL key matches no interval and lands in block 0
+    # below — rows are never dropped, and NULL keys sort first within
+    # block 0, matching the naive window's ASC NULLS FIRST.
+    seged = df.join(F.broadcast(coarse), ccond, "left").drop(
+        "_rb_clo", "_rb_chi"
+    )
+    fcond = (
+        (F.col("_rb_fseg") == F.col("_rb_seg"))
+        & (F.col("_rb_lo").isNull() | (key >= F.col("_rb_lo")))
+        & (F.col("_rb_hi").isNull() | (key < F.col("_rb_hi")))
     )
     return (
-        df.crossJoin(F.broadcast(b))
-        .withColumn("_blk", blk.cast("long"))
-        .drop("_mn", "_mx")
+        seged.join(F.broadcast(fine), fcond, "left")
+        .withColumn(
+            "_blk", F.coalesce(F.col("_rb_blk").cast("long"), F.lit(0))
+        )
+        .drop("_rb_seg", "_rb_fseg", "_rb_blk", "_rb_lo", "_rb_hi")
     )
 
 
@@ -123,6 +242,15 @@ def blocked_rank(df: DataFrame, key_col: str, tiebreak_col: str) -> DataFrame:
     For DESC order pass a negated key column. This is the scale-safe
     replacement for ``ntile/row_number OVER (ORDER BY …)`` on
     data-grain frames (VERDICT r5 task 1)."""
+    # PERSIST the input: the helper evaluates df twice (the
+    # boundary-quantile agg, then the blocked main pass), and the
+    # blocked frame twice more (per-block counts, final join) —
+    # without a cache, CHAINED helper calls (rfm_segments ranks
+    # three times) re-evaluate their whole upstream 2^depth times
+    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
+    # rule (SCALE.md Dedup): persist the shared relation;
+    # ContextCleaner reclaims it when the query's refs drop.
+    df = df.persist()
     blocked = _with_range_block(df, key_col)
     counts = blocked.groupBy("_blk").agg(F.count("*").alias("_cnt"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -147,6 +275,15 @@ def blocked_cumsum(
     :func:`blocked_rank`: per-block partial sums (≤RANGE_BLOCKS rows)
     prefix-summed globally, plus a parallel within-block running sum.
     ``inclusive=False`` gives the ROWS … AND 1 PRECEDING frame."""
+    # PERSIST the input: the helper evaluates df twice (the
+    # boundary-quantile agg, then the blocked main pass), and the
+    # blocked frame twice more (per-block counts, final join) —
+    # without a cache, CHAINED helper calls (rfm_segments ranks
+    # three times) re-evaluate their whole upstream 2^depth times
+    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
+    # rule (SCALE.md Dedup): persist the shared relation;
+    # ContextCleaner reclaims it when the query's refs drop.
+    df = df.persist()
     blocked = _with_range_block(df, key_col)
     bsums = blocked.groupBy("_blk").agg(F.sum(val_col).alias("_bsum"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -179,6 +316,15 @@ def blocked_cummax(
     frame, plus a parallel within-block running max.
     ``inclusive=False`` gives the strict ROWS … AND 1 PRECEDING frame
     (NULL when nothing precedes — matching the SQL window's NULL)."""
+    # PERSIST the input: the helper evaluates df twice (the
+    # boundary-quantile agg, then the blocked main pass), and the
+    # blocked frame twice more (per-block counts, final join) —
+    # without a cache, CHAINED helper calls (rfm_segments ranks
+    # three times) re-evaluate their whole upstream 2^depth times
+    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
+    # rule (SCALE.md Dedup): persist the shared relation;
+    # ContextCleaner reclaims it when the query's refs drop.
+    df = df.persist()
     blocked = _with_range_block(df, key_col)
     bmax = blocked.groupBy("_blk").agg(F.max(val_col).alias("_bmx"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)

@@ -1655,7 +1655,14 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("_rank").alias("rd"))
     )
 
-    fused = sparse_rank.join(dense_ranked, "doc_id", "full_outer").select(
+    # hint("merge"): both rank relations are doc-grain; with cached
+    # (tiny-statistics) inputs the cost model would otherwise plan the
+    # FULL OUTER as a BroadcastNestedLoopJoin building from a
+    # data-grain side — fine at fixture scale, dead at 100 TB. SMJ on
+    # doc_id is the plan you'd want at any scale (audit-caught, r7).
+    fused = sparse_rank.hint("merge").join(
+        dense_ranked, "doc_id", "full_outer"
+    ).select(
         "doc_id",
         "rs",
         "rd",

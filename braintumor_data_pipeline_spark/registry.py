@@ -206,6 +206,39 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: (llm_pipeline), rendezvous_shard_assignment →
 #: region_grow_capped_morph (segmentation gains a 2nd rep;
 #: llm_pipeline keeps the incoming k_anonymity_report).
+#: r7 rotation (VERDICT r6 tasks 1, 3): seventeen r6-green,
+#: formulation-unchanged, non-headline slots vacate. semdedup_prune_report
+#: REQUIRES a slot under the changed-formulation invariant (r7: corpus-
+#: scaled K, two-level routing, hard cluster cap); the nine r6 blocked-
+#: helper conversions (rfm_segments, decile_lift_table,
+#: time_to_conversion_stats, top_orders_with_ties, hybrid_rrf_fusion_topk,
+#: embedding_norm_outliers, gini_revenue_concentration,
+#: classifier_auc_exact, pareto_frontier_orders) changed formulation AGAIN
+#: this round (count-balanced approx_percentile boundaries + local
+#: interval tables + input persist; hybrid_rrf also pins its full-outer
+#: fusion to SMJ) and therefore STAY in-window. The other sixteen
+#: incoming are never-driver-checked recomputing queries, prioritized
+#: from the r6 judge's locally-verified list where module coverage
+#: allows. Out -> in, module coverage preserved at every swap:
+#: pixel_histogram -> semdedup_prune_report (pixels keeps headline
+#: pixel_minmax_normalize; similarity gains the changed formulation),
+#: copurchase_components -> copurchase_bfs_levels (graph_twins),
+#: region_grow_capped_morph -> region_grow_adaptive_first8 (segmentation),
+#: k_anonymity_report -> temperature_mix_allocation (llm_pipeline),
+#: q9_product_type_profit -> q15_top_supplier (tpch_shapes),
+#: state_snapshot_diff -> incremental_agg_merge (cdc),
+#: funnel_view_click_purchase -> rolling_active_users (timeseries),
+#: vocab_coverage_curve -> arrow_token_stats (text — the mapInArrow tier),
+#: edge_spectrum_agreement -> mask_regionprops_exact (imaging_udf),
+#: hll_set_intersection_estimate -> hll_register_sketch (sketch),
+#: salted_join_heavy_key -> skew_diagnosis_join_keys (skew),
+#: rcte_clamped_balance -> holt_linear_forecast (recursive),
+#: synthetic_lineitem_pricing -> synthetic_star_join_agg (generator),
+#: video_shot_boundaries -> multimodal_image_features (multimodal),
+#: dpp_star_join_weekend -> partition_fingerprints_daily (maintenance —
+#: DPP thrice-green r4/r5/r6, rotation principle applies),
+#: jsonl_corrupt_records_audit -> textdir_corpus_stats (jsonl),
+#: copurchase_triangle_stats -> kcore_peeling (graph).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # relational core (scan/filter/proj/agg/join/setop/window/topk)
@@ -217,12 +250,12 @@ PRIORITY: tuple[str, ...] = (
     "rollup_lineitem",
     "histogram_totalprice",
     # CDC: SCD-2 point-in-time enrichment (first-time, r4)
-    "state_snapshot_diff",
+    "incremental_agg_merge",
     # timeseries (r6: ordered view→click→purchase funnel — keeps the
     # timeseries family slot; holt_linear_forecast from the judge's
     # list lives in `recursive`, which rcte_clamped_balance already
     # covers)
-    "funnel_view_click_purchase",
+    "rolling_active_users",
     # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
     # once-green r3, formulation unchanged, timeseries keeps cusum —
     # vacates for bpe_learn_merges, whose ORACLE changed this round
@@ -231,24 +264,24 @@ PRIORITY: tuple[str, ...] = (
     # recomputing tier needs its window slot per the smoke invariant)
     "bpe_encode_stats",
     # TPC-H shapes
-    "q9_product_type_profit",
+    "q15_top_supplier",
     # analytics (first-time, r4 fifth rotation: distributed skyline)
     "pareto_frontier_orders",
     # imaging UDF path (applyInPandas numpy, hash-checked vs exact
     # integer-DFT SQL — the r4 frozen-golden upgrade)
-    "edge_spectrum_agreement",
+    "mask_regionprops_exact",
     # experiments (r6 changed formulations: user-grain ntiles → blocked
     # rank + exact remainder ntile; both REQUIRE window slots)
     "rfm_segments",
     "decile_lift_table",
     # text analysis
-    "vocab_coverage_curve",
+    "arrow_token_stats",
     # llm_pipeline (r6: k-anonymity quasi-identifier audit)
-    "k_anonymity_report",
+    "temperature_mix_allocation",
     # similarity (r6 changed formulation: doc-grain ranks → blocked)
     "hybrid_rrf_fusion_topk",
     # graph (r6: the non-degenerate triangle census twin)
-    "copurchase_triangle_stats",
+    "kcore_peeling",
     # dedup
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
@@ -263,18 +296,18 @@ PRIORITY: tuple[str, ...] = (
     # r3-green, formulation unchanged, sketch keeps TWO window reps —
     # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
     # the smoke family-coverage invariant)
-    "hll_set_intersection_estimate",
+    "hll_register_sketch",
     # graph_twins (r6 new module: the 12-round label-propagation
     # components twin — its smoke family slot)
-    "copurchase_components",
+    "copurchase_bfs_levels",
     # XML interchange (native Spark 4 source, first-time r4)
     "xml_roundtrip_stats",
     # zero-I/O in-plan generator (dbgen-style source)
-    "synthetic_lineitem_pricing",
+    "synthetic_star_join_agg",
     # multimodal image near-dup (r6: per-image pHash signatures)
     "phash_signatures",
     # JSONL corrupt-records audit (r6: PERMISSIVE-mode fidelity)
-    "jsonl_corrupt_records_audit",
+    "textdir_corpus_stats",
     # pixel relation (imaging as SQL)
     "pixel_minmax_normalize",
     # mask algebra / metrics
@@ -287,7 +320,7 @@ PRIORITY: tuple[str, ...] = (
     "interval_union_coverage",
     # skew handling (r6: the salted JOIN variant) + modularity over the
     # closure components (components module keeps its rep)
-    "salted_join_heavy_key",
+    "skew_diagnosis_join_keys",
     "component_modularity",
     # bucketed co-located join (zero-shuffle layout)
     "bucketed_star_join",
@@ -295,22 +328,22 @@ PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_stats",
     "csv_roundtrip_stats",
     # multimodal audio (oracle recomputes features from raw bytes)
-    "video_shot_boundaries",
+    "multimodal_image_features",
     # engine-native recursion (byte-identical SQL on both engines)
-    "rcte_clamped_balance",
+    "holt_linear_forecast",
     # indexing + pixels 2nd rep (r6: 50-bin pixel histogram)
     "global_dense_ids_documents",
-    "pixel_histogram",
+    "semdedup_prune_report",
     # experiments (r6 changed formulation: near-unique price-grain
     # prefix sum → blocked_cumsum) + DPP star join (the dynamic
     # pruning lever stays)
     "top_orders_with_ties",
-    "dpp_star_join_weekend",
+    "partition_fingerprints_daily",
     # segmentation 2nd rep (r6: capped BFS + morphology close, the
     # FIFO-CTE oracle) + analytics (r6 changed formulation:
     # customer-grain Lorenz rank → blocked_rank) + experiments
     # (changed r5, stays per the invariant)
-    "region_grow_capped_morph",
+    "region_grow_adaptive_first8",
     "gini_revenue_concentration",
     "classifier_auc_exact",
     # streaming (batch-equivalent forms)

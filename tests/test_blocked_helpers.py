@@ -101,6 +101,67 @@ def test_blocked_cummax_matches_naive(spark, n, inclusive):
     df.unpersist()
 
 
+def test_blocked_rank_clustered_keys_matches_naive(spark):
+    """Zipf-ish key distribution (ADVICE r6 / VERDICT r6 task 2): 90%
+    of rows in a narrow value band, 10% spread across a 10^6× wider
+    range. The r6 min/max-interpolated boundaries packed the band into
+    one block; the r7 approx_percentile boundaries split it by count.
+    Result identity is asserted either way — this pins the semantics
+    while the scaling probe pins the balance."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("tb"),
+        F.when(_h(F.col("id"), 10) < 9, _h(F.col("id") + 7, 1000))
+        .otherwise(_h(F.col("id") + 13, 1_000_000_000))
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).persist()
+    w = Window.orderBy("k", "tb")
+    naive = df.select("tb", F.row_number().over(w).alias("r"))
+    blocked = blocked_rank(df, "k", "tb").select(
+        "tb", F.col("_rank").alias("r")
+    )
+    assert naive.join(blocked, ["tb", "r"]).count() == n
+    df.unpersist()
+
+
+def test_blocked_rank_all_equal_keys_matches_naive(spark):
+    """All-equal keys: every boundary equals the key, one block —
+    documented degeneracy; ranks must still match (ties broken by tb)."""
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("tb"), F.lit(42).alias("k")
+    )
+    w = Window.orderBy("k", "tb")
+    naive = df.select("tb", F.row_number().over(w).alias("r"))
+    blocked = blocked_rank(df, "k", "tb").select(
+        "tb", F.col("_rank").alias("r")
+    )
+    assert naive.join(blocked, ["tb", "r"]).count() == n
+
+
+def test_blocked_rank_null_keys_not_dropped(spark):
+    """NULL keys (ADVICE r6): before r7 a NULL key produced a NULL
+    _blk and the offsets join silently dropped the row. Now NULLs land
+    in block 0 and rank FIRST — matching Spark's ASC NULLS FIRST naive
+    window this helper replaces."""
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("tb"),
+        F.when(_h(F.col("id"), 5) == 0, F.lit(None).cast("long"))
+        .otherwise(_h(F.col("id"), 300))
+        .alias("k"),
+    ).persist()
+    w = Window.orderBy(F.asc("k"), "tb")  # Spark ASC = NULLS FIRST
+    naive = df.select("tb", F.row_number().over(w).alias("r"))
+    blocked = blocked_rank(df, "k", "tb").select(
+        "tb", F.col("_rank").alias("r")
+    )
+    assert blocked.count() == n  # nothing dropped
+    assert naive.join(blocked, ["tb", "r"]).count() == n
+    df.unpersist()
+
+
 @pytest.mark.parametrize("n", [1, 9, 10, 11, 100, 997])
 @pytest.mark.parametrize("k", [3, 10])
 def test_exact_ntile_matches_native(spark, n, k):

@@ -669,63 +669,90 @@ def main_blocked_rank() -> int:
     spark = get_spark(app_name="blocked-rank-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
-    def frame(n_users: int):
-        # per-user aggregate shape: unique key, skewless value domain
-        return spark.range(n_users).select(
-            F.col("id").alias("user_id"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("id").cast("string")), 1, 12),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias("cents"),
-        )
+    def _mdh(col, digits=12):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, digits), 16, 10
+        ).cast("long")
+
+    def frame(n_users: int, dist: str):
+        # per-user aggregate shape: unique key; two key distributions —
+        # "uniform" (hash-uniform values, the r6 probe) and "clustered"
+        # (Zipf-ish: 90% of keys inside a 100k-wide band of a 10^14
+        # range — the adversarial shape for value-interpolated
+        # boundaries; VERDICT r6 task 2)
+        ids = spark.range(n_users)
+        if dist == "uniform":
+            key = _mdh(F.col("id"))
+        else:
+            key = F.when(
+                _mdh(F.col("id"), 2) % 10 < 9,
+                _mdh(F.col("id") + 7) % 100_000,
+            ).otherwise(_mdh(F.col("id") + 13) % (10**14))
+        return ids.select(F.col("id").alias("user_id"), key.alias("cents"))
 
     base_users = 500_000
-    checked = False
-    for n in factors:
-        users = frame(base_users * n).persist()
-        users.count()
+    for dist in ("uniform", "clustered"):
+        checked = False
+        for n in factors:
+            users = frame(base_users * n, dist).persist()
+            users.count()
 
-        t0 = time.time()
-        w = Window.orderBy("cents", "user_id")
-        naive = users.select(
-            "user_id", F.row_number().over(w).alias("rank")
-        )
-        naive.select(F.max("rank")).collect()
-        t_naive = time.time() - t0
-
-        t0 = time.time()
-        blocked = blocked_rank(users, "cents", "user_id").select(
-            "user_id", F.col("_rank").alias("rank")
-        )
-        blocked.select(F.max("rank")).collect()
-        t_blocked = time.time() - t0
-
-        if not checked:  # identity proof once, at the cheapest factor
-            diff = (
-                naive.join(blocked, ["user_id", "rank"], "left_anti").count()
+            t0 = time.time()
+            w = Window.orderBy("cents", "user_id")
+            naive = users.select(
+                "user_id", F.row_number().over(w).alias("rank")
             )
-            assert diff == 0, f"rank mismatch rows: {diff}"
-            checked = True
+            naive.select(F.max("rank")).collect()
+            t_naive = time.time() - t0
 
-        users.unpersist()
-        print(
-            json.dumps(
-                {
-                    "shape": "blocked_rank_vs_naive",
-                    "factor": n,
-                    "rows": base_users * n,
-                    "naive_global_window_s": round(t_naive, 3),
-                    "blocked_rank_s": round(t_blocked, 3),
-                    "blocked_ns_per_row": round(
-                        t_blocked / (base_users * n) * 1e9, 1
-                    ),
-                }
-            ),
-            flush=True,
-        )
+            t0 = time.time()
+            blocked = blocked_rank(users, "cents", "user_id").select(
+                "user_id", F.col("_rank").alias("rank")
+            )
+            blocked.select(F.max("rank")).collect()
+            t_blocked = time.time() - t0
+
+            if not checked:  # identity proof once, at the cheapest factor
+                diff = (
+                    naive.join(
+                        blocked, ["user_id", "rank"], "left_anti"
+                    ).count()
+                )
+                assert diff == 0, f"rank mismatch rows: {diff}"
+                checked = True
+
+            # block balance: rows in the hottest _blk (the quantity
+            # count-balanced boundaries are supposed to bound)
+            from braintumor_data_pipeline_spark.operators.indexing import (
+                _with_range_block,
+            )
+
+            hot = (
+                _with_range_block(users, "cents")
+                .groupBy("_blk")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+
+            users.unpersist()
+            print(
+                json.dumps(
+                    {
+                        "shape": "blocked_rank_vs_naive",
+                        "dist": dist,
+                        "factor": n,
+                        "rows": base_users * n,
+                        "hot_block_rows": int(hot),
+                        "naive_global_window_s": round(t_naive, 3),
+                        "blocked_rank_s": round(t_blocked, 3),
+                        "blocked_ns_per_row": round(
+                            t_blocked / (base_users * n) * 1e9, 1
+                        ),
+                    }
+                ),
+                flush=True,
+            )
     return 0
 
 
