@@ -231,3 +231,135 @@ def run_tws_type_totals(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python TWS replay harness (VERDICT r6 task 7): google.protobuf —
+# the wire protocol between the Python worker and the JVM state server —
+# is not installed in this container, so transformWithStateInPandas
+# itself cannot run here. What CAN run everywhere is the processor: the
+# harness below drives the very same TypeTotalsProcessor through its
+# StatefulProcessor lifecycle (init → handleInputRows per key per
+# micro-batch → close) with a local state handle, distributing each
+# micro-batch through applyInPandas and carrying the typed state
+# BETWEEN batches exactly like the state store would (seeded back via a
+# bounded ≤|event_type| join). The parity test asserts this cross-batch
+# replay equals the batch group-by in every environment; where protobuf
+# exists, run_tws_type_totals exercises the real channel too.
+# ---------------------------------------------------------------------------
+
+
+class _LocalValueState:
+    """In-process stand-in for the TWS ValueState handle surface."""
+
+    def __init__(self) -> None:
+        self._value = None
+        self._exists = False
+
+    def exists(self) -> bool:
+        return self._exists
+
+    def get(self):
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = value
+        self._exists = True
+
+
+class _LocalHandle:
+    """StatefulProcessorHandle shim: typed value-state only (all the
+    TypeTotalsProcessor uses)."""
+
+    def getValueState(self, name: str, schema) -> _LocalValueState:
+        return _LocalValueState()
+
+
+TWS_REPLAY_BATCHES = 4
+
+
+def run_tws_type_totals_local(
+    spark: SparkSession, sf_dir: str, n_batches: int = TWS_REPLAY_BATCHES
+) -> DataFrame:
+    """Cross-batch replay of ``TypeTotalsProcessor`` without the TWS
+    protobuf channel: rows split into ``n_batches`` deterministic
+    micro-batches (md5 of event_id — partitioning-independent), each
+    batch processed per key by the REAL processor class inside
+    applyInPandas, state carried between batches through a bounded
+    per-key frame (≤ |event_type| rows — the same information the
+    state store would persist). Returns the final per-type totals."""
+    ensure_nanos_readable(spark)
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "event_type", "value")
+        .withColumn(
+            "_batch",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tws|"), F.col("event_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_batches,
+        )
+        .persist()
+    )
+
+    def drive(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = (pdf["event_type"].iloc[0],)
+        proc = TypeTotalsProcessor()
+        proc.init(_LocalHandle())
+        seed_n = pdf["_seed_n"].iloc[0]
+        if pd.notna(seed_n):
+            proc._state.update(
+                (int(seed_n), int(pdf["_seed_s"].iloc[0]))
+            )
+        rows = pdf[pdf["_batch_row"]][["value"]]
+        out = list(proc.handleInputRows(key, iter([rows]), None))
+        proc.close()
+        n, s_micros = proc._state.get()
+        emission = out[0]
+        emission["_n"] = n
+        emission["_s_micros"] = s_micros
+        return emission
+
+    schema = (
+        "event_type string, n_events long, sum_value double, "
+        "_n long, _s_micros long"
+    )
+    state_rows: list = []  # ≤ |event_type| tuples — bounded carry
+    final: dict = {}
+    for b in range(n_batches):
+        batch = ev.filter(F.col("_batch") == b).withColumn(
+            "_batch_row", F.lit(True)
+        )
+        if state_rows:
+            seed = spark.createDataFrame(
+                state_rows, "event_type string, _seed_n long, _seed_s long"
+            )
+            batch = batch.join(F.broadcast(seed), "event_type", "left")
+        else:
+            batch = batch.withColumn(
+                "_seed_n", F.lit(None).cast("long")
+            ).withColumn("_seed_s", F.lit(None).cast("long"))
+        emitted = (
+            batch.groupBy("event_type")
+            .applyInPandas(drive, schema=schema)
+            .collect()  # ≤ |event_type| rows per batch — state, not data
+        )
+        for r in emitted:
+            final[r.event_type] = (r.event_type, r.n_events, r.sum_value)
+        # carry: merge this batch's state over the previous carry (keys
+        # absent from this batch keep their old state)
+        carried = {t[0]: t for t in state_rows}
+        for r in emitted:
+            carried[r.event_type] = (r.event_type, r._n, r._s_micros)
+        state_rows = list(carried.values())
+    ev.unpersist()
+    return spark.createDataFrame(
+        sorted(final.values()),
+        "event_type string, n_events long, sum_value double",
+    )

@@ -27,6 +27,11 @@ STEPS = [
     ("doc-count drift", [sys.executable, "tools/gen_catalog.py", "--check"]),
     ("window ledger", [sys.executable, "tools/gen_window_ledger.py", "--check"]),
     ("plan audit", [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
+    # quick scale-probe pass (VERDICT r6 task 6): x1/x4 factors of the
+    # four probes, per-unit ratios asserted against stored bands so a
+    # formulation change that reintroduces a superlinear stage fails
+    # THIS gate, not the next judge (~5 min)
+    ("scale-probe bands", [sys.executable, "tools/scaling_probe.py", "quick"]),
     ("correctness gate", [sys.executable, "tools/verify_local.py", "/root/testdata/sf0.01"]),
 ]
 

@@ -35,6 +35,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+#: Ledger hygiene (VERDICT r6 task 8): every checked-but-never-confirmed
+#: name must carry a documented explanation — either the formulation was
+#: superseded (the successor now holds the evidence) or the round-1-era
+#: check predates the oracle. --check fails on any unexplained entry, so
+#: a future silent regression (a query that holds a slot and never goes
+#: green) cannot hide among historical artifacts.
+EXPLAINED_UNCONFIRMED: dict[str, str] = {
+    "approx_distinct_parts": (
+        "r1-era rows-only check (err=no_oracle): the query predated its "
+        "recomputing HLL oracle; the oracle-backed formulation has not "
+        "re-held a slot since (sketch family evidence rides "
+        "hll_set_intersection_estimate r6 / hll_register_sketch r7)"
+    ),
+    "json_props_explode": (
+        "r1-era builder raised (err=Traceback) before the r2 JSON-path "
+        "fix; the fixed formulation's evidence rides "
+        "json_extract_props (driver-r1/r2 green) and the r6 "
+        "jsonl_corrupt_records_audit slot"
+    ),
+}
+
+
 def build() -> dict:
     from braintumor_data_pipeline_spark import registry
 
@@ -69,6 +91,9 @@ def build() -> dict:
             if green:
                 q["confirmed_rounds"].append(rnd)
     confirmed = {n for n, q in queries.items() if q["confirmed_rounds"]}
+    for name, q in queries.items():
+        if not q["confirmed_rounds"] and name in EXPLAINED_UNCONFIRMED:
+            q["unconfirmed_note"] = EXPLAINED_UNCONFIRMED[name]
     return {
         "rounds": rounds,
         "queries": dict(sorted(queries.items())),
@@ -107,6 +132,20 @@ def main() -> int:
             print(
                 "DRIFT  WINDOW_LEDGER.json stale vs CORRECTNESS_r*.json — "
                 "regenerate with tools/gen_window_ledger.py",
+                file=sys.stderr,
+            )
+            return 1
+        unexplained = [
+            n
+            for n, q in ledger["queries"].items()
+            if not q["confirmed_rounds"] and n not in EXPLAINED_UNCONFIRMED
+        ]
+        if unexplained:
+            print(
+                f"DRIFT  checked-but-never-confirmed queries without a "
+                f"documented explanation: {unexplained} — add an "
+                "EXPLAINED_UNCONFIRMED entry (superseded formulation / "
+                "pre-oracle era) or fix the query",
                 file=sys.stderr,
             )
             return 1

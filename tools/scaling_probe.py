@@ -1011,7 +1011,114 @@ def main_semdedup() -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Quick probe gate (VERDICT r6 task 6): the release-gate pass that keeps
+# a future formulation change from silently reintroducing a superlinear
+# stage. Runs the four scale probes at x1/x4 only and asserts the
+# scale-relevant ratios against stored bands. Bands are deliberately
+# loose (2-2.5x) — they catch a complexity-class regression (a linear
+# stage going quadratic shows up as ~4x per-unit growth at x4), not
+# machine noise.
+#
+# Usage: python tools/scaling_probe.py quick
+# ---------------------------------------------------------------------------
+
+#: (probe, metric) -> max allowed ratio metric(x4)/metric(x1). Rationale:
+#: a per-unit cost that is flat-or-falling with scale stays < ~1.5 even
+#: on a noisy box; a stage whose complexity class regressed (linear ->
+#: quadratic) multiplies its per-unit cost by ~the scale factor (4x).
+QUICK_BANDS = {
+    ("blocked-rank", "blocked_ns_per_row"): 1.5,
+    ("verify-skew", "repart_us_per_pair"): 2.0,
+    ("graph-cc", "ms_per_kedge_round"): 2.5,
+    ("semdedup", "pair_us_per_pair"): 2.0,
+}
+#: semdedup candidate pairs must grow ~linearly with N (x4 data -> ~x4
+#: pairs when K scales; the old fixed-K formulation grew x16)
+SEMDEDUP_PAIR_GROWTH_MAX = 6.0
+#: graph-cc convergence rounds must stay flat (diameter is a property
+#: of order structure, not volume)
+GRAPH_CC_EXTRA_ROUNDS_MAX = 2
+
+
+def main_quick() -> int:
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    results: dict = {}
+    for probe in ("blocked-rank", "verify-skew", "graph-cc", "semdedup"):
+        proc = subprocess.run(
+            [sys.executable, here, probe, "1", "4"],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(f"RED  probe {probe} exited {proc.returncode}")
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-2000:])
+            return 1
+        rows = [
+            json.loads(ln)
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("{")
+        ]
+        results[probe] = rows
+        for r in rows:
+            print(json.dumps(r), flush=True)
+
+    failures = []
+
+    def ratio(probe, metric, key=None):
+        rows = [
+            r
+            for r in results[probe]
+            if r.get("factor") in (1, 4)
+            and (key is None or all(r.get(k) == v for k, v in key.items()))
+        ]
+        x1 = next(r[metric] for r in rows if r["factor"] == 1)
+        x4 = next(r[metric] for r in rows if r["factor"] == 4)
+        return x4 / max(x1, 1e-9), x1, x4
+
+    for (probe, metric), band in QUICK_BANDS.items():
+        keys = [{"dist": d} for d in ("uniform", "clustered")] if probe == "blocked-rank" else [None]
+        for key in keys:
+            r, x1, x4 = ratio(probe, metric, key)
+            tag = f"{probe}/{metric}" + (f"[{key['dist']}]" if key else "")
+            if r > band:
+                failures.append(
+                    f"{tag}: per-unit ratio x4/x1 = {r:.2f} > {band} "
+                    f"({x1} -> {x4}) — superlinear stage reintroduced?"
+                )
+            else:
+                print(f"ok   {tag}: x4/x1 = {r:.2f} <= {band}")
+
+    g, p1, p4 = ratio("semdedup", "cand_pairs")
+    if g > SEMDEDUP_PAIR_GROWTH_MAX:
+        failures.append(
+            f"semdedup/cand_pairs growth {g:.2f} > "
+            f"{SEMDEDUP_PAIR_GROWTH_MAX} ({p1} -> {p4}) — K no longer "
+            "scaling with N?"
+        )
+    else:
+        print(f"ok   semdedup/cand_pairs growth = {g:.2f}")
+    rr, r1, r4 = ratio("graph-cc", "rounds")
+    if r4 > r1 + GRAPH_CC_EXTRA_ROUNDS_MAX:
+        failures.append(
+            f"graph-cc rounds grew {r1} -> {r4} — convergence no longer "
+            "volume-free?"
+        )
+    else:
+        print(f"ok   graph-cc rounds: {r1} -> {r4}")
+
+    for f in failures:
+        print(f"RED  {f}")
+    print(f"\n{len(failures)} probe-band violation(s)")
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "quick":
+        raise SystemExit(main_quick())
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         raise SystemExit(main_semdedup())
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
