@@ -1618,3 +1618,88 @@ def dup_cluster_size_distribution(
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "quality_keep_dedup_groups",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS norm_hash,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_fix
+      FROM documents
+    ),
+    g AS (
+      SELECT norm_hash,
+             CAST(count(*) AS BIGINT) AS n_members,
+             min(doc_id) AS first_doc_id
+      FROM q GROUP BY norm_hash HAVING count(*) >= 2
+    ),
+    best AS (
+      SELECT norm_hash, doc_id AS kept_doc_id, q_fix AS kept_q_fix
+      FROM (
+        SELECT q.norm_hash, q.doc_id, q.q_fix,
+               row_number() OVER (PARTITION BY q.norm_hash
+                                  ORDER BY q.q_fix DESC, q.doc_id) AS rn
+        FROM q JOIN g ON g.norm_hash = q.norm_hash
+      ) WHERE rn = 1
+    )
+    SELECT g.norm_hash, g.n_members, b.kept_doc_id, b.kept_q_fix,
+           g.first_doc_id,
+           CAST(b.kept_doc_id <> g.first_doc_id AS BIGINT)
+             AS keep_differs_from_first
+    FROM g JOIN best b ON b.norm_hash = g.norm_hash
+    ORDER BY g.norm_hash
+    """,
+    tags=("dedup", "llm", "curation"),
+)
+def quality_keep_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection for exact-dup groups (the
+    FineWeb practice: keep the BEST member, not the first): group by
+    the normalized-text md5, and inside every ≥2-member group keep the
+    doc maximizing a lexical-diversity score — distinct tokens per
+    token, held EXACTLY as the integer q_fix = distinct·10⁶ div total
+    (no float ever ranks), ties to the smaller doc_id. Reports, per
+    group, the kept member vs the naive keep-first choice.
+
+    Scale shape: the shuffle key is the 32-byte norm hash (text never
+    crosses the wire beyond the map-side hash+score projection); the
+    argmax is one partial-aggregable max(struct(q_fix, -doc_id));
+    groups are dup-cluster-sized — never corpus-sized partitions."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    )
+    q = d.select(
+        "doc_id",
+        norm.alias("norm_hash"),
+        F.expr(
+            "(cast(size(array_distinct(split(text, ' '))) as bigint)"
+            " * 1000000L) div cast(size(split(text, ' ')) as bigint)"
+        ).alias("q_fix"),
+    )
+    agg = (
+        q.groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max(
+                F.struct(F.col("q_fix"), (-F.col("doc_id")).alias("nd"))
+            ).alias("m"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return agg.select(
+        "norm_hash",
+        "n_members",
+        (-F.col("m.nd")).alias("kept_doc_id"),
+        F.col("m.q_fix").alias("kept_q_fix"),
+        "first_doc_id",
+        (F.col("m.nd") != -F.col("first_doc_id"))
+        .cast("long")
+        .alias("keep_differs_from_first"),
+    ).orderBy("norm_hash")

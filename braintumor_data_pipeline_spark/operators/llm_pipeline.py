@@ -1848,3 +1848,163 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# public): score every raw document by how target-like its hashed
+# n-gram feature distribution is, w(doc) = Σ_features log(p̂_target[b]
+# / p̂_raw[b]) over B hashed-bigram buckets with additive smoothing.
+# The classic pretraining-corpus curation selector: resample raw data
+# toward a target domain without training a model.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 0.5  # additive smoothing per bucket
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir|' || bg), 1, 6))::BIGINT
+               % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' '
+                      || string_split(text, ' ')[i + 1])) AS bg
+        FROM documents
+      )
+    ),
+    raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY b
+    ),
+    tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct FROM feats
+      WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nr,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+      FROM feats
+    ),
+    lr AS (
+      SELECT raw.b,
+             ln((coalesce(tgt.ct, 0) + {DSIR_ALPHA})
+                / (tot.nt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+             - ln((raw.cr + {DSIR_ALPHA})
+                  / (tot.nr + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lr
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+    ),
+    w AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(lr.lr AS DECIMAL(38,6))) AS DOUBLE) AS w
+      FROM feats f JOIN lr ON lr.b = f.b
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(w.n_bigrams, 0) AS n_bigrams,
+           round(coalesce(w.w, 0.0), 6) AS dsir_logweight
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    ORDER BY dsir_logweight DESC, d.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "curation", "sampling", "text"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed bigrams (Xie et al. 2023):
+    features are md5-hashed token bigrams in 4096 buckets; the target
+    distribution is the English subset (lang='en'), raw is the whole
+    corpus; a document's weight is Σ log(p̂_t[b]/p̂_r[b]) over its
+    bigram instances with α=0.5 additive smoothing. Top-20 most
+    target-like docs by (weight DESC, doc_id).
+
+    Scale shape: one narrow shuffle keyed by the 4096-value bucket id
+    builds both bucket tables (map-side combinable counts); the
+    log-ratio table is ≤B rows, broadcast back onto the feature stream
+    for a second map-side-combinable per-doc sum — no doc×bucket
+    blowup, no driver round-trip. Determinism: each instance's
+    log-ratio is quantized to DECIMAL(38,6) before the per-doc sum
+    (order-free exact accumulation, the bm25 idiom); ln() runs on
+    bit-identical double inputs in both engines. Docs with <2 tokens
+    contribute no features and surface with weight 0 via the left
+    join — never dropped."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("bg"))), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    feats = feats.persist()  # feeds raw counts, target counts, and the
+    # per-doc weight join — the dedup-diamond persist rule
+    raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = feats.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    ab = float(DSIR_ALPHA * DSIR_BUCKETS)
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("nt") + F.lit(ab))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(DSIR_ALPHA)) / (F.col("nr") + F.lit(ab))
+                )
+            ).alias("lr"),
+        )
+    )
+    w = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("lr").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("w"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce(F.col("w"), F.lit(0.0)), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+        .orderBy(F.desc("dsir_logweight"), "doc_id")
+        .limit(20)
+    )
