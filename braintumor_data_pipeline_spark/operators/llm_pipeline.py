@@ -2008,3 +2008,96 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_logweight"), "doc_id")
         .limit(20)
     )
+
+
+#: Candidate training context lengths for the padding-waste curve — a
+#: plan-time constant grid (the classic "which max_seq_len do we rent
+#: GPUs for" planning table).
+PACK_CONTEXTS = (64, 128, 256, 512, 1024)
+
+
+@register(
+    "padding_waste_curve",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    grid AS (SELECT unnest([{", ".join(str(c) for c in PACK_CONTEXTS)}])
+             AS ctx),
+    per AS (
+      SELECT g.ctx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(least(d.n_tokens, g.ctx)) AS BIGINT) AS kept_tokens,
+             CAST(sum(greatest(d.n_tokens - g.ctx, 0)) AS BIGINT)
+               AS truncated_tokens,
+             CAST(sum(g.ctx - least(d.n_tokens, g.ctx)) AS BIGINT)
+               AS padded_tokens,
+             CAST(sum(CASE WHEN d.n_tokens > g.ctx THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated_docs
+      FROM d CROSS JOIN grid g
+      GROUP BY g.ctx
+    )
+    SELECT ctx, n_docs, kept_tokens, truncated_tokens, padded_tokens,
+           n_truncated_docs,
+           round(CAST(kept_tokens AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * ctx), 6) AS utilization,
+           round(CAST(truncated_tokens AS DOUBLE)
+                 / (kept_tokens + truncated_tokens), 6) AS truncation_loss
+    FROM per
+    ORDER BY ctx
+    """,
+    tags=("llm", "curation", "planning", "agg"),
+)
+def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning table: for each candidate context
+    length in the constant PACK_CONTEXTS grid, the one-doc-per-sequence
+    padding waste (ctx − len for short docs), truncation loss
+    (len − ctx for long docs), utilization = kept/(docs·ctx) and the
+    truncated-doc count — the curve a training pipeline reads to pick
+    max_seq_len (vs the packing path, chunk_packing_greedy, which
+    removes the padding at the cost of cross-doc attention masking).
+
+    Scale shape: one narrow projection (doc_id, n_tokens), crossed
+    with the 5-row constant grid (broadcast — rows × plan-constant,
+    the calendar-grid class), then a single partial-aggregable
+    groupBy(ctx) over 5 keys. All counts exact BIGINTs; the two
+    ratios divide exact integers and round(6) on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    grid = F.array(*[F.lit(c) for c in PACK_CONTEXTS])
+    kept = F.least(F.col("n_tokens"), F.col("ctx"))
+    per = (
+        d.select("n_tokens", F.explode(grid).alias("ctx"))
+        .groupBy("ctx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("kept_tokens"),
+            F.sum(F.greatest(F.col("n_tokens") - F.col("ctx"), F.lit(0)))
+            .alias("truncated_tokens"),
+            F.sum(F.col("ctx") - kept).alias("padded_tokens"),
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("ctx"), 1).otherwise(0)
+            ).alias("n_truncated_docs"),
+        )
+    )
+    return per.select(
+        "ctx",
+        "n_docs",
+        "kept_tokens",
+        "truncated_tokens",
+        "padded_tokens",
+        "n_truncated_docs",
+        F.round(
+            F.col("kept_tokens").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("ctx")),
+            6,
+        ).alias("utilization"),
+        F.round(
+            F.col("truncated_tokens").cast("double")
+            / (F.col("kept_tokens") + F.col("truncated_tokens")),
+            6,
+        ).alias("truncation_loss"),
+    ).orderBy("ctx")

@@ -68,3 +68,21 @@ def test_quality_keep_dedup_groups_invariants(spark, sf_dir):
         else:
             assert r["keep_differs_from_first"] == 1
         assert r["kept_q_fix"] >= 0
+
+
+def test_padding_waste_curve_invariants(spark, sf_dir):
+    """Conservation and monotonicity laws that hold for ANY corpus:
+    kept+truncated = total tokens at every ctx; padding grows and
+    truncation shrinks monotonically with ctx; utilization <= 1."""
+    rows = _run(spark, sf_dir, "padding_waste_curve")
+    assert [r["ctx"] for r in rows] == sorted(r["ctx"] for r in rows)
+    totals = {r["ctx"]: r["kept_tokens"] + r["truncated_tokens"] for r in rows}
+    assert len(set(totals.values())) == 1  # conservation across the grid
+    for a, b in zip(rows, rows[1:]):
+        assert b["padded_tokens"] >= a["padded_tokens"]
+        assert b["truncated_tokens"] <= a["truncated_tokens"]
+        assert b["n_truncated_docs"] <= a["n_truncated_docs"]
+    for r in rows:
+        assert 0.0 < r["utilization"] <= 1.0
+        assert 0.0 <= r["truncation_loss"] < 1.0
+        assert r["kept_tokens"] <= r["n_docs"] * r["ctx"]
