@@ -3221,3 +3221,122 @@ def _semdedup_report_from(capped: DataFrame, q: DataFrame) -> DataFrame:
         )
         .orderBy("cluster", "subcluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection — the classic diversity-based data
+# pruner (farthest-point traversal; the prototype selector behind
+# "coreset" training-data curation): iteratively pick the vector
+# farthest (max-min distance) from everything selected so far. Exact
+# integer squared-euclidean on the 2^12-quantized vectors, so both
+# engines replay every selection bit-for-bit.
+# ---------------------------------------------------------------------------
+KCENTER_T = 8  # coreset size (selection steps)
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        f"""
+    q AS (
+      SELECT vec_id, d.d AS i,
+             CAST(round(CAST(embedding[d.d] AS DOUBLE) * {NCC_SCALE})
+                  AS BIGINT) AS xf
+      FROM embeddings, range(1, 65) d(d)
+    ),
+    c1 AS (SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS gap
+           FROM embeddings),
+    m1 AS MATERIALIZED (
+      SELECT q.vec_id,
+             CAST(sum((q.xf - c.xf) * (q.xf - c.xf)) AS BIGINT) AS mind
+      FROM q JOIN (
+        SELECT q2.i, q2.xf FROM q q2 JOIN c1 ON q2.vec_id = c1.cid
+      ) c ON c.i = q.i
+      GROUP BY q.vec_id
+    )"""
+    ]
+    for k in range(2, KCENTER_T + 1):
+        parts.append(
+            f"""
+    c{k} AS (
+      SELECT vec_id AS cid, mind AS gap FROM m{k - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT m.vec_id, least(m.mind, d.d) AS mind
+      FROM m{k - 1} m JOIN (
+        SELECT q.vec_id,
+               CAST(sum((q.xf - c.xf) * (q.xf - c.xf)) AS BIGINT) AS d
+        FROM q JOIN (
+          SELECT q2.i, q2.xf FROM q q2 JOIN c{k} ON q2.vec_id = c{k}.cid
+        ) c ON c.i = q.i
+        GROUP BY q.vec_id
+      ) d ON d.vec_id = m.vec_id
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, cid AS center_id, gap AS sel_gap FROM c{k}"
+        for k in range(1, KCENTER_T + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT step, center_id, sel_gap FROM ({selects}) ORDER BY step"
+    )
+
+
+@register(
+    "kcenter_coreset_select",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "curation", "coreset", "iterative"),
+)
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (k-center greedy) coreset of 8 vectors: seed with
+    the min vec_id, then 7× pick argmax of the min squared distance to
+    the selected set ((mind DESC, vec_id) — deterministic), updating
+    mind = least(mind, d²(·, new center)) each step. ``sel_gap`` is the
+    selected vector's max-min distance — the coverage radius the
+    coreset guarantees at that size (the 2-approximation certificate of
+    farthest-point traversal). All distances are exact BIGINT sums of
+    squared differences of the 2¹²-quantized coordinates.
+
+    Scale shape: each step is ONE distributed pass — a broadcast of
+    the single new center (64 ints in the plan) against the vector
+    scan, partial-aggregable min updates — and one 1-row argmax
+    collect (bounded protocol state, the convergence-cursor pattern;
+    T=8 rows total ever reach the driver). O(T·N·dim) work, no pair
+    materialization, no data-grain window. The oracle unrolls the 8
+    selection stages as MATERIALIZED CTEs."""
+    vec = _t(spark, sf_dir, "embeddings")
+    qexpr = F.expr(
+        f"transform(embedding, x -> cast(round(cast(x as double)"
+        f" * {NCC_SCALE}) as bigint))"
+    )
+    q = vec.select("vec_id", qexpr.alias("qv")).persist()
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]  # 1-row cursor
+    selected = [(1, int(seed.vec_id), 0)]
+    dist = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    # first pass: distance to the seed (center = 64 plan literals)
+    c = F.array(*[F.lit(int(v)) for v in seed.qv])
+    mind = q.withColumn("cv", c).select("vec_id", "qv", dist.alias("mind"))
+    for step in range(2, KCENTER_T + 1):
+        nxt = (
+            mind.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        )  # 1-row argmax cursor
+        selected.append((step, int(nxt.vec_id), int(nxt.mind)))
+        c = F.array(*[F.lit(int(v)) for v in nxt.qv])
+        mind = (
+            mind.withColumn("cv", c)
+            .select(
+                "vec_id",
+                "qv",
+                F.least(F.col("mind"), dist).alias("mind"),
+            )
+        )
+    q.unpersist()
+    return spark.createDataFrame(
+        selected, "step int, center_id bigint, sel_gap bigint"
+    ).orderBy("step")

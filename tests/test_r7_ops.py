@@ -86,3 +86,18 @@ def test_padding_waste_curve_invariants(spark, sf_dir):
         assert 0.0 < r["utilization"] <= 1.0
         assert 0.0 <= r["truncation_loss"] < 1.0
         assert r["kept_tokens"] <= r["n_docs"] * r["ctx"]
+
+
+def test_kcenter_coreset_invariants(spark, sf_dir):
+    """Farthest-point laws for ANY input: selection gaps are
+    non-increasing after step 1 (each new center's max-min distance
+    can only shrink the remaining radius), centers are distinct, and
+    step 1 is the seed (min vec_id) with gap 0."""
+    rows = _run(spark, sf_dir, "kcenter_coreset_select")
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["sel_gap"] == 0
+    ids = [r["center_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    gaps = [r["sel_gap"] for r in rows[1:]]
+    assert gaps == sorted(gaps, reverse=True)
+    assert all(g >= 0 for g in gaps)
