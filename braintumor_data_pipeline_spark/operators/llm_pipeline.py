@@ -2101,3 +2101,129 @@ def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("truncation_loss"),
     ).orderBy("ctx")
+
+
+#: Memorization-window width (tokens) for the cross-doc novelty metric.
+MEM_WINDOW = 8
+
+
+@register(
+    "memorization_window_fraction",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('mem|' || array_to_string(
+                w, ' ')), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(t) - {MEM_WINDOW} + 2),
+                 i -> t[i : i + {MEM_WINDOW} - 1])) AS w
+        FROM tk WHERE len(t) >= {MEM_WINDOW}
+      )
+    ),
+    shared AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+      SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(count(*) FILTER (WHERE s.h IS NOT NULL) AS BIGINT)
+               AS n_shared
+      FROM wins w LEFT JOIN shared s ON s.h = w.h
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_shared, 0) AS n_shared,
+           round(CAST(coalesce(p.n_shared, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_windows, 0), 1), 6)
+             AS shared_frac
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    ORDER BY shared_frac DESC, d.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "curation", "dedup", "text"),
+)
+def memorization_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization/novelty signal (the Carlini-style
+    duplication proxy used to screen training corpora): slide an
+    8-token window over every doc, hash each window to 60 bits, call a
+    window SHARED when its hash occurs in ≥2 distinct docs, and score
+    each doc by its shared-window fraction. Top-20 most-duplicated
+    docs by (shared_frac DESC, doc_id).
+
+    Scale shape: windows come from shuffle-free array slicing (the
+    shingle idiom), carried as 8-byte hashed LONGs; the shared-set
+    screen is ONE content-keyed groupBy (count distinct docs per
+    window hash — never pair enumeration), joined back as a semi-style
+    LEFT join on the same uniform key; the per-doc fraction is a
+    second map-side-combinable groupBy. Docs shorter than the window
+    surface with 0/0 via the final left join — never dropped."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    wins_arr = F.expr(
+        f"transform(sequence(1, size(t) - {MEM_WINDOW} + 1),"
+        f" i -> slice(t, i, {MEM_WINDOW}))"
+    )
+    wins = (
+        d.select("doc_id", tk.alias("t"))
+        .filter(F.size("t") >= MEM_WINDOW)
+        .select("doc_id", F.explode(wins_arr).alias("w"))
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mem|"), F.concat_ws(" ", F.col("w"))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wins = wins.persist()  # feeds the shared screen AND the per-doc
+    # fraction — the dedup-diamond persist rule
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("_sh"))
+    )
+    per = (
+        wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_sh"), 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce(F.col("n_windows"), F.lit(0)), F.lit(1)
+                ),
+                6,
+            ).alias("shared_frac"),
+        )
+        .orderBy(F.desc("shared_frac"), "doc_id")
+        .limit(20)
+    )

@@ -101,3 +101,18 @@ def test_kcenter_coreset_invariants(spark, sf_dir):
     gaps = [r["sel_gap"] for r in rows[1:]]
     assert gaps == sorted(gaps, reverse=True)
     assert all(g >= 0 for g in gaps)
+
+
+def test_memorization_fraction_invariants(spark, sf_dir):
+    """For ANY corpus: 0 <= n_shared <= n_windows, frac in [0,1],
+    ordering is (frac DESC, doc_id), and an exact duplicate pair (the
+    fixture has normalized dups) pushes the top frac to 1.0."""
+    rows = _run(spark, sf_dir, "memorization_window_fraction")
+    fr = [r["shared_frac"] for r in rows]
+    assert fr == sorted(fr, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_windows"]
+        assert 0.0 <= r["shared_frac"] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        if a["shared_frac"] == b["shared_frac"]:
+            assert a["doc_id"] < b["doc_id"]
