@@ -116,3 +116,54 @@ def test_memorization_fraction_invariants(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a["shared_frac"] == b["shared_frac"]:
             assert a["doc_id"] < b["doc_id"]
+
+
+def test_kcenter_matches_bruteforce_numpy(spark, sf_dir):
+    """Independent replay: the DuckDB oracle MIRRORS the distributed
+    formulation, so a shared indexing bug would pass the parity gate.
+    This re-derives the full farthest-point traversal in pure numpy
+    from the raw vectors and asserts the identical center sequence and
+    gaps."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        KCENTER_T,
+        NCC_SCALE,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in vecs])
+    order = np.argsort(ids)
+    ids = ids[order]
+    def _round_half_away(v):
+        # Spark/DuckDB round() is HALF AWAY FROM ZERO; np.rint is
+        # half-even — an exact-.5 product would silently diverge
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    x = np.array(
+        [
+            _round_half_away(
+                np.asarray(vecs[i].embedding, dtype=np.float64) * NCC_SCALE
+            )
+            for i in order
+        ],
+        dtype=np.int64,
+    )
+    sel = [(1, int(ids[0]), 0)]
+    mind = ((x - x[0]) ** 2).sum(axis=1)
+    for step in range(2, KCENTER_T + 1):
+        # argmax with (mind DESC, vec_id ASC) tie-break: ids sorted
+        # ascending, so np.argmax picks the first (= smallest id) max
+        j = int(np.argmax(mind))
+        sel.append((step, int(ids[j]), int(mind[j])))
+        mind = np.minimum(mind, ((x - x[j]) ** 2).sum(axis=1))
+    got = [
+        (r["step"], r["center_id"], r["sel_gap"])
+        for r in _run(spark, sf_dir, "kcenter_coreset_select")
+    ]
+    assert got == sel
