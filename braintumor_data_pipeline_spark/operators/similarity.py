@@ -3303,40 +3303,74 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single new center (64 ints in the plan) against the vector
     scan, partial-aggregable min updates — and one 1-row argmax
     collect (bounded protocol state, the convergence-cursor pattern;
-    T=8 rows total ever reach the driver). O(T·N·dim) work, no pair
-    materialization, no data-grain window. The oracle unrolls the 8
-    selection stages as MATERIALIZED CTEs."""
+    T=8 rows total ever reach the driver). Each step's ``mind`` frame
+    is persisted and the PREDECESSOR unpersisted only after the argmax
+    collect has materialized the successor's cache, so step k reads
+    the step-(k−1) cache instead of replaying the whole lineage —
+    O(T·N·dim) total work (r8 fix; previously the lazy chain replayed
+    k passes at step k). No pair materialization, no data-grain
+    window. The oracle unrolls the 8 selection stages as MATERIALIZED
+    CTEs."""
     vec = _t(spark, sf_dir, "embeddings")
     qexpr = F.expr(
         f"transform(embedding, x -> cast(round(cast(x as double)"
         f" * {NCC_SCALE}) as bigint))"
     )
     q = vec.select("vec_id", qexpr.alias("qv")).persist()
+    selected = _kcenter_loop(q, KCENTER_T)[0]
+    return spark.createDataFrame(
+        selected, "step int, center_id bigint, sel_gap bigint"
+    ).orderBy("step")
+
+
+def _kcenter_loop(
+    q: DataFrame, t: int
+) -> tuple[list[tuple[int, int, int]], list[float]]:
+    """Farthest-point traversal over a persisted ``(vec_id, qv)`` frame.
+
+    Returns (selected [(step, center_id, sel_gap)], per-step wall
+    seconds for the argmax collects of steps 2..t). Each step persists
+    its ``mind`` frame and unpersists the predecessor only AFTER the
+    argmax collect materialized the successor's cache, so the wall per
+    step is flat in t (one cached-scan pass), not growing with the
+    lineage depth — the property the ``kcenter`` scaling probe bands.
+    ``q`` is unpersisted on return."""
+    import time as _time
 
     seed = q.orderBy("vec_id").limit(1).collect()[0]  # 1-row cursor
     selected = [(1, int(seed.vec_id), 0)]
+    walls: list[float] = []
     dist = F.expr(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L,"
         " (acc, x) -> acc + x)"
     )
-    # first pass: distance to the seed (center = 64 plan literals)
+    # first pass: distance to the seed (center = dim plan literals)
     c = F.array(*[F.lit(int(v)) for v in seed.qv])
-    mind = q.withColumn("cv", c).select("vec_id", "qv", dist.alias("mind"))
-    for step in range(2, KCENTER_T + 1):
+    mind = (
+        q.withColumn("cv", c)
+        .select("vec_id", "qv", dist.alias("mind"))
+        .persist()
+    )
+    prev = q  # predecessor cache: safe to drop once `mind` materializes
+    for step in range(2, t + 1):
+        t0 = _time.time()
         nxt = (
             mind.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
-        )  # 1-row argmax cursor
+        )  # 1-row argmax cursor; materializes `mind`'s cache
+        walls.append(_time.time() - t0)
+        prev.unpersist()
         selected.append((step, int(nxt.vec_id), int(nxt.mind)))
-        c = F.array(*[F.lit(int(v)) for v in nxt.qv])
-        mind = (
-            mind.withColumn("cv", c)
-            .select(
-                "vec_id",
-                "qv",
-                F.least(F.col("mind"), dist).alias("mind"),
+        if step < t:
+            c = F.array(*[F.lit(int(v)) for v in nxt.qv])
+            nxt_mind = (
+                mind.withColumn("cv", c)
+                .select(
+                    "vec_id",
+                    "qv",
+                    F.least(F.col("mind"), dist).alias("mind"),
+                )
+                .persist()
             )
-        )
-    q.unpersist()
-    return spark.createDataFrame(
-        selected, "step int, center_id bigint, sel_gap bigint"
-    ).orderBy("step")
+            prev, mind = mind, nxt_mind
+    mind.unpersist()
+    return selected, walls

@@ -1041,14 +1041,87 @@ SEMDEDUP_PAIR_GROWTH_MAX = 6.0
 GRAPH_CC_EXTRA_ROUNDS_MAX = 2
 
 
+def main_kcenter() -> int:
+    """Per-step wall flatness of the k-center farthest-point loop
+    (VERDICT r7 task 3): run the REAL ``_kcenter_loop`` (the exact code
+    path ``kcenter_coreset_select`` executes) over a zero-I/O synthetic
+    corpus large enough that per-pass compute dominates job overhead,
+    and report the per-step argmax walls. With the r8 persist-chain
+    (each step's ``mind`` cached, predecessor dropped after the
+    successor materializes) every step is ONE cached-scan pass and the
+    walls are flat in t; the pre-fix lazy chain replayed the whole
+    lineage, making step k cost ~k passes (wall_last/wall_first ≈ t-1).
+
+    Usage: python tools/scaling_probe.py kcenter [factors...]
+    """
+    factors = [int(x) for x in sys.argv[2:]] or [1]
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        _kcenter_loop,
+    )
+
+    spark = get_spark(app_name="kcenter-probe")
+    t_steps = 8
+    dim = 16
+    for n in factors:
+        rows = 400_000 * n
+        q = (
+            spark.range(rows)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(1, {dim}), d -> "
+                    f"(id * {_MIX_A} % {_MIX_M}"
+                    f" + cast(d as bigint) * {_MIX_C} % {_MIX_M}) % 4096)"
+                ).alias("qv"),
+            )
+            .persist()
+        )
+        t0 = time.time()
+        sel, walls = _kcenter_loop(q, t_steps)
+        total = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "factor": n,
+                    "rows": rows,
+                    "steps": t_steps,
+                    "total_s": round(total, 3),
+                    "step_walls_s": [round(w, 3) for w in walls],
+                    "wall_last_over_first": round(
+                        walls[-1] / max(walls[0], 1e-9), 2
+                    ),
+                    "centers": len(sel),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+#: a per-unit metric where BOTH endpoints are below this absolute value
+#: carries no signal (3-decimal rounding can make x1 = 0.0 and the
+#: ratio explode on a fast box) — treat the band as passed (ADVICE r7)
+QUICK_ABS_FLOOR = 0.005
+#: k-center per-step walls must be flat: the lazy-lineage regression
+#: multiplies step t's wall by ~t (×7 at t=8); cached steps stay ~×1
+KCENTER_STEP_RATIO_MAX = 2.5
+
+
 def main_quick() -> int:
     import subprocess
 
     here = os.path.abspath(__file__)
     results: dict = {}
-    for probe in ("blocked-rank", "verify-skew", "graph-cc", "semdedup"):
+    for probe in (
+        "blocked-rank",
+        "verify-skew",
+        "graph-cc",
+        "semdedup",
+        "kcenter",
+    ):
+        args = ["1"] if probe == "kcenter" else ["1", "4"]
         proc = subprocess.run(
-            [sys.executable, here, probe, "1", "4"],
+            [sys.executable, here, probe, *args],
             capture_output=True,
             text=True,
         )
@@ -1084,6 +1157,12 @@ def main_quick() -> int:
         for key in keys:
             r, x1, x4 = ratio(probe, metric, key)
             tag = f"{probe}/{metric}" + (f"[{key['dist']}]" if key else "")
+            if x1 < QUICK_ABS_FLOOR and x4 < QUICK_ABS_FLOOR:
+                print(
+                    f"ok   {tag}: both endpoints < {QUICK_ABS_FLOOR} "
+                    f"({x1} -> {x4}) — below signal floor, band skipped"
+                )
+                continue
             if r > band:
                 failures.append(
                     f"{tag}: per-unit ratio x4/x1 = {r:.2f} > {band} "
@@ -1110,6 +1189,17 @@ def main_quick() -> int:
     else:
         print(f"ok   graph-cc rounds: {r1} -> {r4}")
 
+    kc = results["kcenter"][0]
+    kr = kc["wall_last_over_first"]
+    if kr > KCENTER_STEP_RATIO_MAX:
+        failures.append(
+            f"kcenter wall_last_over_first = {kr} > "
+            f"{KCENTER_STEP_RATIO_MAX} ({kc['step_walls_s']}) — lazy "
+            "lineage replay reintroduced?"
+        )
+    else:
+        print(f"ok   kcenter step walls flat: ratio {kr}")
+
     for f in failures:
         print(f"RED  {f}")
     print(f"\n{len(failures)} probe-band violation(s)")
@@ -1121,6 +1211,8 @@ if __name__ == "__main__":
         raise SystemExit(main_quick())
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         raise SystemExit(main_semdedup())
+    if len(sys.argv) > 1 and sys.argv[1] == "kcenter":
+        raise SystemExit(main_kcenter())
     if len(sys.argv) > 1 and sys.argv[1] == "headline":
         raise SystemExit(main_headline())
     if len(sys.argv) > 1 and sys.argv[1] == "graph-cc":
