@@ -238,6 +238,86 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: drop LSH band buckets with more than this many members before pair
+#: enumeration: a bucket of m docs emits m·(m−1)/2 pairs, so one
+#: degenerate bucket (boilerplate, empty docs, template spam) can emit
+#: more pairs than the rest of the corpus combined. With the cap, pair
+#: volume is bounded by N·(CAP−1)/2 per band — linear in corpus size —
+#: and the dropped buckets are exactly the ones group-level dedup
+#: (``minhash_dedup_groups``) already collapses without pairs.
+LSH_BUCKET_CAP = 16
+
+
+@register(
+    "minhash_lsh_pairs_capped",
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    ),
+    counted AS (
+      SELECT doc_id, band, band_sig
+      FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, band_sig)
+              BETWEEN 2 AND {LSH_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM counted a
+    JOIN counted b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "join", "skew"),
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-frequency-capped LSH candidate pairs: count each (band,
+    band_sig) bucket FIRST, keep only buckets with 2..{LSH_BUCKET_CAP}
+    members, then enumerate pairs inside the survivors by sorting each
+    bucket's (bounded) member list and expanding i<j combinations with
+    array transforms — no self-join at all.
+
+    This is the production defense for the pair path (SCALE.md
+    "Edge-list degeneracy caveat" made a checked query): uncapped pair
+    enumeration is quadratic inside dup cliques (this fixture's shared
+    vocabulary yields 9.2M pairs from 5k docs at sf0.1), while the
+    capped form is bounded by N·(CAP−1)/2 pairs per band BY
+    CONSTRUCTION. Plan shape: one shuffle to build bands, one
+    count-aggregate on (band, band_sig), a shuffle join of bands
+    against the small-bucket keys (both sides partitioned on the same
+    key), then a groupBy on the SAME key (no extra exchange) whose
+    collect_list is bounded by the cap — the m²-blowup bucket
+    self-join never exists in the plan. Oversized buckets are dropped
+    before any member list materializes, so a 100M-member degenerate
+    bucket costs one count row, not an aggregation buffer."""
+    bands = bands_df(spark, sf_dir)
+    counts = bands.groupBy("band", "band_sig").agg(
+        F.count("*").alias("bucket_n")
+    )
+    small = counts.filter(
+        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= LSH_BUCKET_CAP)
+    ).select("band", "band_sig")
+    kept = bands.join(small, ["band", "band_sig"])
+    pairs = (
+        kept.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    return pairs.distinct()
+
+
 @register(
     "minhash_dedup_groups",
     oracle=f"""

@@ -312,20 +312,32 @@ def _clustered_corpus(spark, s: int):
     25% sit in 8 LARGE exact-dup clusters (each cluster ~156·s docs —
     identical token streams, hence identical minhash signatures and
     identical band signatures in EVERY band: the hottest possible LSH
-    keys), the rest unique. This is the shape real crawl data has and
-    the uniform-dup probes above do not: hot shingles and a band-sig
-    key whose bucket grows linearly with corpus size."""
+    keys), 12.5% sit in SMALL 4-doc dup clusters (r8: the tier whose
+    pairs SURVIVE the band-frequency cap — their count grows linearly
+    with the corpus, exercising the capped enumeration path with
+    non-degenerate output), the rest unique. This is the shape real
+    crawl data has and the uniform-dup probes above do not: hot
+    shingles and a band-sig key whose bucket grows linearly with
+    corpus size, plus a long tail of legitimate near-dup groups."""
     docs = 5_000 * s
     tok_per_doc = 50
     n_clustered = docs // 4
+    n_small_end = n_clustered + docs // 8
     t = spark.range(docs * tok_per_doc).select(
         (F.col("id") / tok_per_doc).cast("long").alias("doc_id"),
         (F.col("id") % tok_per_doc).alias("pos"),
     )
-    # content seed: docs < n_clustered collapse to 8 identical streams
-    seed = F.when(
-        F.col("doc_id") < n_clustered, F.col("doc_id") % 8
-    ).otherwise(F.col("doc_id"))
+    # content seed: docs < n_clustered collapse to 8 identical streams;
+    # the next docs//8 collapse in groups of 4 (seed offset by `docs` so
+    # small-cluster seeds never collide with unique docs' doc_id seeds)
+    seed = (
+        F.when(F.col("doc_id") < n_clustered, F.col("doc_id") % 8)
+        .when(
+            F.col("doc_id") < n_small_end,
+            F.lit(docs) + (F.col("doc_id") / 4).cast("long"),
+        )
+        .otherwise(F.col("doc_id"))
+    )
     return t.select(
         "doc_id", _mix(seed * tok_per_doc + F.col("pos"), 77).alias("h0")
     )
@@ -352,6 +364,7 @@ def main_dedup_skew() -> int:
     """
     from braintumor_data_pipeline_spark.operators.dedup import (
         BAND_ROWS,
+        LSH_BUCKET_CAP as _LSH_CAP,
         MINHASH_A,
         MINHASH_B,
         MINHASH_K,
@@ -458,6 +471,40 @@ def main_dedup_skew() -> int:
         n_edges = star.count()
         t_star = time.time() - t0
 
+        # 4. band-frequency-capped pair enumeration (the
+        #    minhash_lsh_pairs_capped plan): oversized buckets dropped
+        #    by COUNT before any member list exists; surviving buckets
+        #    expand i<j combos in-array (bounded by the cap). Pairs must
+        #    stay ∝ N·CAP while naive_candidate_pairs blows up.
+        t0 = time.time()
+        small = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(
+                (F.col("bucket_n") >= 2)
+                & (F.col("bucket_n") <= _LSH_CAP)
+            )
+            .select("band", "band_sig")
+        )
+        capped = (
+            bands.join(small, ["band", "band_sig"])
+            .groupBy("band", "band_sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) ->"
+                        " transform(slice(ids, i + 2, size(ids)),"
+                        " y -> struct(x AS doc_a, y AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        n_capped = capped.count()
+        t_capped = time.time() - t0
+
         bands.unpersist()
         sigs.unpersist()
         print(
@@ -474,6 +521,9 @@ def main_dedup_skew() -> int:
                     "count_math_s": round(t_count, 3),
                     "star_edges": n_edges,
                     "star_path_s": round(t_star, 3),
+                    "capped_pairs": n_capped,
+                    "capped_pairs_per_doc": round(n_capped / (5_000 * s), 2),
+                    "capped_path_s": round(t_capped, 3),
                 }
             ),
             flush=True,
