@@ -74,9 +74,14 @@ def _run_suite(spark, sf_dir: str, etl_dir: str) -> dict[str, float]:
     """One full pass over the headline suite; per-query wall seconds."""
     from braintumor_data_pipeline_spark.plans.etl import process_dicom_files
 
+    from braintumor_data_pipeline_spark.operators.indexing import (
+        release_blocked_caches,
+    )
+
     specs = registry.all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        release_blocked_caches()  # prior query's helper caches
         fn = specs[name].fn
         t0 = time.time()
         df = fn(spark, sf_dir)

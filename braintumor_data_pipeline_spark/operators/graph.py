@@ -500,7 +500,7 @@ def _kcore_round_sql(r: int) -> str:
 )
 def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the LSH candidate graph by bounded iterative
-    peeling (4 rounds): repeatedly drop vertices with
+    peeling (KCORE_ROUNDS rounds): repeatedly drop vertices with
     degree < 2 and the edges they carry — the standard
     dense-cluster extractor that separates true near-dup cliques from
     the degree-1 hair of LSH false-positive bands (a star's leaves
@@ -1057,7 +1057,7 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative family its unrolled oracle stays cross-engine verifiable
     at sf0.1. Same BIGINT fixed-point recurrence as
     ``pagerank_fixed_point`` (integer mass 10**12, damping
-    {_D_NUM}/{_D_DEN} as an exact ratio, floor division everywhere —
+    _D_NUM/_D_DEN as an exact ratio, floor division everywhere —
     bit-reproducible under any partitioning); nodes are ALL parts, so
     never-co-purchased parts keep the teleport term only. Output is
     the top-20 hubs with a total-order tie-break (pr DESC, p_partkey),

@@ -508,13 +508,13 @@ def _kcore_twin_round_sql(r: int) -> str:
 )
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the repeat co-purchase graph by bounded
-    iterative peeling (4 rounds) — the sf0.1-verifiable
+    iterative peeling (KCORE_ROUNDS rounds) — the sf0.1-verifiable
     twin of ``kcore_peeling`` (graph.py:501; SKIP_SF01 points here),
     and on THIS graph the peel actually bites (half the vertices are
     degree-1 leaves of association pairs). Same per-round shape: one
     degree count + two semi-joins on the shrinking, per-round
     checkpointed edge relation; the oracle unrolls the identical
-    4 rounds."""
+    rounds."""
     pairs = _repeat_pairs(spark, sf_dir)
     edges = _sym(pairs).localCheckpoint()
     for _ in range(KCORE_ROUNDS):

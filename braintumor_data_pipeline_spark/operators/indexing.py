@@ -88,6 +88,42 @@ def global_dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_BLOCKS = 1024
 _COARSE = 32  # sqrt(RANGE_BLOCKS): boundary lookup = 2×31 comparisons
 
+#: Inputs persisted by the blocked_* helpers, awaiting release. The
+#: helpers MUST cache their input (diamond rule: the frame feeds both
+#: the boundary-quantile agg and the blocked main pass; uncached,
+#: chained calls re-evaluate upstream 2^depth times — 603 s vs 10 s
+#: measured). But a helper cannot know when its RETURNED lazy frame is
+#: consumed, so lifecycle belongs to the driver of the query batch:
+#: long-lived sessions that run many queries (the oracle gate, bench,
+#: plan audit) call :func:`release_blocked_caches` between queries;
+#: one-query sessions can ignore it (ContextCleaner reclaims on ref
+#: drop). Without the hook, 366-gate runs accumulate cached blocks
+#: until GC-driven reclamation — nondeterministic storage pressure
+#: (ADVICE r7).
+_PERSISTED_INPUTS: list[DataFrame] = []
+
+
+def release_blocked_caches() -> int:
+    """Unpersist every input the blocked_* helpers cached since the
+    last call; returns how many were released. Safe to call once the
+    frames returned by those helpers have been fully consumed (e.g.
+    between queries in a gate sweep) — unpersisting is correctness-
+    neutral, it only forfeits reuse."""
+    n = len(_PERSISTED_INPUTS)
+    for df in _PERSISTED_INPUTS:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _PERSISTED_INPUTS.clear()
+    return n
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED_INPUTS.append(out)
+    return out
+
 
 def _with_range_block(df: DataFrame, key_col: str) -> DataFrame:
     """Append ``_blk`` ∈ [0, RANGE_BLOCKS): a deterministic, MONOTONE
@@ -242,15 +278,14 @@ def blocked_rank(df: DataFrame, key_col: str, tiebreak_col: str) -> DataFrame:
     For DESC order pass a negated key column. This is the scale-safe
     replacement for ``ntile/row_number OVER (ORDER BY …)`` on
     data-grain frames (VERDICT r5 task 1)."""
-    # PERSIST the input: the helper evaluates df twice (the
-    # boundary-quantile agg, then the blocked main pass), and the
-    # blocked frame twice more (per-block counts, final join) —
-    # without a cache, CHAINED helper calls (rfm_segments ranks
-    # three times) re-evaluate their whole upstream 2^depth times
-    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
-    # rule (SCALE.md Dedup): persist the shared relation;
-    # ContextCleaner reclaims it when the query's refs drop.
-    df = df.persist()
+    # PERSIST the input (tracked — see release_blocked_caches): the
+    # helper evaluates df twice (the boundary-quantile agg, then the
+    # blocked main pass), and the blocked frame twice more (per-block
+    # counts, final join) — without a cache, CHAINED helper calls
+    # (rfm_segments ranks three times) re-evaluate their whole
+    # upstream 2^depth times (measured: 603 s at sf0.001 vs 10 s
+    # cached). Batch drivers release between queries.
+    df = _persist_tracked(df)
     blocked = _with_range_block(df, key_col)
     counts = blocked.groupBy("_blk").agg(F.count("*").alias("_cnt"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -275,15 +310,14 @@ def blocked_cumsum(
     :func:`blocked_rank`: per-block partial sums (≤RANGE_BLOCKS rows)
     prefix-summed globally, plus a parallel within-block running sum.
     ``inclusive=False`` gives the ROWS … AND 1 PRECEDING frame."""
-    # PERSIST the input: the helper evaluates df twice (the
-    # boundary-quantile agg, then the blocked main pass), and the
-    # blocked frame twice more (per-block counts, final join) —
-    # without a cache, CHAINED helper calls (rfm_segments ranks
-    # three times) re-evaluate their whole upstream 2^depth times
-    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
-    # rule (SCALE.md Dedup): persist the shared relation;
-    # ContextCleaner reclaims it when the query's refs drop.
-    df = df.persist()
+    # PERSIST the input (tracked — see release_blocked_caches): the
+    # helper evaluates df twice (the boundary-quantile agg, then the
+    # blocked main pass), and the blocked frame twice more (per-block
+    # counts, final join) — without a cache, CHAINED helper calls
+    # (rfm_segments ranks three times) re-evaluate their whole
+    # upstream 2^depth times (measured: 603 s at sf0.001 vs 10 s
+    # cached). Batch drivers release between queries.
+    df = _persist_tracked(df)
     blocked = _with_range_block(df, key_col)
     bsums = blocked.groupBy("_blk").agg(F.sum(val_col).alias("_bsum"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -316,15 +350,14 @@ def blocked_cummax(
     frame, plus a parallel within-block running max.
     ``inclusive=False`` gives the strict ROWS … AND 1 PRECEDING frame
     (NULL when nothing precedes — matching the SQL window's NULL)."""
-    # PERSIST the input: the helper evaluates df twice (the
-    # boundary-quantile agg, then the blocked main pass), and the
-    # blocked frame twice more (per-block counts, final join) —
-    # without a cache, CHAINED helper calls (rfm_segments ranks
-    # three times) re-evaluate their whole upstream 2^depth times
-    # (measured: 603 s at sf0.001 vs 10 s cached). House diamond
-    # rule (SCALE.md Dedup): persist the shared relation;
-    # ContextCleaner reclaims it when the query's refs drop.
-    df = df.persist()
+    # PERSIST the input (tracked — see release_blocked_caches): the
+    # helper evaluates df twice (the boundary-quantile agg, then the
+    # blocked main pass), and the blocked frame twice more (per-block
+    # counts, final join) — without a cache, CHAINED helper calls
+    # (rfm_segments ranks three times) re-evaluate their whole
+    # upstream 2^depth times (measured: 603 s at sf0.001 vs 10 s
+    # cached). Batch drivers release between queries.
+    df = _persist_tracked(df)
     blocked = _with_range_block(df, key_col)
     bmax = blocked.groupBy("_blk").agg(F.max(val_col).alias("_bmx"))
     woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)

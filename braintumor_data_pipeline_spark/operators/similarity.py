@@ -1180,7 +1180,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     than float32), queries scan codes with ADC (asymmetric distance
     computation: a 50×8×16 lookup table of query-to-centroid partial
     distances, one gather+sum per base vector instead of a 64-dim dot),
-    the ADC top-50 re-rank exactly, and the final top-5 ships.
+    the ADC top-PQ_RERANK candidates re-rank exactly, and the final
+    top-5 ships.
     At 100 TB the code table fits in RAM where the vectors never could —
     scan cost per query drops 16× and the exact re-rank touches only
     PQ_RERANK vectors.
@@ -2997,8 +2998,9 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scaled: K ≈ N/64 hash-stride seed centroids (K∝N — target
     cluster cardinality 64, see SEMDEDUP_STRIDE note), TWO-LEVEL
     max-inner-product assignment (⌈√K⌉ integer-mean super-centroids
-    route first, so assignment is O(N·√K), not N·K), a hard 256-member
-    subcluster cap (pair stage ≤ N·CAP/2 — linear in N on ANY cluster
+    route first, so assignment is O(N·√K), not N·K), a hard
+    SEMDEDUP_CAP-member subcluster cap (pair stage ≤ N·CAP/2 — linear
+    in N on ANY cluster
     size distribution), exact integer cosine gate
     (dot²·10⁴ ≥ τ²·10⁴·‖a‖²·‖b‖² in DECIMAL(38,0) — no float dot ever
     crosses an aggregation), and keep-first pruning (the HIGHER vec_id

@@ -312,6 +312,9 @@ def run_tws_type_totals_local(
         key = (pdf["event_type"].iloc[0],)
         proc = TypeTotalsProcessor()
         proc.init(_LocalHandle())
+        # seeds travel as STRINGS: a long column with NULLs would reach
+        # pandas as float64 and silently round past 2^53, breaking the
+        # exact-integer accumulation doctrine (ADVICE r7)
         seed_n = pdf["_seed_n"].iloc[0]
         if pd.notna(seed_n):
             proc._state.update(
@@ -338,13 +341,14 @@ def run_tws_type_totals_local(
         )
         if state_rows:
             seed = spark.createDataFrame(
-                state_rows, "event_type string, _seed_n long, _seed_s long"
+                [(t, str(n), str(s)) for t, n, s in state_rows],
+                "event_type string, _seed_n string, _seed_s string",
             )
             batch = batch.join(F.broadcast(seed), "event_type", "left")
         else:
             batch = batch.withColumn(
-                "_seed_n", F.lit(None).cast("long")
-            ).withColumn("_seed_s", F.lit(None).cast("long"))
+                "_seed_n", F.lit(None).cast("string")
+            ).withColumn("_seed_s", F.lit(None).cast("string"))
         emitted = (
             batch.groupBy("event_type")
             .applyInPandas(drive, schema=schema)

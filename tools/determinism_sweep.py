@@ -59,8 +59,13 @@ def worker(
         ]
     else:
         names = list(registry.PRIORITY)
+    from braintumor_data_pipeline_spark.operators.indexing import (
+        release_blocked_caches,
+    )
+
     results = {}
     for name in names:
+        release_blocked_caches()  # prior query's helper caches
         spec = registry.all_queries()[name]
         df = spec.fn(spark, sf_dir)
         results[name] = canon([tuple(r) for r in df.collect()], df.columns)

@@ -283,6 +283,16 @@ def _all_nlj_are_scalar_broadcasts(plan: str) -> bool:
                 n_bad += 1
                 _NLJ_UNRECOGNIZED.append(op[:140])
             break
+        else:
+            # loop exhausted without classifying — the build subtree's
+            # first real operator fell outside the window (or every
+            # line was a pass-through). An UNEXAMINED build is a
+            # failure, not a free pass (ADVICE r7).
+            n_bad += 1
+            _NLJ_UNRECOGNIZED.append(
+                "<unclassified IdentityBroadcastMode definition site:"
+                " no real operator within window>"
+            )
     return n_joins > 0 and n_benign > 0 and n_bad == 0
 
 
@@ -303,9 +313,14 @@ def main() -> int:
     )
     qs = registry.all_queries()
     critical = 0
+    from braintumor_data_pipeline_spark.operators.indexing import (
+        release_blocked_caches,
+    )
+
     for name, entry in sorted(qs.items()):
         if names and not any(f in name for f in names):
             continue
+        release_blocked_caches()  # prior query's helper caches
         try:
             df = entry.fn(spark, sf)
             plan = _strip_initial_plans(
