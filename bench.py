@@ -26,6 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from braintumor_data_pipeline_spark import registry
 from braintumor_data_pipeline_spark.session import get_spark
 
@@ -96,6 +98,31 @@ def _run_suite(spark, sf_dir: str, etl_dir: str) -> dict[str, float]:
     return timings
 
 
+def _python_worker_sentinel(spark, reps: int = 3) -> float:
+    """Median wall of a fixed-size mapInArrow no-op (~0.2 s idle-box):
+    a pure Python-worker-path round-trip whose cost is dominated by
+    fork/exec + Arrow IPC, the exact path BASELINE.md's r7 forensic A/B
+    showed is ~3× more sensitive to background box load than JVM-only
+    queries. Round-over-round bench medians are comparable ONLY when
+    this sentinel (and loadavg_1m) sit in the same band — see
+    BASELINE.md 'Interpreting drift'."""
+
+    def _ident(it):
+        for batch in it:
+            yield batch
+
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(200_000).select(
+            F.col("id"), (F.col("id") % 97).alias("m")
+        ).mapInArrow(_ident, "id long, m long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.time() - t0)
+    return round(statistics.median(walls), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -103,6 +130,13 @@ def main() -> None:
     spark = get_spark(app_name="braintumor-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
     etl_dir = _make_etl_inputs()
+
+    # box-load self-diagnosis (VERDICT r7 task 4): record the load the
+    # numbers were taken under, so drift is attributable without a
+    # re-run forensic A/B
+    load_1m, load_5m, load_15m = os.getloadavg()
+    _python_worker_sentinel(spark, reps=1)  # sentinel's own warmup
+    sentinel_s = _python_worker_sentinel(spark)
 
     # One untimed warmup pass (VERDICT r3 task 7): the first suite pass
     # carries JVM JIT, codegen-cache and OS page-cache warmup (~9.5 s of
@@ -141,6 +175,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": totals,
                 "spread": round(max(totals) - min(totals), 3),
+                "box": {
+                    "loadavg_1m": round(load_1m, 2),
+                    "loadavg_5m": round(load_5m, 2),
+                    "loadavg_15m": round(load_15m, 2),
+                    "cpus": os.cpu_count(),
+                    "py_worker_sentinel_s": sentinel_s,
+                },
             }
         )
     )
