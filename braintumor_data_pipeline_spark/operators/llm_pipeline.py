@@ -2227,3 +2227,161 @@ def memorization_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_frac"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "memorization_max_run_length",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {MEM_WINDOW} + 2)) AS i
+      FROM tk WHERE len(t) >= {MEM_WINDOW}
+    ),
+    wins AS (
+      SELECT doc_id, i AS start_pos, i + {MEM_WINDOW} - 1 AS end_pos,
+             ('0x' || substr(md5('mem|' || array_to_string(
+                t[i : i + {MEM_WINDOW} - 1], ' ')), 1, 15))::BIGINT AS h
+      FROM pos
+    ),
+    shared AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, start_pos, end_pos
+      FROM wins SEMI JOIN shared ON wins.h = shared.h
+    ),
+    islands AS (
+      SELECT doc_id, start_pos, end_pos,
+             CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+                    PARTITION BY doc_id ORDER BY start_pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    numbered AS (
+      SELECT doc_id, start_pos, end_pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, island_id,
+             max(end_pos) - min(start_pos) + 1 AS span_len
+      FROM numbered GROUP BY doc_id, island_id
+    ),
+    runs AS (
+      SELECT doc_id,
+             count(*) AS n_runs,
+             max(span_len) AS max_run_len
+      FROM spans GROUP BY doc_id
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents)
+    SELECT dl.doc_id,
+           CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(r.max_run_len, 0) AS BIGINT) AS max_run_len,
+           CAST(dl.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(coalesce(r.max_run_len, 0) AS DOUBLE)
+                 / greatest(dl.n_tokens, 1), 6) AS max_run_frac
+    FROM dl LEFT JOIN runs r ON r.doc_id = dl.doc_id
+    ORDER BY max_run_frac DESC, max_run_len DESC, dl.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "curation", "dedup", "text", "window"),
+)
+def memorization_max_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MAX shared-run length — the Lee et al. 2022
+    dedup-span statistic that complements ``memorization_window_
+    fraction``: the fraction says how much of a doc is duplicated
+    elsewhere, the max-run says whether that duplication is one long
+    memorizable passage (a verbatim license block, a copied article)
+    or dust (many short idiom collisions). Same MEM_WINDOW-token
+    'mem|'-salted shared-window relation as the fraction query, then
+    the island-merge machinery of ``repeated_span_detection``:
+    overlapping/adjacent shared windows merge into maximal runs
+    per doc; report run count, max run length (tokens), and max-run
+    fraction of the doc. Top-20 by (max_run_frac DESC, max_run_len
+    DESC, doc_id).
+
+    Scale shape: content-keyed throughout — windows from shuffle-free
+    array slicing carried as hashed LONGs; ONE groupBy for the
+    ≥2-distinct-docs screen (never pair enumeration); the island merge
+    is a per-document window (partitioned by doc_id, no global
+    ordering); two more map-side-combinable groupBys. Docs shorter
+    than the window (or with no shared windows) surface as 0/0 via the
+    final left join."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    wins_structs = F.expr(
+        f"transform(sequence(1, size(t) - {MEM_WINDOW} + 1), i -> struct("
+        f" i AS start_pos,"
+        f" i + {MEM_WINDOW} - 1 AS end_pos,"
+        f" cast(conv(substring(md5(concat('mem|',"
+        f" concat_ws(' ', slice(t, i, {MEM_WINDOW})))), 1, 15), 16, 10)"
+        f" as bigint) AS h))"
+    )
+    wins = (
+        d.select("doc_id", tk.alias("t"))
+        .filter(F.size("t") >= MEM_WINDOW)
+        .select("doc_id", F.explode(wins_structs).alias("s"))
+        .select("doc_id", "s.start_pos", "s.end_pos", "s.h")
+        .persist()  # feeds the shared screen AND the hit join — diamond
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(shared, "h", "left_semi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("start_pos")
+            > F.coalesce(F.max("end_pos").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("is_new").over(w_run))
+    spans = islands.groupBy("doc_id", "island_id").agg(
+        (F.max("end_pos") - F.min("start_pos") + 1).alias("span_len")
+    )
+    runs = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("span_len").alias("max_run_len"),
+    )
+    dl = d.select("doc_id", F.size(tk).alias("n_tokens"))
+    return (
+        dl.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_runs"), F.lit(0))
+            .cast("long")
+            .alias("n_runs"),
+            F.coalesce(F.col("max_run_len"), F.lit(0))
+            .cast("long")
+            .alias("max_run_len"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("max_run_len"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("max_run_frac"),
+        )
+        .orderBy(F.desc("max_run_frac"), F.desc("max_run_len"), "doc_id")
+        .limit(20)
+    )

