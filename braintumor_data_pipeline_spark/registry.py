@@ -240,8 +240,51 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: jsonl_corrupt_records_audit -> textdir_corpus_stats (jsonl),
 #: copurchase_triangle_stats -> kcore_peeling (graph).
 DRIVER_WINDOW = 50
+#: r8 rotation (VERDICT r7 task 1 + new-query invariant): 24 first-time
+#: slots — the largest rotation yet, prioritizing never-driver-checked
+#: queries everywhere a family slot allows. The five r7-new LLM
+#: operators enter (dsir_importance_weights, quality_keep_dedup_groups,
+#: padding_waste_curve, kcenter_coreset_select,
+#: memorization_window_fraction — driver hashes are the one evidence
+#: class the builder cannot self-generate); kcenter ALSO satisfies the
+#: changed-formulation invariant (r8 persist-chain rewrite). The two
+#: r8-new queries enter (minhash_lsh_pairs_capped,
+#: memorization_max_run_length). The r7 judge's named never-checked
+#: picks enter: ann_lsh_cosine, ann_ivf_cosine, cuped_adjusted_uplift,
+#: embedding_pca_covariance, copurchase_kcore, dummy_gt_dice.
+#: Family slots flip to NEVER-CHECKED members wherever one exists:
+#: incremental_agg_merge -> log_compaction_tombstones (cdc),
+#: rolling_active_users -> twap_daily_value (timeseries),
+#: q15_top_supplier -> q18_large_order_customers (tpch_shapes),
+#: mask_regionprops_exact -> dummy_gt_dice (imaging_udf),
+#: arrow_token_stats -> text_quality_score (text),
+#: temperature_mix_allocation -> dsir_importance_weights (llm),
+#: kcore_peeling -> local_clustering_coefficient (graph),
+#: copurchase_bfs_levels -> copurchase_kcore (graph_twins),
+#: synthetic_star_join_agg -> synthetic_skew_stress_agg (generator),
+#: bucketed_star_join -> bucketed_group_agg (bucketed),
+#: multimodal_image_features -> multimodal_audio_spectral_bands,
+#: holt_linear_forecast -> rcte_hierarchy_rollup (recursive),
+#: partition_fingerprints_daily -> zorder_morton_codes (maintenance),
+#: gini_revenue_concentration -> grouped_exact_median (analytics).
+#: The nine r6/r7 blocked-helper callers (rfm_segments,
+#: decile_lift_table, time_to_conversion_stats, top_orders_with_ties,
+#: hybrid_rrf_fusion_topk, embedding_norm_outliers,
+#: gini_revenue_concentration, classifier_auc_exact,
+#: pareto_frontier_orders) rotate OUT: r8's only indexing.py edit is
+#: persist-LIFECYCLE tracking (_persist_tracked registers the same
+#: persist() call for later release_blocked_caches()); the logical and
+#: physical plans are bit-identical, so the changed-formulation
+#: invariant does not trigger — all nine are r7-hash-green with
+#: unchanged formulations, the textbook rotation candidates.
+#: semdedup_prune_report (r7-green, formulation unchanged) and
+#: region_grow_adaptive_first8 (segmentation keeps its headline rep)
+#: also vacate. Module coverage holds at every swap (the smoke test
+#: asserts it); bench HEADLINE all stay.
+DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
-    # relational core (scan/filter/proj/agg/join/setop/window/topk)
+    # bench HEADLINE (perf and correctness gates cover the same
+    # surface — all 15 locked)
     "flagship_avg_by_group",
     "pricing_summary",
     "star_join_revenue",
@@ -249,106 +292,53 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     "rollup_lineitem",
     "histogram_totalprice",
-    # CDC: SCD-2 point-in-time enrichment (first-time, r4)
-    "incremental_agg_merge",
-    # timeseries (r6: ordered view→click→purchase funnel — keeps the
-    # timeseries family slot; holt_linear_forecast from the judge's
-    # list lives in `recursive`, which rcte_clamped_balance already
-    # covers)
-    "rolling_active_users",
-    # BPE training replay (r4 fourth rotation: cohort_weekly_retention —
-    # once-green r3, formulation unchanged, timeseries keeps cusum —
-    # vacates for bpe_learn_merges, whose ORACLE changed this round
-    # from a frozen golden to the 30-round training replay: changed
-    # formulations get driver confirmation, and the bpe module's new
-    # recomputing tier needs its window slot per the smoke invariant)
-    "bpe_encode_stats",
-    # TPC-H shapes
-    "q15_top_supplier",
-    # analytics (first-time, r4 fifth rotation: distributed skyline)
-    "pareto_frontier_orders",
-    # imaging UDF path (applyInPandas numpy, hash-checked vs exact
-    # integer-DFT SQL — the r4 frozen-golden upgrade)
-    "mask_regionprops_exact",
-    # experiments (r6 changed formulations: user-grain ntiles → blocked
-    # rank + exact remainder ntile; both REQUIRE window slots)
-    "rfm_segments",
-    "decile_lift_table",
-    # text analysis
-    "arrow_token_stats",
-    # llm_pipeline (r6: k-anonymity quasi-identifier audit)
-    "temperature_mix_allocation",
-    # similarity (r6 changed formulation: doc-grain ranks → blocked)
-    "hybrid_rrf_fusion_topk",
-    # graph (r6: the non-degenerate triangle census twin)
-    "kcore_peeling",
-    # dedup
     "minhash_dedup_groups",
     "ngram_jaccard_pairs",
-    # similarity / kNN (embedding_norm_outliers: r6 changed formulation,
-    # vector-grain rank → blocked)
     "knn_bruteforce_cosine",
-    "embedding_norm_outliers",
-    # experiments (r6 changed formulation: duration-grain cumulative →
-    # blocked_cumsum)
-    "time_to_conversion_stats",
-    # sketches (bloom / HLL; r4 sixth rotation: countmin_heavy_hitters —
-    # r3-green, formulation unchanged, sketch keeps TWO window reps —
-    # vacates for xml_roundtrip_stats, the NEW xml_io module's slot per
-    # the smoke family-coverage invariant)
-    "hll_register_sketch",
-    # graph_twins (r6 new module: the 12-round label-propagation
-    # components twin — its smoke family slot)
-    "copurchase_bfs_levels",
-    # XML interchange (native Spark 4 source, first-time r4)
-    "xml_roundtrip_stats",
-    # zero-I/O in-plan generator (dbgen-style source)
-    "synthetic_star_join_agg",
-    # multimodal image near-dup (r6: per-image pHash signatures)
-    "phash_signatures",
-    # JSONL corrupt-records audit (r6: PERMISSIVE-mode fidelity)
-    "textdir_corpus_stats",
-    # pixel relation (imaging as SQL)
     "pixel_minmax_normalize",
-    # mask algebra / metrics
     "mask_metrics",
-    # iterative segmentation (uncapped component, the dequeue-cap quirk,
-    # and the adaptive-threshold schedule — all hash-checked)
     "region_grow_component",
-    # min/max zone-map skipping report (first-time, r4 seventh
-    # rotation — took the region_grow_adaptive slot)
-    "interval_union_coverage",
-    # skew handling (r6: the salted JOIN variant) + modularity over the
-    # closure components (components module keeps its rep)
-    "skew_diagnosis_join_keys",
-    "component_modularity",
-    # bucketed co-located join (zero-shuffle layout)
-    "bucketed_star_join",
-    # ORC + CSV interchange (lossless-egress gates)
-    "orc_roundtrip_stats",
-    "csv_roundtrip_stats",
-    # multimodal audio (oracle recomputes features from raw bytes)
-    "multimodal_image_features",
-    # engine-native recursion (byte-identical SQL on both engines)
-    "holt_linear_forecast",
-    # indexing + pixels 2nd rep (r6: 50-bin pixel histogram)
-    "global_dense_ids_documents",
-    "semdedup_prune_report",
-    # experiments (r6 changed formulation: near-unique price-grain
-    # prefix sum → blocked_cumsum) + DPP star join (the dynamic
-    # pruning lever stays)
-    "top_orders_with_ties",
-    "partition_fingerprints_daily",
-    # segmentation 2nd rep (r6: capped BFS + morphology close, the
-    # FIFO-CTE oracle) + analytics (r6 changed formulation:
-    # customer-grain Lorenz rank → blocked_rank) + experiments
-    # (changed r5, stays per the invariant)
-    "region_grow_adaptive_first8",
-    "gini_revenue_concentration",
-    "classifier_auc_exact",
-    # streaming (batch-equivalent forms)
     "events_session_30m",
     "events_asof_last_view",
+    # family keeps — no never-checked member available in the module
+    "bpe_encode_stats",
+    "hll_register_sketch",
+    "xml_roundtrip_stats",
+    "phash_signatures",
+    "textdir_corpus_stats",
+    "interval_union_coverage",
+    "skew_diagnosis_join_keys",
+    "component_modularity",
+    "orc_roundtrip_stats",
+    "csv_roundtrip_stats",
+    "global_dense_ids_documents",
+    # family slots filled with FIRST-TIME (never-driver-checked) members
+    "log_compaction_tombstones",      # cdc
+    "twap_daily_value",               # timeseries
+    "q18_large_order_customers",      # tpch_shapes
+    "grouped_exact_median",           # analytics
+    "dummy_gt_dice",                  # imaging_udf (pinned sf0.01 oracle)
+    "cuped_adjusted_uplift",          # experiments
+    "text_quality_score",             # text
+    "dsir_importance_weights",        # llm_pipeline (r7-new)
+    "local_clustering_coefficient",   # graph
+    "copurchase_kcore",               # graph_twins
+    "synthetic_skew_stress_agg",      # generator
+    "bucketed_group_agg",             # bucketed
+    "multimodal_audio_spectral_bands",  # multimodal
+    "rcte_hierarchy_rollup",          # recursive
+    "zorder_morton_codes",            # maintenance
+    # remaining first-time slots: r7-new LLM operators, r8-new queries,
+    # changed-formulation re-entry, and the judge's similarity picks
+    "kcenter_coreset_select",         # changed formulation r8
+    "minhash_lsh_pairs_capped",       # new r8
+    "memorization_max_run_length",    # new r8
+    "quality_keep_dedup_groups",      # r7-new
+    "padding_waste_curve",            # r7-new
+    "memorization_window_fraction",   # r7-new
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "embedding_pca_covariance",
 )
 
 
