@@ -76,7 +76,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
-    for _ in range(30):  # diameter bound; dup clusters are near-cliques
+    labels = _min_label_propagation(labels, edges)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _min_label_propagation(
+    labels: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Min-label propagation to fixpoint (pure extraction of the r3 loop
+    body — plans are bit-identical to the inlined form). ``labels`` is
+    (node, label) with label = node initially; ``edges`` is a directed
+    (src, dst) frame carrying BOTH orientations. Each iteration: two
+    hash joins + one agg on uniform keys; localCheckpoint cuts lineage
+    so plans stay O(1) per iteration; the driver sees only a one-row
+    convergence count."""
+    for _ in range(max_iter):  # diameter bound; dup clusters are near-cliques
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node2"))
@@ -98,7 +112,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if not changed:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    return labels
 
 
 def _install_oracle() -> None:

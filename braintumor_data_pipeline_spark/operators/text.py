@@ -1257,3 +1257,171 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - cov, 6).alias("oov_rate"),
         )
     )
+
+
+#: Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Appendix A.1.1):
+#: the published rule-based document filter every large-scale curation
+#: pipeline starts from. Thresholds are held as INTEGER cross-products
+#: (e.g. mean word length in [3, 10] ⇔ 3·n_words ≤ sum_len ≤ 10·n_words)
+#: so no float comparison ever decides a gate — both engines compare
+#: the same exact integers.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@register(
+    "gopher_quality_gates",
+    oracle=rf"""
+    WITH per AS (
+      SELECT
+        len(string_split(text, ' ')) AS n_words,
+        length(replace(text, ' ', '')) AS sum_len,
+        len(regexp_extract_all(text, '#')) AS n_hash,
+        len(regexp_extract_all(text, '(\.\.\.|…)')) AS n_ell,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+        len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '(\.\.\.|…)$'))) AS n_ell_ln,
+        len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+        len(list_intersect(string_split(text, ' '),
+                           {_GOPHER_STOP_SQL})) AS n_stop
+      FROM documents
+    ),
+    gated AS (
+      SELECT
+        CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS g_wc,
+        CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             AS BIGINT) AS g_mwl,
+        CAST(10 * (n_hash + n_ell) < n_words AS BIGINT) AS g_sym,
+        CAST(10 * n_bullet < 9 * n_lines AS BIGINT) AS g_bul,
+        CAST(10 * n_ell_ln < 3 * n_lines AS BIGINT) AS g_ell,
+        CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS g_alp,
+        CAST(n_stop >= 2 AS BIGINT) AS g_stp
+      FROM per
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(g_wc) AS BIGINT) AS p_wc,
+             CAST(sum(g_mwl) AS BIGINT) AS p_mwl,
+             CAST(sum(g_sym) AS BIGINT) AS p_sym,
+             CAST(sum(g_bul) AS BIGINT) AS p_bul,
+             CAST(sum(g_ell) AS BIGINT) AS p_ell,
+             CAST(sum(g_alp) AS BIGINT) AS p_alp,
+             CAST(sum(g_stp) AS BIGINT) AS p_stp,
+             CAST(sum(g_wc * g_mwl * g_sym * g_bul * g_ell * g_alp
+                      * g_stp) AS BIGINT) AS p_all
+      FROM gated
+    )
+    SELECT rule, n_pass, n_docs,
+           round(n_pass * 1.0 / n_docs, 6) AS pass_frac
+    FROM (
+      SELECT 'word_count' AS rule, p_wc AS n_pass, n_docs FROM s
+      UNION ALL SELECT 'mean_word_len', p_mwl, n_docs FROM s
+      UNION ALL SELECT 'symbol_word_ratio', p_sym, n_docs FROM s
+      UNION ALL SELECT 'bullet_lines', p_bul, n_docs FROM s
+      UNION ALL SELECT 'ellipsis_lines', p_ell, n_docs FROM s
+      UNION ALL SELECT 'alpha_word_frac', p_alp, n_docs FROM s
+      UNION ALL SELECT 'stopword_presence', p_stp, n_docs FROM s
+      UNION ALL SELECT 'all_gates', p_all, n_docs FROM s
+    )
+    ORDER BY rule
+    """,
+    tags=("text", "quality", "llm", "agg"),
+)
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gates (Rae et al. 2021 App. A.1.1) as a
+    per-rule corpus report: word-count ∈ [50, 100k], mean word length ∈
+    [3, 10], symbol-to-word ratio (# / ellipsis) < 0.1, < 90% of lines
+    bullet-started, < 30% of lines ellipsis-ended, ≥ 80% of words
+    containing a letter, and ≥ 2 of the 8 canonical stopwords present —
+    plus the all-gates conjunction (the corpus survival rate).
+
+    Every threshold is an exact INTEGER cross-product comparison (no
+    float ever decides a gate), so both engines agree bit-for-bit; the
+    only double is the final pass_frac division. Scale shape: one
+    narrow map-side projection per doc (pure JVM expressions — arrays,
+    regexp counts, list filters, all inside whole-stage codegen), ONE
+    single-row global aggregate, then an 8-row explode off that
+    aggregate — the shuffle carries 8 partial-sum integers per map
+    task, nothing else. At 100 TB this is a scan-bound pass, exactly
+    like the reference's quality heuristics but with the published
+    Gopher thresholds."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    sum_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_hash = F.regexp_count(F.col("text"), F.lit("#"))
+    n_ell = F.regexp_count(F.col("text"), F.lit(r"(\.\.\.|…)"))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ell_ln = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop_arr))
+
+    def _g(cond):
+        return cond.cast("long")
+
+    gated = d.select(
+        _g(n_words.between(50, 100000)).alias("g_wc"),
+        _g((3 * n_words <= sum_len) & (sum_len <= 10 * n_words)).alias(
+            "g_mwl"
+        ),
+        _g(10 * (n_hash + n_ell) < n_words).alias("g_sym"),
+        _g(10 * n_bullet < 9 * n_lines).alias("g_bul"),
+        _g(10 * n_ell_ln < 3 * n_lines).alias("g_ell"),
+        _g(5 * n_alpha >= 4 * n_words).alias("g_alp"),
+        _g(n_stop >= 2).alias("g_stp"),
+    )
+    s = gated.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("g_wc").alias("p_wc"),
+        F.sum("g_mwl").alias("p_mwl"),
+        F.sum("g_sym").alias("p_sym"),
+        F.sum("g_bul").alias("p_bul"),
+        F.sum("g_ell").alias("p_ell"),
+        F.sum("g_alp").alias("p_alp"),
+        F.sum("g_stp").alias("p_stp"),
+        F.sum(
+            F.col("g_wc")
+            * F.col("g_mwl")
+            * F.col("g_sym")
+            * F.col("g_bul")
+            * F.col("g_ell")
+            * F.col("g_alp")
+            * F.col("g_stp")
+        ).alias("p_all"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(rule).alias("rule"), F.col(col).alias("n_pass")
+            )
+            for rule, col in (
+                ("word_count", "p_wc"),
+                ("mean_word_len", "p_mwl"),
+                ("symbol_word_ratio", "p_sym"),
+                ("bullet_lines", "p_bul"),
+                ("ellipsis_lines", "p_ell"),
+                ("alpha_word_frac", "p_alp"),
+                ("stopword_presence", "p_stp"),
+                ("all_gates", "p_all"),
+            )
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("r"), "n_docs")
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_pass").alias("n_pass"),
+            "n_docs",
+            F.round(
+                F.col("r.n_pass") * F.lit(1.0) / F.col("n_docs"), 6
+            ).alias("pass_frac"),
+        )
+        .orderBy("rule")
+    )
