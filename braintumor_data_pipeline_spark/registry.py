@@ -267,6 +267,12 @@ DRIVER_WINDOW = 50
 #: holt_linear_forecast -> rcte_hierarchy_rollup (recursive),
 #: partition_fingerprints_daily -> zorder_morton_codes (maintenance),
 #: gini_revenue_concentration -> grouped_exact_median (analytics).
+#: Mid-r8 amendment: the multimodal first-time slot flips from
+#: multimodal_audio_spectral_bands to multimodal_video_frame_sample —
+#: the fixed-point integer DCT rewrite (sources/jpeg.py, cross-box BLAS
+#: determinism incident) re-pinned the video golden, and the
+#: changed-formulation invariant outranks the original pick. Both were
+#: never-driver-checked, so the first-time count is unchanged.
 #: The nine r6/r7 blocked-helper callers (rfm_segments,
 #: decile_lift_table, time_to_conversion_stats, top_orders_with_ties,
 #: hybrid_rrf_fusion_topk, embedding_norm_outliers,
@@ -325,7 +331,10 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_kcore",               # graph_twins
     "synthetic_skew_stress_agg",      # generator
     "bucketed_group_agg",             # bucketed
-    "multimodal_audio_spectral_bands",  # multimodal
+    "multimodal_video_frame_sample",  # multimodal (first-time AND
+    # changed-formulation re-entry: the r8 fixed-point integer DCT
+    # re-pinned the frozen golden, so the driver must hash the new
+    # formulation; audio_spectral_bands defers to r9)
     "rcte_hierarchy_rollup",          # recursive
     "zorder_morton_codes",            # maintenance
     # remaining first-time slots: r7-new LLM operators, r8-new queries,

@@ -131,22 +131,64 @@ AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
-# 8×8 DCT-II basis matrix (orthonormal): used for both DCT and IDCT.
-_C = np.zeros((8, 8))
-for _k in range(8):
-    for _n in range(8):
-        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
-            np.sqrt(0.25) if _k else np.sqrt(0.125)
-        )
+# 8×8 DCT-II basis, FIXED-POINT int64 at scale 2**18: literal values of
+# round(cos((2n+1)kπ/16) · (0.5 if k else sqrt(1/8)) · 2**18). Hardcoded
+# (not computed at import) and contracted in exact int64 arithmetic so the
+# transform is bit-identical on every host: the float path (einsum
+# optimize=True → BLAS GEMM) picks CPU-specific kernels whose summation
+# order differs across microarchitectures, and the resulting last-ulp
+# drift crossed pixel-rounding boundaries when the build moved boxes —
+# exact integers have no order sensitivity at all. No literal sits within
+# 1e-4 of a rounding tie (tests/test_codecs.py asserts this against a
+# live recompute).
+_DCT_SHIFT = 18
+_C_INT = np.array(
+    [
+        [92682, 92682, 92682, 92682, 92682, 92682, 92682, 92682],
+        [128553, 108982, 72820, 25571, -25571, -72820, -108982, -128553],
+        [121095, 50159, -50159, -121095, -121095, -50159, 50159, 121095],
+        [108982, -25571, -128553, -72820, 72820, 128553, 25571, -108982],
+        [92682, -92682, -92682, 92682, 92682, -92682, -92682, 92682],
+        [72820, -128553, 25571, 108982, -108982, -25571, 128553, -72820],
+        [50159, -121095, 121095, -50159, -50159, 121095, -121095, 50159],
+        [25571, -72820, 108982, -128553, 128553, -108982, 72820, -25571],
+    ],
+    dtype=np.int64,
+)
+# Float view only for magnitude documentation; all arithmetic uses _C_INT.
+_C = _C_INT.astype(np.float64) / (1 << _DCT_SHIFT)
 
 
 def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
-    """(N, 8, 8) coefficient blocks → (N, 8, 8) spatial, vectorized."""
-    return np.einsum("ki,nkl,lj->nij", _C, blocks, _C, optimize=True)
+    """(N, 8, 8) integer-valued coefficient blocks → (N, 8, 8) spatial.
+
+    Exact int64 contraction: |coef| ≤ 2047·255 < 2**19 (12-bit symbol ×
+    quant entry), so stage 1 ≤ 2**19·2**18·8 = 2**40 and stage 2 ≤
+    2**40·2**18·8 = 2**61 < 2**63 — no overflow; the only rounding is
+    the single correctly-rounded float64 descale at the end."""
+    b = np.asarray(blocks)
+    bi = b.astype(np.int64) if b.dtype != np.int64 else b
+    t = np.einsum("nkl,lj->nkj", bi, _C_INT)
+    u = np.einsum("ki,nkj->nij", _C_INT, t)
+    return u.astype(np.float64) * 2.0 ** (-2 * _DCT_SHIFT)
+
+
+#: Encoder-side prescale: spatial samples are quantized to 2**-10 before
+#: the integer DCT (they are integers for grayscale input but YCbCr
+#: floats for color). Error ≤ 2**-11 per sample — invisible next to the
+#: quantization table — and the bound chain stays in int64:
+#: |sample−128|·2**10 ≤ 2**17 → stage 1 ≤ 2**17·2**18·8 = 2**38 →
+#: stage 2 ≤ 2**38·2**18·8 = 2**59.
+_DCT_PRESHIFT = 10
 
 
 def _dct_blocks(blocks: np.ndarray) -> np.ndarray:
-    return np.einsum("ik,nkl,jl->nij", _C, blocks, _C, optimize=True)
+    bi = np.round(np.asarray(blocks) * (1 << _DCT_PRESHIFT)).astype(np.int64)
+    t = np.einsum("nkl,jl->nkj", bi, _C_INT)
+    u = np.einsum("ik,nkj->nij", _C_INT, t)
+    return u.astype(np.float64) * 2.0 ** (
+        -2 * _DCT_SHIFT - _DCT_PRESHIFT
+    )
 
 
 # ---------------------------------------------------------------------------

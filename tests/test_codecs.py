@@ -73,6 +73,27 @@ class TestJpeg:
         yy, xx = np.mgrid[0:h, 0:w]
         return ((yy * 3 + xx * 2) % 256).astype(np.uint8)
 
+    def test_fixed_point_dct_table_matches_cosines(self):
+        """The hardcoded int64 DCT basis must be the correct rounding of
+        the orthonormal cosine basis at scale 2**18, with every entry
+        comfortably far from a rounding tie — so the table can never be
+        silently wrong AND never depends on a host libm's last ulp."""
+        import math
+
+        from braintumor_data_pipeline_spark.sources.jpeg import (
+            _C_INT,
+            _DCT_SHIFT,
+        )
+
+        scale = 1 << _DCT_SHIFT
+        for k in range(8):
+            norm = 0.5 if k else math.sqrt(0.125)
+            for n in range(8):
+                v = math.cos(math.pi * (2 * n + 1) * k / 16.0) * norm * scale
+                assert int(_C_INT[k, n]) == round(v)
+                tie_dist = abs(abs(v) % 1.0 - 0.5)
+                assert tie_dist > 1e-4, (k, n, v)
+
     def test_flat_image_roundtrips_exactly(self):
         from braintumor_data_pipeline_spark.sources.jpeg import (
             decode_jpeg,
