@@ -325,7 +325,9 @@ PRIORITY: tuple[str, ...] = (
     "grouped_exact_median",           # analytics
     "dummy_gt_dice",                  # imaging_udf (pinned sf0.01 oracle)
     "cuped_adjusted_uplift",          # experiments
-    "text_quality_score",             # text
+    "gopher_quality_gates",           # text (r8-new: the new-query
+    # invariant outranks the original text pick; text_quality_score —
+    # also never-checked — defers to r9)
     "dsir_importance_weights",        # llm_pipeline (r7-new)
     "local_clustering_coefficient",   # graph
     "copurchase_kcore",               # graph_twins

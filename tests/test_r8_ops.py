@@ -116,3 +116,44 @@ def test_kcenter_persist_chain_unpersists(spark, sf_dir):
     _run(spark, sf_dir, "kcenter_coreset_select")
     after = jsc.getPersistentRDDs().size()
     assert after <= before + 1  # at most the base q lingers until GC
+
+
+def test_gopher_gates_hand_computed(spark):
+    """Rule semantics pinned on crafted docs where each gate's outcome
+    is known by hand: a 60-word prose doc passes everything; a 10-word
+    doc fails word_count; a bullet-only doc fails bullet_lines; a
+    symbol-heavy doc fails symbol_word_ratio; a stopword-free doc
+    fails stopword_presence."""
+    import pandas as pd
+
+    from braintumor_data_pipeline_spark.operators.text import (
+        gopher_quality_gates,
+    )
+
+    prose = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that is it"] * 5
+    )  # 60 words, all alpha, stopwords present, mean word len in band
+    short = "to be or not to be that is the question"  # 10 words
+    bullets = "\n".join(["- item one of the list"] * 4)  # 4/4 bullet lines
+    symbols = " ".join(["###"] * 20) + " the of and that be"  # 20 hashes×3
+    nostop = " ".join(["zebra quartz jumps lynx"] * 15)  # 60 words, 0 stop
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [prose, short, bullets, symbols, nostop],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["rule"]: r["n_pass"]
+            for r in gopher_quality_gates(spark, d).collect()
+        }
+    assert rows["word_count"] == 2  # prose + nostop (60 words each)
+    assert rows["stopword_presence"] == 4  # all but the stopword-free doc
+    assert rows["bullet_lines"] == 4  # only the all-bullet doc fails
+    assert rows["symbol_word_ratio"] == 4  # only the hash-heavy doc fails
+    assert rows["all_gates"] == 1  # prose alone survives everything
