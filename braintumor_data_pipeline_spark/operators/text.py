@@ -1425,3 +1425,247 @@ def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+#: Gopher repetition-filter n-gram orders (Rae et al. 2021 App. A.1.2):
+#: top-n-gram character fraction for n=2,3,4; duplicated-n-gram mass for
+#: n=5 and n=10 (the paper's endpoints of its 5..10 band). Thresholds are
+#: the published constants, applied as exact integer cross-products.
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 10)
+
+
+@register(
+    "gopher_repetition_filters",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    units AS (
+      SELECT doc_id, 'L' AS kind, u.u AS unit
+      FROM d, unnest(string_split(text, chr(10))) AS u(u)
+      UNION ALL
+      SELECT doc_id, 'P', u.u
+      FROM d, unnest(string_split(text, chr(10) || chr(10))) AS u(u)
+      UNION ALL
+      SELECT doc_id, CAST(ns.n AS VARCHAR),
+             array_to_string(list_slice(w, t.i + 1, t.i + ns.n), ' ')
+      FROM d, (VALUES (2), (3), (4), (5), (10)) AS ns(n),
+           unnest(range(greatest(len(w) - ns.n + 1, 0))) AS t(i)
+    ),
+    counts AS (
+      SELECT doc_id, kind, unit, count(*) AS c, length(unit) AS ulen
+      FROM units GROUP BY doc_id, kind, unit
+    ),
+    per AS (
+      SELECT doc_id, kind,
+             sum(c) AS tot_occ, count(*) AS n_dist,
+             sum(c * ulen) AS char_tot,
+             sum(CASE WHEN c > 1 THEN (c - 1) * ulen ELSE 0 END)
+               AS char_dup,
+             sum(CASE WHEN c > 1 THEN c * ulen ELSE 0 END) AS dup_mass,
+             max(c * ulen) AS top_mass
+      FROM counts GROUP BY doc_id, kind
+    ),
+    wide AS (
+      SELECT doc_id,
+        max(CASE WHEN kind = 'L' THEN tot_occ END) AS tot_l,
+        max(CASE WHEN kind = 'L' THEN n_dist END) AS dist_l,
+        max(CASE WHEN kind = 'L' THEN char_tot END) AS ctot_l,
+        max(CASE WHEN kind = 'L' THEN char_dup END) AS cdup_l,
+        max(CASE WHEN kind = 'P' THEN tot_occ END) AS tot_p,
+        max(CASE WHEN kind = 'P' THEN n_dist END) AS dist_p,
+        max(CASE WHEN kind = 'P' THEN char_tot END) AS ctot_p,
+        max(CASE WHEN kind = 'P' THEN char_dup END) AS cdup_p,
+        coalesce(max(CASE WHEN kind = '2' THEN char_tot END), 0) AS ctot_2,
+        coalesce(max(CASE WHEN kind = '2' THEN top_mass END), 0) AS top_2,
+        coalesce(max(CASE WHEN kind = '3' THEN char_tot END), 0) AS ctot_3,
+        coalesce(max(CASE WHEN kind = '3' THEN top_mass END), 0) AS top_3,
+        coalesce(max(CASE WHEN kind = '4' THEN char_tot END), 0) AS ctot_4,
+        coalesce(max(CASE WHEN kind = '4' THEN top_mass END), 0) AS top_4,
+        coalesce(max(CASE WHEN kind = '5' THEN char_tot END), 0) AS ctot_5,
+        coalesce(max(CASE WHEN kind = '5' THEN dup_mass END), 0) AS dup_5,
+        coalesce(max(CASE WHEN kind = '10' THEN char_tot END), 0)
+          AS ctot_10,
+        coalesce(max(CASE WHEN kind = '10' THEN dup_mass END), 0)
+          AS dup_10
+      FROM per GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      round((tot_l - dist_l) * 1.0 / tot_l, 6) AS dup_line_frac,
+      CASE WHEN ctot_l > 0
+           THEN round(cdup_l * 1.0 / ctot_l, 6) ELSE 0.0
+      END AS dup_line_char_frac,
+      round((tot_p - dist_p) * 1.0 / tot_p, 6) AS dup_para_frac,
+      CASE WHEN ctot_p > 0
+           THEN round(cdup_p * 1.0 / ctot_p, 6) ELSE 0.0
+      END AS dup_para_char_frac,
+      CASE WHEN ctot_2 > 0
+           THEN round(top_2 * 1.0 / ctot_2, 6) ELSE 0.0
+      END AS top2_char_frac,
+      CASE WHEN ctot_3 > 0
+           THEN round(top_3 * 1.0 / ctot_3, 6) ELSE 0.0
+      END AS top3_char_frac,
+      CASE WHEN ctot_4 > 0
+           THEN round(top_4 * 1.0 / ctot_4, 6) ELSE 0.0
+      END AS top4_char_frac,
+      CASE WHEN ctot_5 > 0
+           THEN round(dup_5 * 1.0 / ctot_5, 6) ELSE 0.0
+      END AS dup5_char_frac,
+      CASE WHEN ctot_10 > 0
+           THEN round(dup_10 * 1.0 / ctot_10, 6) ELSE 0.0
+      END AS dup10_char_frac,
+      (CAST(10 * (tot_l - dist_l) <= 3 * tot_l AS BIGINT)
+       + CAST(10 * cdup_l <= 2 * ctot_l AS BIGINT)
+       + CAST(10 * (tot_p - dist_p) <= 3 * tot_p AS BIGINT)
+       + CAST(10 * cdup_p <= 2 * ctot_p AS BIGINT)
+       + CAST(5 * top_2 <= ctot_2 AS BIGINT)
+       + CAST(50 * top_3 <= 9 * ctot_3 AS BIGINT)
+       + CAST(25 * top_4 <= 4 * ctot_4 AS BIGINT)
+       + CAST(20 * dup_5 <= 3 * ctot_5 AS BIGINT)
+       + CAST(10 * dup_10 <= ctot_10 AS BIGINT)) AS gates_passed
+    FROM wide
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "llm", "dedup", "agg"),
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition filters (Rae et al. 2021 App.
+    A.1.2) per document: duplicate line / paragraph fraction (occurrence
+    and character-mass forms), top-n-gram character fraction (n=2,3,4)
+    and duplicated-n-gram character-mass fraction (n=5,10), plus the
+    count of the 9 published gates the document passes.
+
+    Two documented exact-integer variants of the paper's prose (chosen
+    so both engines agree bit-for-bit with no position-marking pass):
+    the "top n-gram" statistic is max over grams of count·len — the
+    maximum single-gram character mass, a deterministic strengthening
+    of argmax-by-count that needs no tie-break — and the duplicated
+    mass counts every occurrence of a gram with count > 1 against the
+    total n-gram mass Σ count·len for that n, so the ratio is bounded
+    in [0, 1] without the overlap-dedup position scan.
+
+    Scale shape: ONE generated-column explode produces every unit
+    stream (lines, paragraphs, and all five n-gram orders as (kind,
+    unit) structs built JVM-side from a single split — no UDF, no
+    second scan), so the shuffle is one exchange keyed (doc_id, kind,
+    unit) whose volume is ~6× token count; the two-level aggregate
+    combines map-side, and the final per-doc pivot is a conditional
+    aggregation over ≤ 8 rows per doc. At 100 TB this is the same
+    scan-and-count shape as the minhash signature stage — no pair
+    enumeration, no skew (keys are salted by the doc itself)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = _tokens()
+    u_struct = "array<struct<kind:string,unit:string>>"
+
+    def unit_stream(kind: str, arr):
+        return F.transform(
+            arr,
+            lambda u: F.struct(
+                F.lit(kind).alias("kind"), u.alias("unit")
+            ),
+        )
+
+    def gram_stream(n: int):
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.struct(
+                    F.lit(str(n)).alias("kind"),
+                    F.concat_ws(" ", F.slice(w, i + 1, n)).alias("unit"),
+                ),
+            ),
+        ).otherwise(F.array().cast(u_struct))
+
+    units = F.flatten(
+        F.array(
+            unit_stream("L", F.split(F.col("text"), "\n")),
+            unit_stream("P", F.split(F.col("text"), "\n\n")),
+            *[gram_stream(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS],
+        )
+    )
+    counts = (
+        d.select("doc_id", F.explode(units).alias("u"))
+        .select("doc_id", F.col("u.kind").alias("kind"),
+                F.col("u.unit").alias("unit"))
+        .groupBy("doc_id", "kind", "unit")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ulen", F.length("unit").cast("long"))
+    )
+    per = counts.groupBy("doc_id", "kind").agg(
+        F.sum("c").alias("tot_occ"),
+        F.count("*").alias("n_dist"),
+        F.sum(F.col("c") * F.col("ulen")).alias("char_tot"),
+        F.sum(
+            F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("ulen"))
+            .otherwise(F.lit(0))
+        ).alias("char_dup"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.col("ulen"))
+            .otherwise(F.lit(0))
+        ).alias("dup_mass"),
+        F.max(F.col("c") * F.col("ulen")).alias("top_mass"),
+    )
+
+    def pick(kind: str, col: str, default=None):
+        v = F.max(F.when(F.col("kind") == kind, F.col(col)))
+        return F.coalesce(v, F.lit(default)) if default is not None else v
+
+    wide = per.groupBy("doc_id").agg(
+        pick("L", "tot_occ").alias("tot_l"),
+        pick("L", "n_dist").alias("dist_l"),
+        pick("L", "char_tot").alias("ctot_l"),
+        pick("L", "char_dup").alias("cdup_l"),
+        pick("P", "tot_occ").alias("tot_p"),
+        pick("P", "n_dist").alias("dist_p"),
+        pick("P", "char_tot").alias("ctot_p"),
+        pick("P", "char_dup").alias("cdup_p"),
+        pick("2", "char_tot", 0).alias("ctot_2"),
+        pick("2", "top_mass", 0).alias("top_2"),
+        pick("3", "char_tot", 0).alias("ctot_3"),
+        pick("3", "top_mass", 0).alias("top_3"),
+        pick("4", "char_tot", 0).alias("ctot_4"),
+        pick("4", "top_mass", 0).alias("top_4"),
+        pick("5", "char_tot", 0).alias("ctot_5"),
+        pick("5", "dup_mass", 0).alias("dup_5"),
+        pick("10", "char_tot", 0).alias("ctot_10"),
+        pick("10", "dup_mass", 0).alias("dup_10"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.round(num * F.lit(1.0) / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    def gate(lhs, rhs):
+        return (lhs <= rhs).cast("long")
+
+    c = F.col
+    return wide.select(
+        c("doc_id").cast("long").alias("doc_id"),
+        F.round(
+            (c("tot_l") - c("dist_l")) * F.lit(1.0) / c("tot_l"), 6
+        ).alias("dup_line_frac"),
+        frac(c("cdup_l"), c("ctot_l")).alias("dup_line_char_frac"),
+        F.round(
+            (c("tot_p") - c("dist_p")) * F.lit(1.0) / c("tot_p"), 6
+        ).alias("dup_para_frac"),
+        frac(c("cdup_p"), c("ctot_p")).alias("dup_para_char_frac"),
+        frac(c("top_2"), c("ctot_2")).alias("top2_char_frac"),
+        frac(c("top_3"), c("ctot_3")).alias("top3_char_frac"),
+        frac(c("top_4"), c("ctot_4")).alias("top4_char_frac"),
+        frac(c("dup_5"), c("ctot_5")).alias("dup5_char_frac"),
+        frac(c("dup_10"), c("ctot_10")).alias("dup10_char_frac"),
+        (
+            gate(10 * (c("tot_l") - c("dist_l")), 3 * c("tot_l"))
+            + gate(10 * c("cdup_l"), 2 * c("ctot_l"))
+            + gate(10 * (c("tot_p") - c("dist_p")), 3 * c("tot_p"))
+            + gate(10 * c("cdup_p"), 2 * c("ctot_p"))
+            + gate(5 * c("top_2"), c("ctot_2"))
+            + gate(50 * c("top_3"), 9 * c("ctot_3"))
+            + gate(25 * c("top_4"), 4 * c("ctot_4"))
+            + gate(20 * c("dup_5"), 3 * c("ctot_5"))
+            + gate(10 * c("dup_10"), c("ctot_10"))
+        ).alias("gates_passed"),
+    ).orderBy("doc_id")
