@@ -272,7 +272,14 @@ DRIVER_WINDOW = 50
 #: the fixed-point integer DCT rewrite (sources/jpeg.py, cross-box BLAS
 #: determinism incident) re-pinned the video golden, and the
 #: changed-formulation invariant outranks the original pick. Both were
-#: never-driver-checked, so the first-time count is unchanged.
+#: never-driver-checked, so the first-time count is unchanged. The text
+#: slot likewise flips to the r8-new gopher_quality_gates. The other
+#: late-r8 additions (gopher_repetition_filters) defer to r9 alongside
+#: audio_spectral_bands and text_quality_score: every multi-rep module
+#: slot is VERDICT-mandated (the five r7-new LLM operators, the capped
+#: LSH pair query, the judge's named similarity picks) or a locked
+#: bench headliner, and new-query entry is a priority rule — only
+#: CHANGED formulations require same-round re-entry.
 #: The nine r6/r7 blocked-helper callers (rfm_segments,
 #: decile_lift_table, time_to_conversion_stats, top_orders_with_ties,
 #: hybrid_rrf_fusion_topk, embedding_norm_outliers,
