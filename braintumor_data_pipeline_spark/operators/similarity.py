@@ -3376,3 +3376,191 @@ def _kcenter_loop(
             prev, mind = mind, nxt_mind
     mind.unpersist()
     return selected, walls
+
+
+# --- k-means (Lloyd) replay: exact cross-engine iterations -----------------
+#
+# Centroids are never divided: each is the exact integer rational
+# (sv, n) = (Σ member micro-vectors, member count), so the squared
+# distance point→centroid is Σ_d (qv_d·n − sv_d)² / (n²·10¹²) — every
+# (qv_d·n − sv_d) is an exact integer below 2^53, the square and the
+# FIXED-ORDER left fold are the same correctly-rounded double ops on
+# both engines, and the assignment argmin (dist, then cid) is therefore
+# bit-identical. Same doctrine as label_centroid_distances.
+KMEANS_K = 8
+KMEANS_T = 3  # assignment rounds (centroids update after rounds 1..T-1)
+_KM_SCALE = 1000000  # micro-units per embedding component
+
+_KM_DIST_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(p.qv, c.sv),"
+    " z -> (CAST(z[1] AS DOUBLE) * c.n - CAST(z[2] AS DOUBLE))"
+    " * (CAST(z[1] AS DOUBLE) * c.n - CAST(z[2] AS DOUBLE)))),"
+    " (acc, x) -> acc + x)"
+    " / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE) * 1000000000000.0)"
+)
+
+
+def _km_oracle() -> str:
+    """Unrolled KMEANS_T-iteration Lloyd replay (training-replay oracle
+    doctrine): assignment CTE per round, centroid-update CTE between
+    rounds with empty-cluster carry-forward."""
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    c1 AS (
+      SELECT vec_id AS cid, qv AS sv, CAST(1 AS BIGINT) AS n
+      FROM pts WHERE vec_id < {KMEANS_K}
+    )"""
+    ]
+    for t in range(1, KMEANS_T + 1):
+        parts.append(f""",
+    a{t} AS (
+      SELECT vec_id, cid, qv, dist FROM (
+        SELECT vec_id, cid, qv, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM (
+          SELECT p.vec_id, c.cid, p.qv, {_KM_DIST_SQL} AS dist
+          FROM pts p CROSS JOIN c{t} c))
+      WHERE rk = 1
+    )""")
+        if t < KMEANS_T:
+            parts.append(f""",
+    u{t} AS (
+      SELECT s.cid, list(s.s ORDER BY s.dim) AS sv, max(s.c) AS n FROM (
+        SELECT cid, g.dim, sum(qv[g.dim + 1]) AS s, count(*) AS c
+        FROM a{t}, LATERAL (SELECT unnest(range(len(qv))) AS dim) AS g(dim)
+        GROUP BY cid, g.dim) s
+      GROUP BY s.cid
+    ),
+    c{t + 1} AS (
+      SELECT c.cid, coalesce(u.sv, c.sv) AS sv, coalesce(u.n, c.n) AS n
+      FROM c{t} c LEFT JOIN u{t} u ON u.cid = c.cid
+    )""")
+    parts.append(f"""
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(round(dist, 6) AS DECIMAL(38, 6)))
+                      AS DOUBLE), 6) AS inertia
+    FROM a{KMEANS_T}
+    GROUP BY cid ORDER BY cid
+    """)
+    return "".join(parts)
+
+
+@register(
+    "kmeans_lloyd_replay",
+    oracle=_km_oracle(),
+    tags=("similarity", "embedding", "iterative", "llm", "agg"),
+)
+def kmeans_lloyd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the
+    clustering stage every embedding-curation pipeline runs before
+    cluster-local work (SemDeDup partitions, coreset strata, IVF
+    training): K={KMEANS_K} seeds = the first K vectors, T={KMEANS_T}
+    assignment rounds with centroid updates between, reporting per
+    final cluster its size and DECIMAL-exact inertia.
+
+    Exactness: components quantize to integer micro-units; a centroid
+    is carried as the exact rational (Σ-vector, count) so no mean is
+    ever rounded; per-round assignment distances fold (qv_d·n − s_d)²
+    over dims in fixed order (all values exact below 2^53 before the
+    one square+fold), making argmin — and hence every subsequent
+    round — bit-identical on both engines. Inertia sums per-point
+    distances as DECIMAL(38,6) (order-free), the DSIR doctrine.
+
+    Scale shape: per round, ONE scan of the corpus with K broadcast
+    centroid literals folded JVM-side (no join, no UDF) plus one
+    K×(dim+1)-cell aggregate with map-side combine; driver state is
+    the K×dim integer centroid table (the documented bounded-model
+    collect, same class as BPE merges / k-center cursor). At 100 TB
+    this is textbook broadcast-Lloyd: cost T scans, shuffle K·dim
+    cells per partition, skew-free."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * _KM_SCALE + 0.5
+            ).cast("long"),
+        ).alias("qv"),
+    )
+    seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
+    cents = sorted(
+        (int(r.vec_id), [int(v) for v in r.qv], 1) for r in seeds
+    )
+    dim = len(cents[0][1])
+
+    assigned = None
+    for t in range(KMEANS_T):
+        structs = []
+        for cid, sv, n in cents:
+            svc = F.array(*[F.lit(v) for v in sv])
+            nd = F.lit(float(n))
+            def _term(x, y, _nd=nd):
+                d = x.cast("double") * _nd - y.cast("double")
+                return d * d
+
+            term = F.zip_with("qv", svc, lambda x, y: _term(x, y))
+            dist = F.aggregate(
+                term, F.lit(0.0), lambda acc, v: acc + v
+            ) / (nd * nd * F.lit(1.0e12))
+            structs.append(
+                F.struct(dist.alias("dist"), F.lit(cid).alias("cid"))
+            )
+        best = F.array_min(F.array(*structs))
+        assigned = q.select(
+            "vec_id",
+            "qv",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+        if t < KMEANS_T - 1:
+            rows = (
+                assigned.groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("qv")[d]).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )  # bounded model state: K rows × (dim+2) ints
+            upd = {
+                int(r["cid"]): (
+                    [int(r[f"s{d}"]) for d in range(dim)],
+                    int(r["n"]),
+                )
+                for r in rows
+            }
+            cents = [
+                (cid, *(upd.get(cid, (sv, n))))
+                for cid, sv, n in cents
+            ]
+
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(
+                    F.round(F.col("dist"), 6).cast("decimal(38,6)")
+                ).cast("double"),
+                6,
+            ).alias("inertia"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "inertia",
+        )
+        .orderBy("cid")
+    )

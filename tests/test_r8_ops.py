@@ -203,3 +203,69 @@ def test_repetition_filters_hand_computed(spark):
     # thresholds presume long documents, which is exactly why the gate
     # count is reported per doc instead of applied as a hard filter.
     assert r0["gates_passed"] == 5
+
+
+def test_kmeans_lloyd_numpy_replay(spark, sf_dir):
+    """Independent replay: run the same quantized Lloyd iterations in
+    numpy (int64 micro-units, exact rational centroids, same argmin
+    tie-break) and require identical cluster sizes and inertia."""
+    import numpy as np
+
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_T,
+        _KM_SCALE,
+        kmeans_lloyd_replay,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    emb.sort(key=lambda r: r["vec_id"])
+    qv = np.array(
+        [
+            [int(np.floor(float(x) * _KM_SCALE + 0.5)) for x in r["embedding"]]
+            for r in emb
+        ],
+        dtype=np.int64,
+    )
+    sv = [qv[k].copy() for k in range(KMEANS_K)]
+    n = [1] * KMEANS_K
+    for t in range(KMEANS_T):
+        # dist_k = sum((qv*n_k - sv_k)^2) / (n_k^2 * 1e12), fold order
+        # irrelevant here because we only need argmin + exact ties
+        dists = np.stack(
+            [
+                ((qv * n[k] - sv[k][None, :]).astype(np.float64) ** 2).sum(
+                    axis=1
+                )
+                / (float(n[k]) * float(n[k]) * 1.0e12)
+                for k in range(KMEANS_K)
+            ],
+            axis=1,
+        )
+        assign = dists.argmin(axis=1)  # numpy argmin = first min = low cid
+        if t < KMEANS_T - 1:
+            for k in range(KMEANS_K):
+                m = assign == k
+                if m.any():
+                    sv[k] = qv[m].sum(axis=0)
+                    n[k] = int(m.sum())
+    final_dist = dists[np.arange(len(qv)), assign]
+    expect = {}
+    for k in range(KMEANS_K):
+        m = assign == k
+        if m.any():
+            inertia = float(np.sum(np.round(final_dist[m], 6)))
+            expect[k] = (int(m.sum()), round(inertia, 6))
+    got = {
+        int(r["cid"]): (int(r["n_members"]), float(r["inertia"]))
+        for r in kmeans_lloyd_replay(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], (k, got[k], expect[k])
+        assert abs(got[k][1] - expect[k][1]) < 1e-6, (k, got[k], expect[k])
