@@ -2385,3 +2385,67 @@ def memorization_max_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_run_frac"), F.desc("max_run_len"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "l_diversity_report",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket, source,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, len_bucket, source
+    )
+    SELECT lang, len_bucket,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS distinct_l,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy,
+           CAST(count(*) >= 3 AS BIGINT) AS meets_distinct_3
+    FROM cells
+    GROUP BY lang, len_bucket
+    ORDER BY lang, len_bucket
+    """,
+    tags=("privacy", "agg", "quality"),
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the middle tier of the release-gate trio
+    (``k_anonymity_report`` → this → ``t_closeness_report``): within
+    each quasi-identifier class (lang × 100-char length bucket, the
+    shared QI grid), how DIVERSE is the sensitive attribute (source)?
+    Reports distinct-l (the count of distinct sensitive values),
+    entropy l-diversity's entropy term ln(n) − Σ c·ln(c)/n (a class
+    satisfies entropy-l iff entropy ≥ ln(l)), and the distinct-l ≥ 3
+    gate. A k-anonymous class with l = 1 still leaks its members'
+    source outright — which is why k-anonymity alone is not a release
+    gate.
+
+    Arithmetic: counts are exact integers; the entropy is the one
+    float, assembled from the same integer ratios on both engines and
+    rounded at 6 (ln ulp noise ~1e-15 vs the 5e-7 grid — the accepted
+    class in SCALE.md's float-sensitivity audit). Shuffle profile: one
+    (QI × sensitive) partial-aggregable groupBy over the scan, then a
+    QI-grain re-aggregate — both bounded by the attribute domains, not
+    the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        F.expr("n_chars div 100").alias("len_bucket"),
+        "source",
+    ).agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    cd = F.col("c").cast("double")
+    return (
+        cells.groupBy("lang", "len_bucket")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("distinct_l"),
+            F.round(
+                F.log(n.cast("double"))
+                - F.sum(cd * F.log(cd)) / n.cast("double"),
+                6,
+            ).alias("entropy"),
+            (F.count("*") >= 3).cast("long").alias("meets_distinct_3"),
+        )
+        .orderBy("lang", "len_bucket")
+    )

@@ -274,8 +274,8 @@ DRIVER_WINDOW = 50
 #: changed-formulation invariant outranks the original pick. Both were
 #: never-driver-checked, so the first-time count is unchanged. The text
 #: slot likewise flips to the r8-new gopher_quality_gates. The other
-#: late-r8 additions (gopher_repetition_filters, kmeans_lloyd_replay)
-#: defer to r9 alongside
+#: late-r8 additions (gopher_repetition_filters, kmeans_lloyd_replay,
+#: l_diversity_report) defer to r9 alongside
 #: audio_spectral_bands and text_quality_score: every multi-rep module
 #: slot is VERDICT-mandated (the five r7-new LLM operators, the capped
 #: LSH pair query, the judge's named similarity picks) or a locked
