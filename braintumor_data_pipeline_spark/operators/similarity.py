@@ -3564,3 +3564,226 @@ def kmeans_lloyd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --- KNN-Shapley data valuation ------------------------------------
+#
+# Exact Shapley values for a K-NN classifier admit a closed-form
+# O(N log N) recursion (Jia et al., PVLDB 2019, "Efficient Task-
+# Specific Data Valuation for Nearest Neighbor Algorithms", Thm 1):
+# with train points sorted by distance to a test point (alpha_1
+# nearest of N),
+#
+#   s(alpha_N) = 1[y_N = y] / N
+#   s(alpha_i) = s(alpha_{i+1})
+#              + (1[y_i = y] - 1[y_{i+1} = y]) / K * min(K, i) / i
+#
+# i.e. a SUFFIX SUM of per-rank terms. We evaluate it per test point
+# over the SHAP_M nearest neighbors (the contribution of rank i decays
+# as 1/i, and at 100 TB nobody ranks the full corpus per probe — the
+# top-M cut is the standard truncation, and makes the statistic
+# exactly "Shapley for the K-NN classifier over the M retrieved
+# neighbors"). Every term is made INTEGRAL by scaling with
+# SHAP_L = lcm(1..SHAP_M): for i < K the term is diff*(L/K), for
+# K <= i < M it is diff*(L/i) (the min(K,i)=K cancels), and the base
+# term is eq_M*(L/M_eff) — so the suffix sum, the per-train-point
+# total, and the hash are exact integers; only the final display mean
+# divides once into a rounded double.
+SHAP_Q = 40       # test probes: vec_id < 40
+SHAP_M = 24       # neighbors ranked per probe
+SHAP_K = 5        # the K of the K-NN classifier being valued
+SHAP_L = 5354228880  # lcm(1..24) — makes every recursion term integral
+
+
+@register(
+    "knn_shapley_data_values",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlab
+      FROM embeddings WHERE vec_id < {SHAP_Q}
+    ),
+    tr AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS tv,
+             label AS tlab
+      FROM embeddings WHERE vec_id >= {SHAP_Q}
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             CASE WHEN tlab = qlab THEN 1 ELSE 0 END AS eq,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(list_cosine_similarity(qv, tv), 4) DESC,
+                        nid
+             ) AS rnk
+      FROM q, tr
+      QUALIFY rnk <= {SHAP_M}
+    ),
+    terms AS (
+      SELECT qid, nid, eq, rnk,
+             max(rnk) OVER (PARTITION BY qid) AS m_eff,
+             lead(eq) OVER (PARTITION BY qid ORDER BY rnk) AS eq_next
+      FROM ranked
+    ),
+    t AS (
+      SELECT qid, nid, eq, rnk,
+             CASE
+               WHEN rnk = m_eff THEN eq * ({SHAP_L} // m_eff)
+               WHEN rnk < {SHAP_K}
+                 THEN (eq - eq_next) * {SHAP_L // SHAP_K}
+               ELSE (eq - eq_next) * ({SHAP_L} // rnk)
+             END AS term
+      FROM terms
+    ),
+    s AS (
+      SELECT qid, nid, eq,
+             sum(term) OVER (
+               PARTITION BY qid ORDER BY rnk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS sv
+      FROM t
+    )
+    SELECT CAST(nid AS BIGINT) AS nid,
+           CAST(sum(sv) AS BIGINT) AS shapley_scaled,
+           CAST(count(*) AS BIGINT) AS n_appearances,
+           CAST(sum(eq) AS BIGINT) AS n_same_label,
+           round(CAST(sum(sv) AS DOUBLE)
+                 / ({SHAP_L}.0 * {SHAP_Q}), 6) AS mean_value
+    FROM s GROUP BY nid
+    ORDER BY shapley_scaled DESC, nid
+    LIMIT 20
+    """,
+    tags=("similarity", "llm", "curation", "valuation", "window"),
+)
+def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-Shapley data valuation: which TRAINING vectors are worth the
+    most to a K-NN classifier, exactly (closed form, module comment
+    above) — the data-cleaning / data-selection primitive for LLM
+    pipelines (high-value points are keepers; negative-value points are
+    mislabeled or harmful and get pruned). vec_id < SHAP_Q are the test
+    probes; the rest are the training pool; each probe ranks its
+    SHAP_M nearest by (round(cos,4) DESC, nid), the recursion terms are
+    SHAP_L-scaled exact integers, the per-probe value is a suffix sum,
+    and per-train totals aggregate across probes. Top-20 by scaled
+    value.
+
+    Scale shape: the probe block (SHAP_Q x dim, model-state scale)
+    rides in the task closure exactly like ``knn_bruteforce_cosine``;
+    each Arrow batch emits only its LOCAL top-M per probe, the global
+    resolve window sees <= M*Q*n_batches candidate rows, the suffix sum
+    is a per-probe window over M rows, and the final groupBy is
+    map-side combinable on integer values. Nothing quadratic leaves an
+    executor; the ranking pass is one matmul per batch."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    vec = e.select(
+        "vec_id", "label", v.alias("v"), _norm(v).alias("nrm")
+    )
+    qrows = (
+        vec.filter(F.col("vec_id") < SHAP_Q)
+        .select("vec_id", "label", "v", "nrm")
+        .collect()
+    )  # bounded: SHAP_Q rows x dim floats — model-state scale
+    qid_arr = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlab = np.array([r.label for r in qrows], dtype=np.int64)
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)
+    qn = np.array([r.nrm for r in qrows], dtype=np.float64)
+
+    def local_topm(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["nid"].to_numpy()
+            tlab = pdf["tlab"].to_numpy()
+            bmat = np.stack(pdf["bv"].to_numpy()).astype(np.float64)
+            bn = pdf["bn"].to_numpy()
+            sims = np.round((bmat @ qmat.T) / np.outer(bn, qn), 4)
+            out = []
+            for j in range(len(qid_arr)):
+                s = sims[:, j]
+                order = np.lexsort((nid, -s))[:SHAP_M]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qid_arr[j]),
+                            "nid": nid[order],
+                            "sim": s[order],
+                            "eq": (tlab[order] == qlab[j]).astype(
+                                np.int32
+                            ),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cands = (
+        vec.filter(F.col("vec_id") >= SHAP_Q)
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("tlab"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
+        .mapInPandas(
+            local_topm, schema="qid long, nid long, sim double, eq int"
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    ranked = (
+        cands.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SHAP_M)
+    )
+    w_all = Window.partitionBy("qid")
+    w_ord = Window.partitionBy("qid").orderBy("rnk")
+    terms = ranked.withColumn(
+        "m_eff", F.max("rnk").over(w_all)
+    ).withColumn("eq_next", F.lead("eq").over(w_ord))
+    t = terms.withColumn(
+        "term",
+        F.when(
+            F.col("rnk") == F.col("m_eff"),
+            F.col("eq")
+            * (F.lit(SHAP_L).cast("long") / F.col("m_eff")).cast("long"),
+        )
+        .when(
+            F.col("rnk") < SHAP_K,
+            (F.col("eq") - F.col("eq_next"))
+            * F.lit(SHAP_L // SHAP_K),
+        )
+        .otherwise(
+            (F.col("eq") - F.col("eq_next"))
+            * (F.lit(SHAP_L).cast("long") / F.col("rnk")).cast("long")
+        ),
+    )
+    w_suffix = (
+        Window.partitionBy("qid")
+        .orderBy("rnk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    s = t.withColumn("sv", F.sum("term").over(w_suffix))
+    return (
+        s.groupBy("nid")
+        .agg(
+            F.sum("sv").cast("long").alias("shapley_scaled"),
+            F.count("*").cast("long").alias("n_appearances"),
+            F.sum("eq").cast("long").alias("n_same_label"),
+        )
+        .select(
+            F.col("nid").cast("long").alias("nid"),
+            "shapley_scaled",
+            "n_appearances",
+            "n_same_label",
+            F.round(
+                F.col("shapley_scaled").cast("double")
+                / F.lit(float(SHAP_L) * SHAP_Q),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy(F.desc("shapley_scaled"), "nid")
+        .limit(20)
+    )

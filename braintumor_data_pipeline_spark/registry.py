@@ -429,6 +429,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         relational,
         analytics,
+        basket,
         bucketed,
         text,
         dedup,
