@@ -5222,3 +5222,340 @@ def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+#: The fixture's closed event-type vocabulary, in fixed textual order.
+#: The ANOVA oracle and the Spark plan both reduce each group to exact
+#: integer moments and then combine them in THIS literal order, so the
+#: non-associative double additions happen in an identical sequence on
+#: both engines (the 2-arm version of this trick is ab_welch_t's wide
+#: CASE pivot; with 5 groups a data-ordered sum() could differ by 1 ulp).
+_ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _anova_wide_sql() -> str:
+    cols = []
+    for t in _ANOVA_TYPES:
+        for m in ("n", "s1", "s2"):
+            cols.append(
+                f"max(CASE WHEN event_type = '{t}' THEN {m} END) AS {m}_{t}"
+            )
+    return ",\n             ".join(cols)
+
+
+def _sum_terms(expr: str) -> str:
+    """Left-fold ``expr`` instantiated per type: ((((a+b)+c)+d)+e)."""
+    terms = [expr.format(t=t) for t in _ANOVA_TYPES]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@register(
+    "anova_f_event_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM cents GROUP BY event_type
+    ),
+    wide AS (
+      SELECT {_anova_wide_sql()}
+      FROM s
+    ),
+    calc AS (
+      SELECT
+        {_sum_terms("n_{t}")} AS n_total,
+        {_sum_terms("CAST(s1_{t} AS DOUBLE)")} AS s_total,
+        {_sum_terms("CAST(s2_{t} AS DOUBLE)")} AS q_total,
+        {_sum_terms("CAST(s1_{t} AS DOUBLE) * s1_{t} / n_{t}")} AS sb_raw
+      FROM wide
+    )
+    SELECT CAST(5 AS INT) AS k_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           round((sb_raw - s_total * s_total / n_total) / 10000, 6)
+             AS ss_between,
+           round((q_total - sb_raw) / 10000, 6) AS ss_within,
+           round(((sb_raw - s_total * s_total / n_total) / (5 - 1))
+                 / ((q_total - sb_raw) / (n_total - 5)), 6) AS f_stat
+    FROM calc
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def anova_f_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for event value across the five event
+    types — the k-group generalization of ab_welch_t (SURVEY §2.7 stats
+    family). Distributed shape: one groupBy reduces each group to exact
+    integer cents moments (n, Σc, Σc²) — O(1) mergeable state per
+    executor — then a 5-row conditional pivot feeds the float algebra
+    once, in the fixed _ANOVA_TYPES fold order, so the oracle's doubles
+    are bit-identical. SS terms are reported in dollars² (/10000)."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    s = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    aggs = []
+    for t in _ANOVA_TYPES:
+        for m in ("n", "s1", "s2"):
+            aggs.append(
+                F.max(
+                    F.when(F.col("event_type") == t, F.col(m))
+                ).alias(f"{m}_{t}")
+            )
+    wide = s.agg(*aggs)
+
+    def fold(fmt):
+        out = fmt(_ANOVA_TYPES[0])
+        for t in _ANOVA_TYPES[1:]:
+            out = out + fmt(t)
+        return out
+
+    n_total = fold(lambda t: F.col(f"n_{t}"))
+    s_total = fold(lambda t: F.col(f"s1_{t}").cast("double"))
+    q_total = fold(lambda t: F.col(f"s2_{t}").cast("double"))
+    sb_raw = fold(
+        lambda t: F.col(f"s1_{t}").cast("double")
+        * F.col(f"s1_{t}")
+        / F.col(f"n_{t}")
+    )
+    calc = wide.select(
+        n_total.alias("n_total"),
+        s_total.alias("s_total"),
+        q_total.alias("q_total"),
+        sb_raw.alias("sb_raw"),
+    )
+    ssb = F.col("sb_raw") - F.col("s_total") * F.col("s_total") / F.col(
+        "n_total"
+    )
+    ssw = F.col("q_total") - F.col("sb_raw")
+    return calc.select(
+        F.lit(5).cast("int").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(ssb / 10000, 6).alias("ss_between"),
+        F.round(ssw / 10000, 6).alias("ss_within"),
+        F.round((ssb / (5 - 1)) / (ssw / (F.col("n_total") - 5)), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+#: SPRT (Wald 1945) design constants for the purchase-rate test
+#: H0: p = 0.15 vs H1: p = 0.25 at alpha = beta = 0.05. The four log
+#: constants are PRE-QUANTIZED literals (10 dp) embedded identically in
+#: the Spark plan and the oracle SQL, so the per-trial LLR is
+#: k*C1 + (n-k)*C2 — two exact-int×literal-double products and one
+#: double add, bit-identical on both engines with no ln() at runtime.
+_SPRT_C1 = 0.5108256238  # ln(p1/p0)        = ln(0.25/0.15)
+_SPRT_C2 = -0.125163143  # ln((1-p1)/(1-p0)) = ln(0.75/0.85)
+_SPRT_LNA = 2.9444389792  # ln((1-beta)/alpha) = ln(19)
+_SPRT_LNB = -2.9444389792  # ln(beta/(1-alpha)) = -ln(19)
+
+
+@register(
+    "sprt_purchase_rate",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             row_number() OVER w AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER w AS BIGINT) AS k
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT user_id, n, k,
+             k * {_SPRT_C1} + (n - k) * ({_SPRT_C2}) AS llr
+      FROM t
+    ),
+    crossed AS (
+      SELECT user_id,
+             CAST(min(n) AS BIGINT) AS n_at,
+             min_by(k, n) AS k_at,
+             min_by(CASE WHEN llr >= {_SPRT_LNA} THEN 'h1' ELSE 'h0' END, n)
+               AS decision
+      FROM scored
+      WHERE llr >= {_SPRT_LNA} OR llr <= {_SPRT_LNB}
+      GROUP BY user_id
+    ),
+    totals AS (
+      SELECT user_id, CAST(max(n) AS BIGINT) AS n_trials,
+             CAST(max(k) AS BIGINT) AS k_total
+      FROM scored GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_trials, t.k_total,
+           coalesce(c.decision, 'continue') AS decision,
+           c.n_at, c.k_at,
+           round(c.k_at * {_SPRT_C1} + (c.n_at - c.k_at) * ({_SPRT_C2}), 6)
+             AS llr_at
+    FROM totals t LEFT JOIN crossed c USING (user_id)
+    ORDER BY t.user_id
+    """,
+    tags=("experiment", "sequential", "window", "stats"),
+)
+def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per user: walk each
+    user's event stream in (ts, event_id) order, accumulate the
+    Bernoulli log-likelihood ratio for purchase-rate H1 p=0.25 vs H0
+    p=0.15, and report the FIRST boundary crossing (accept-H1 above
+    ln 19, accept-H0 below −ln 19) or 'continue' if the stream ends
+    in the indifference band — the early-stopping machinery sequential
+    A/B platforms run instead of fixed-horizon tests. Distributed
+    shape: one partitioned running window (single hash shuffle on
+    user_id), then a min_by first-crossing aggregation — no driver
+    loop, no iteration; the LLR is exact-integer (n, k) algebra against
+    four pre-quantized literal constants, so both engines produce
+    bit-identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    succ = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    t = e.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("n"),
+        F.sum(succ).over(w).cast("long").alias("k"),
+    )
+    llr = F.col("k") * _SPRT_C1 + (F.col("n") - F.col("k")) * _SPRT_C2
+    scored = t.select("user_id", "n", "k", llr.alias("llr"))
+    crossed = (
+        scored.filter(
+            (F.col("llr") >= _SPRT_LNA) | (F.col("llr") <= _SPRT_LNB)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("n_at"),
+            F.min_by("k", "n").alias("k_at"),
+            F.min_by(
+                F.when(F.col("llr") >= _SPRT_LNA, "h1").otherwise("h0"),
+                "n",
+            ).alias("decision"),
+        )
+    )
+    totals = scored.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_trials"),
+        F.max("k").cast("long").alias("k_total"),
+    )
+    return (
+        totals.join(crossed, "user_id", "left")
+        .select(
+            "user_id",
+            "n_trials",
+            "k_total",
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "n_at",
+            "k_at",
+            F.round(
+                F.col("k_at") * _SPRT_C1
+                + (F.col("n_at") - F.col("k_at")) * _SPRT_C2,
+                6,
+            ).alias("llr_at"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "simpsons_paradox_screen",
+    oracle="""
+    WITH xy AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT grp, count(*) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM xy GROUP BY grp
+    ),
+    o AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS n_all,
+             CAST(sum(sx) AS HUGEINT) AS sx_all,
+             CAST(sum(sy) AS HUGEINT) AS sy_all,
+             CAST(sum(sxy) AS HUGEINT) AS sxy_all
+      FROM s
+    )
+    SELECT s.grp AS returnflag,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(sign(s.n * s.sxy - s.sx * s.sy) AS INT) AS group_sign,
+           CAST(sign(o.n_all * o.sxy_all - o.sx_all * o.sy_all) AS INT)
+             AS overall_sign,
+           sign(s.n * s.sxy - s.sx * s.sy)
+             * sign(o.n_all * o.sxy_all - o.sx_all * o.sy_all) < 0
+             AS flipped
+    FROM s CROSS JOIN o
+    ORDER BY returnflag
+    """,
+    tags=("experiment", "agg", "stats", "quality"),
+)
+def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the SIGN of cov(quantity, price-cents)
+    computed overall and within each l_returnflag stratum, flagging
+    strata whose association direction contradicts the pooled one — the
+    aggregation-reversal audit any metrics platform should run before
+    publishing a pooled correlation. Exactness: covariance sign is the
+    sign of n·Σxy − Σx·Σy over integer-quantized columns, carried in
+    DECIMAL(38,0)/HUGEINT so the comparison is exact integer algebra —
+    no float covariance anywhere. Distributed shape: one map-side
+    combinable groupBy to 3 stratum moment rows, pooled moments folded
+    from the same 3 rows (no second scan), broadcast cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    xy = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = xy.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        # per-row product fits a long (qty ≤ 50 × cents ≤ 1e7) but the
+        # SUM accumulates in DECIMAL(38,0) so a 1e9-row stratum at full
+        # scale cannot wrap the 8-byte accumulator
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    o = s.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_all"),
+        F.sum("sx").cast("decimal(38,0)").alias("sx_all"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy_all"),
+        F.sum("sxy").cast("decimal(38,0)").alias("sxy_all"),
+    )
+    g_cov = dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    o_cov = (
+        F.col("n_all") * F.col("sxy_all")
+        - F.col("sx_all") * F.col("sy_all")
+    )
+    return (
+        s.crossJoin(F.broadcast(o))
+        .select(
+            F.col("grp").alias("returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.signum(g_cov).cast("int").alias("group_sign"),
+            F.signum(o_cov).cast("int").alias("overall_sign"),
+            (F.signum(g_cov) * F.signum(o_cov) < 0).alias("flipped"),
+        )
+        .orderBy("returnflag")
+    )

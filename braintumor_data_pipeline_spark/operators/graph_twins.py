@@ -940,3 +940,102 @@ def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+#: Synchronous label-propagation rounds. Unlike the min-label
+#: components recurrence (CC_ROUNDS), sync LPA has no convergence
+#: guarantee (bipartite structures can 2-cycle), so the operator's
+#: SEMANTICS are "labels after exactly LPA_ROUNDS synchronous rounds"
+#: on both engines — parity never depends on convergence, and the
+#: bounded unrolled oracle replays the identical prefix.
+LPA_ROUNDS = 4
+
+
+def _lpa_round_sql(k: int) -> str:
+    # argmax by (count DESC, label ASC) via min_by over a composite
+    # key: with c ≤ max degree 222 ≪ 2^20, (2^20 − c)·2^40 + label
+    # orders exactly like the pair and stays far under 2^63.
+    return f"""a{k} AS MATERIALIZED (
+      SELECT v.node, coalesce(b.nl, v.label) AS label
+      FROM a{k - 1} v
+      LEFT JOIN (
+        SELECT node,
+               CAST(min(key) % 1099511627776 AS BIGINT) AS nl
+        FROM (
+          SELECT e.src AS node,
+                 (1048576 - count(*)) * 1099511627776 + p.label AS key
+          FROM sedges e JOIN a{k - 1} p ON p.node = e.dst
+          GROUP BY e.src, p.label
+        ) t GROUP BY node
+      ) b ON b.node = v.node
+    )"""
+
+
+_LPA_STAGES_SQL = ",\n    ".join(
+    _lpa_round_sql(k) for k in range(1, LPA_ROUNDS + 1)
+)
+
+
+@register(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH rp AS MATERIALIZED ({_REPEAT_PAIRS_SQL}),
+    sedges AS MATERIALIZED ({_SYM_SQL}),
+    a0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM sedges
+    ),
+    {_LPA_STAGES_SQL}
+    SELECT node AS part_id, CAST(label AS BIGINT) AS community
+    FROM a{LPA_ROUNDS}
+    """,
+    tags=("graph", "iterative", "community"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the repeat co-purchase graph: each round every node
+    adopts its neighborhood's MOST FREQUENT label, ties broken toward
+    the smallest label, isolated-update nodes keep their own — the
+    classic near-linear community detector, run for exactly
+    LPA_ROUNDS synchronous rounds (see constant note: fixed-prefix
+    semantics, parity independent of convergence). Distributed shape
+    per round: one edges⋈labels hash join + TWO map-side-combinable
+    aggregations — count per (node, neighbor-label), then a composite
+    integer min_by per node (no per-round window shuffle; the argmax
+    is encoded as min((2^20 − c)·2^40 + label), exact because count ≤
+    degree ≤ 222 ≪ 2^20 and labels are part keys < 2^40). Lineage cut
+    per round. Labels stay exact integers end-to-end, so the driver
+    hash is exact. Distinct from copurchase_components' min-label
+    recurrence: LPA yields sub-component communities (mode vs min)."""
+    pairs = _repeat_pairs(spark, sf_dir)
+    edges = _sym(pairs).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    big = F.lit(1099511627776).cast("long")  # 2^40
+    for _ in range(LPA_ROUNDS):
+        key = (F.lit(1048576) - F.col("c")) * big + F.col("label")
+        best = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+            .select("n2", key.alias("key"))
+            .groupBy("n2")
+            .agg((F.min("key") % big).cast("long").alias("nl"))
+        )
+        labels = (
+            labels.join(best, labels.node == best.n2, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("nl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("part_id"),
+        F.col("label").cast("bigint").alias("community"),
+    )

@@ -2449,3 +2449,76 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+@register(
+    "dp_laplace_noisy_counts",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS true_n
+      FROM documents
+      GROUP BY lang, source
+    ),
+    noised AS (
+      SELECT lang, source, true_n,
+             (CAST(('0x' || substring(md5(lang || '|' || source), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 AS u
+      FROM cells
+    )
+    SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
+           round(CASE WHEN u >= 0.5
+                      THEN -round(ln(2.0 * (1.0 - u)), 6)
+                      ELSE round(ln(2.0 * u), 6) END, 6) AS noise,
+           round(true_n + CASE WHEN u >= 0.5
+                      THEN -round(ln(2.0 * (1.0 - u)), 6)
+                      ELSE round(ln(2.0 * u), 6) END, 6) AS noisy_n
+    FROM noised
+    ORDER BY lang, source
+    """,
+    tags=("privacy", "dp", "agg"),
+)
+def dp_laplace_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private released histogram (Laplace mechanism,
+    ε = 1, sensitivity 1 ⇒ scale b = 1) over the lang × source grid —
+    the noisy-counts release that completes the privacy gate quartet
+    (k-anonymity, l-diversity, t-closeness, DP). Noise is SEEDED, not
+    sampled: u = (md5-derived 48-bit integer + 0.5) / 2^48 is a pure
+    function of the cell key — exactly representable in a double (the
+    division is by a power of two), identical on every engine, run,
+    and retry (the rand() trap) — then pushed through the Laplace
+    inverse CDF. The only transcendental, ln, is quantized to 6 dp on
+    both engines before the final add (the bigram_logprob convention).
+    Seeded noise demonstrates the mechanism's plumbing reproducibly;
+    a production release would swap u for a true RNG — one line — and
+    everything else (grid, sensitivity, CDF, composition across cells)
+    is unchanged. One map-side-combinable aggregation to the bounded
+    QI grid; noise math is per-cell scalar algebra, no second scan."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("true_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(281474976710656.0)  # 2^48
+    noise = F.when(
+        F.col("u") >= 0.5,
+        -F.round(F.log(2.0 * (1.0 - F.col("u"))), 6),
+    ).otherwise(F.round(F.log(2.0 * F.col("u")), 6))
+    return (
+        cells.select("lang", "source", "true_n", u.alias("u"))
+        .select(
+            "lang",
+            "source",
+            F.col("true_n").cast("long").alias("true_n"),
+            F.round(noise, 6).alias("noise"),
+            F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+        )
+        .orderBy("lang", "source")
+    )

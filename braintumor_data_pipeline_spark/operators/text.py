@@ -1669,3 +1669,118 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             + gate(10 * c("dup_10"), c("ctot_10"))
         ).alias("gates_passed"),
     ).orderBy("doc_id")
+
+
+@register(
+    "rake_keyword_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, g.i AS pos, t[g.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) AS g
+    ),
+    cand AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM toks
+      WHERE NOT list_contains({_STOP_SQL}, w)
+    ),
+    plen AS (
+      SELECT doc_id, isl, count(*) AS p_len
+      FROM cand GROUP BY doc_id, isl
+    ),
+    wstat AS (
+      SELECT c.w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.p_len) AS BIGINT) AS deg
+      FROM cand c JOIN plen p USING (doc_id, isl)
+      GROUP BY c.w
+    ),
+    wscore AS (
+      SELECT w, deg * 1000000 // freq AS ws FROM wstat
+    ),
+    phrases AS (
+      SELECT c.doc_id, c.isl,
+             string_agg(c.w, ' ' ORDER BY c.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(s.ws) AS BIGINT) AS score_scaled
+      FROM cand c JOIN wscore s USING (w)
+      GROUP BY c.doc_id, c.isl
+    )
+    SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(score_scaled) AS BIGINT) AS score_scaled
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score_scaled DESC, phrase
+    LIMIT 50
+    """,
+    tags=("text", "keywords", "window", "topk"),
+)
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency where degree sums the lengths of every phrase the
+    word appears in; a phrase scores the sum of its word scores; top 50
+    phrases corpus-wide. Exactness: word scores are integer-scaled
+    floor divisions (deg·10⁶ // freq) so phrase sums are exact integers
+    — no float ratio anywhere. Distributed shape: one posexplode scan,
+    the island id from a per-doc window (single hash shuffle on doc_id
+    — docs bound the partition, never the corpus), word stats via two
+    map-side-combinable groupBys, then a broadcast-sized word-score
+    join back (vocabulary ≪ corpus at any scale)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    cand = toks.filter(~F.col("w").isin(*STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("isl"),
+    )
+    plen = cand.groupBy("doc_id", "isl").agg(F.count("*").alias("p_len"))
+    wstat = (
+        cand.join(plen, ["doc_id", "isl"])
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("p_len").cast("long").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "w", F.expr("div(deg * 1000000, freq)").alias("ws")
+    )
+    phrases = (
+        cand.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ws").cast("long").alias("score_scaled"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("score_scaled").cast("long").alias("score_scaled"),
+        )
+        .orderBy(F.desc("score_scaled"), "phrase")
+        .limit(50)
+    )

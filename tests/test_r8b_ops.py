@@ -1,0 +1,228 @@
+"""Property tests for the late-r8 operator batch (ANOVA F, SPRT,
+Simpson screen, label propagation, DP Laplace, RAKE) — invariants the
+DuckDB value-parity oracle cannot express, asserted at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from braintumor_data_pipeline_spark import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.all_queries()[name].fn(spark, sf_dir).collect()
+
+
+def test_anova_f_matches_numpy_replay(spark, sf_dir):
+    """Recompute one-way ANOVA independently from the raw fixture via
+    pure Python and compare to the operator's single output row."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    groups = defaultdict(list)
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        groups[ty].append(round(v * 100))
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    s = sum(sum(g) for g in groups.values())
+    ssb = sum(sum(g) ** 2 / len(g) for g in groups.values()) - s * s / n
+    sst = sum(c * c for g in groups.values() for c in g) - s * s / n
+    ssw = sst - ssb
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+
+    (row,) = _run(spark, sf_dir, "anova_f_event_value")
+    assert row["k_groups"] == k == 5
+    assert row["n_total"] == n
+    assert math.isclose(row["f_stat"], f_ref, rel_tol=1e-5)
+    assert math.isclose(row["ss_between"], ssb / 10000, rel_tol=1e-6)
+    assert math.isclose(row["ss_within"], ssw / 10000, rel_tol=1e-6)
+
+
+def test_sprt_decision_consistency(spark, sf_dir):
+    """Every decided user's crossing LLR must actually sit beyond the
+    decided boundary, the crossing index must be within the trial
+    count, and 'continue' users must carry NULL crossing fields."""
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        _SPRT_C1,
+        _SPRT_C2,
+        _SPRT_LNA,
+        _SPRT_LNB,
+    )
+
+    rows = _run(spark, sf_dir, "sprt_purchase_rate")
+    assert rows, "every user has events at every SF"
+    seen = set()
+    for r in rows:
+        assert r["user_id"] not in seen
+        seen.add(r["user_id"])
+        if r["decision"] == "continue":
+            assert r["n_at"] is None and r["k_at"] is None
+            # no prefix may have crossed: final LLR inside the band is
+            # necessary (not sufficient, but cheap) — recompute it
+            llr = r["k_total"] * _SPRT_C1 + (
+                r["n_trials"] - r["k_total"]
+            ) * _SPRT_C2
+            assert _SPRT_LNB < llr < _SPRT_LNA
+        else:
+            assert 1 <= r["n_at"] <= r["n_trials"]
+            assert 0 <= r["k_at"] <= r["n_at"]
+            llr = r["k_at"] * _SPRT_C1 + (r["n_at"] - r["k_at"]) * _SPRT_C2
+            if r["decision"] == "h1":
+                assert llr >= _SPRT_LNA
+            else:
+                assert r["decision"] == "h0"
+                assert llr <= _SPRT_LNB
+            assert math.isclose(r["llr_at"], round(llr, 6), abs_tol=1e-9)
+
+
+def test_sprt_first_crossing_is_first(spark, sf_dir):
+    """Replay one decided user's full stream in Python and assert the
+    reported crossing is the FIRST index that exits the band."""
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.experiments import (
+        _SPRT_C1,
+        _SPRT_C2,
+        _SPRT_LNA,
+        _SPRT_LNB,
+    )
+
+    rows = _run(spark, sf_dir, "sprt_purchase_rate")
+    decided = [r for r in rows if r["decision"] != "continue"]
+    if not decided:
+        return
+    target = decided[0]
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    evs = sorted(
+        (ts, eid, ty)
+        for ts, eid, ty, uid in zip(
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            t.column("user_id").to_pylist(),
+        )
+        if uid == target["user_id"]
+    )
+    k = 0
+    for n, (_, _, ty) in enumerate(evs, start=1):
+        k += ty == "purchase"
+        llr = k * _SPRT_C1 + (n - k) * _SPRT_C2
+        if llr >= _SPRT_LNA or llr <= _SPRT_LNB:
+            assert n == target["n_at"] and k == target["k_at"]
+            return
+    raise AssertionError("replay never crossed but operator decided")
+
+
+def test_simpsons_screen_signs(spark, sf_dir):
+    """group_sign/overall_sign are in {-1,0,1}; flipped is exactly the
+    strict sign-product test; overall_sign is one shared value."""
+    rows = _run(spark, sf_dir, "simpsons_paradox_screen")
+    assert {r["returnflag"] for r in rows} == {"A", "N", "R"}
+    overall = {r["overall_sign"] for r in rows}
+    assert len(overall) == 1
+    for r in rows:
+        assert r["group_sign"] in (-1, 0, 1)
+        assert r["overall_sign"] in (-1, 0, 1)
+        assert r["flipped"] == (r["group_sign"] * r["overall_sign"] < 0)
+
+
+def test_label_propagation_within_components(spark, sf_dir):
+    """LPA communities refine connected components: two nodes sharing a
+    community label after any number of sync rounds must be in the same
+    component (labels only travel along edges). Also: every node keeps
+    a label that exists somewhere in its component."""
+    lpa = {
+        r["part_id"]: r["community"]
+        for r in _run(spark, sf_dir, "label_propagation_communities")
+    }
+    cc = {
+        r["part_id"]: r["component"]
+        for r in _run(spark, sf_dir, "copurchase_components")
+    }
+    assert set(lpa) == set(cc)
+    comm_to_comp = {}
+    for node, comm in lpa.items():
+        comp = cc[node]
+        assert comm_to_comp.setdefault(comm, comp) == comp, (
+            "community label crossed a component boundary"
+        )
+    # mode-label communities must be at least as numerous as components
+    assert len(set(lpa.values())) >= len(set(cc.values()))
+
+
+def test_dp_laplace_noise_is_seeded_laplace(spark, sf_dir):
+    """Noise replays exactly from the cell key (seeded, not sampled),
+    and the released value is count + noise."""
+    import hashlib
+
+    rows = _run(spark, sf_dir, "dp_laplace_noisy_counts")
+    assert rows
+    for r in rows:
+        h = hashlib.md5(
+            f"{r['lang']}|{r['source']}".encode()
+        ).hexdigest()[:12]
+        u = (int(h, 16) + 0.5) / 2**48
+        if u >= 0.5:
+            noise = -round(math.log(2.0 * (1.0 - u)), 6)
+        else:
+            noise = round(math.log(2.0 * u), 6)
+        assert math.isclose(r["noise"], round(noise, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r["noisy_n"], round(r["true_n"] + noise, 6), abs_tol=1e-9
+        )
+        assert r["true_n"] >= 1
+
+
+def test_rake_scores_replay(spark, sf_dir):
+    """Replay RAKE in pure Python over the raw fixture text and compare
+    the full top-50 (phrase, score) list."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.text import STOPWORDS
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    phrases = []
+    for text in t.column("text").to_pylist():
+        run = []
+        for w in text.split(" "):
+            if w in STOPWORDS:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq = Counter(w for p in phrases for w in p)
+    deg = defaultdict(int)
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+    ws = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    agg = {}
+    occ = Counter()
+    for p in phrases:
+        agg[" ".join(p)] = (len(p), sum(ws[w] for w in p))
+        occ[" ".join(p)] += 1
+    top = sorted(
+        ((v[1], k) for k, v in agg.items()), key=lambda x: (-x[0], x[1])
+    )[:50]
+
+    rows = _run(spark, sf_dir, "rake_keyword_scores")
+    assert [(r["score_scaled"], r["phrase"]) for r in rows] == top
+    for r in rows:
+        assert r["n_words"] == agg[r["phrase"]][0]
+        assert r["n_occurrences"] == occ[r["phrase"]]
