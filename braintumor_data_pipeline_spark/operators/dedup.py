@@ -1783,3 +1783,144 @@ def quality_keep_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep_differs_from_first"),
     ).orderBy("norm_hash")
+
+
+#: Content-defined chunking parameters: W-byte rolling fingerprint
+#: window, a cut AFTER position i whenever the w-gram hash ≡ 0
+#: (mod CDC_MOD) — expected chunk length ≈ CDC_MOD chars. No min/max
+#: clamp: the pure content-defined rule keeps both engines' cut sets
+#: trivially identical and makes the boundary-shift property exact
+#: (an edit perturbs only the chunks whose w-grams it touches).
+CDC_W = 8
+CDC_MOD = 64
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, g.i AS i
+      FROM documents,
+           LATERAL (SELECT unnest(range({CDC_W}, length(text) + 1)) AS i)
+             AS g
+    ),
+    cuts AS (
+      SELECT doc_id, text, i AS cut
+      FROM pos
+      WHERE CAST(('0x' || substring(
+              md5(substring(text, i - {CDC_W} + 1, {CDC_W})), 1, 8))
+            AS BIGINT) % {CDC_MOD} = 0
+      UNION ALL
+      SELECT doc_id, text, length(text) AS cut FROM documents
+    ),
+    dedup_cuts AS (
+      SELECT DISTINCT doc_id, text, cut FROM cuts
+    ),
+    chunks AS (
+      SELECT doc_id,
+             substring(text,
+                       coalesce(lag(cut) OVER w, 0) + 1,
+                       cut - coalesce(lag(cut) OVER w, 0)) AS chunk
+      FROM dedup_cuts
+      WINDOW w AS (PARTITION BY doc_id ORDER BY cut)
+    ),
+    sized AS (
+      SELECT md5(chunk) AS h, length(chunk) AS len
+      FROM chunks WHERE length(chunk) > 0
+    ),
+    per_hash AS (
+      SELECT h, count(*) AS copies, min(len) AS len
+      FROM sized GROUP BY h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS distinct_chunks,
+           CAST(sum(copies) AS BIGINT) AS total_chunks,
+           CAST(sum(copies * len) AS BIGINT) AS total_chars,
+           CAST(sum(len) AS BIGINT) AS distinct_chars,
+           CAST(sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+           round(1.0 - CAST(sum(len) AS DOUBLE)
+                       / sum(copies * len), 6) AS char_dedup_ratio,
+           CAST(max(copies) AS BIGINT) AS max_copies
+    FROM per_hash
+    """,
+    tags=("dedup", "cdc", "text", "agg"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/FastCDC family used by
+    storage dedup and sub-document training-data dedup): split every
+    document at positions where the {CDC_W}-gram hash ≡ 0 mod
+    {CDC_MOD}, hash each chunk, and report corpus-level chunk-store
+    statistics — distinct vs total chunks/chars, the char-level dedup
+    ratio a content-addressed store would realize, and the hottest
+    chunk. Boundaries move WITH content, not offsets, so an insertion
+    re-chunks only its neighborhood — the property offset-based
+    shingling lacks. Distributed shape: one positions explode per doc
+    (relational here for oracle parity; at 100 TB this per-doc pass
+    belongs in mapInPandas with the identical cut rule), a per-doc
+    window for lag(cut) (hash shuffle on doc_id — docs bound the
+    partition), then map-side-combinable hash aggregation; the report
+    is exact integers plus one 6-dp ratio."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(CDC_W), F.length("text"))
+        ).alias("i"),
+    )
+    is_cut = (
+        F.conv(
+            F.substring(
+                F.md5(F.substring(F.col("text"), F.col("i") - CDC_W + 1, CDC_W)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CDC_MOD
+        == 0
+    )
+    cuts = (
+        pos.filter(is_cut)
+        .select("doc_id", "text", F.col("i").alias("cut"))
+        .unionAll(
+            d.select("doc_id", "text", F.length("text").alias("cut"))
+        )
+        .distinct()
+    )
+    chunks = cuts.select(
+        "doc_id",
+        F.expr(
+            "substring(text, coalesce(lag(cut) over "
+            "(partition by doc_id order by cut), 0) + 1, "
+            "cut - coalesce(lag(cut) over "
+            "(partition by doc_id order by cut), 0))"
+        ).alias("chunk"),
+    )
+    sized = chunks.filter(F.length("chunk") > 0).select(
+        F.md5("chunk").alias("h"), F.length("chunk").alias("len")
+    )
+    per_hash = sized.groupBy("h").agg(
+        F.count("*").alias("copies"), F.min("len").alias("len")
+    )
+    return per_hash.agg(
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum("copies").cast("long").alias("total_chunks"),
+        F.sum(F.col("copies") * F.col("len"))
+        .cast("long")
+        .alias("total_chars"),
+        F.sum("len").cast("long").alias("distinct_chars"),
+        F.sum(
+            F.when(F.col("copies") > 1, F.col("copies") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_chunks"),
+        F.round(
+            1.0
+            - F.sum("len").cast("double")
+            / F.sum(F.col("copies") * F.col("len")),
+            6,
+        ).alias("char_dedup_ratio"),
+        F.max("copies").cast("long").alias("max_copies"),
+    )

