@@ -1282,3 +1282,65 @@ def interpolated_quartiles_by_group(
         F.col("n").cast("long").alias("n"),
         F.round(val, 6).alias("value"),
     ).orderBy("grp", "quartile")
+
+
+@register(
+    "bitmap_activity_index",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id,
+             date_trunc('month', ts) AS month,
+             CAST(bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS BIGINT)
+               AS day_bitmap
+      FROM events
+      GROUP BY user_id, month
+    )
+    SELECT user_id,
+           CAST(month AS DATE) AS month,
+           day_bitmap,
+           CAST(bit_count(day_bitmap) AS BIGINT) AS active_days,
+           CAST(bit_count(day_bitmap & (day_bitmap << 1)) AS BIGINT)
+             AS consecutive_day_pairs,
+           CAST(bit_count(day_bitmap & (day_bitmap << 1)
+                          & (day_bitmap << 2)) AS BIGINT)
+             AS consecutive_day_triples
+    FROM marks
+    ORDER BY user_id, month
+    """,
+    tags=("analytics", "bitmap", "agg", "engagement"),
+)
+def bitmap_activity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-style activity bitmap index: one BIGINT per (user,
+    month) with bit d−1 set iff the user was active on day d — the
+    compressed engagement representation warehouses build instead of a
+    per-(user, day) fact table (31 rows → 8 bytes). Streak analytics
+    then become pure bit algebra: bit_count(m) = active days,
+    bit_count(m & m<<1) = adjacent-day pairs, one more shift for
+    3-day streaks — no self-join, no window, no calendar spine.
+    Distributed shape: a single map-side-combinable bit_or groupBy (OR
+    is idempotent and associative — retries and partial merges are
+    free); everything downstream is per-row integer ops in codegen.
+    Exact integers end to end."""
+    e = _t(spark, sf_dir, "events")
+    marks = e.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), day(ts) - 1))").alias(
+            "day_bitmap"
+        )
+    )
+    m = F.col("day_bitmap")
+    return marks.select(
+        "user_id",
+        F.col("month").cast("date").alias("month"),
+        "day_bitmap",
+        F.bit_count(m).cast("long").alias("active_days"),
+        F.bit_count(m.bitwiseAND(F.shiftleft(m, 1)))
+        .cast("long")
+        .alias("consecutive_day_pairs"),
+        F.bit_count(
+            m.bitwiseAND(F.shiftleft(m, 1)).bitwiseAND(F.shiftleft(m, 2))
+        )
+        .cast("long")
+        .alias("consecutive_day_triples"),
+    ).orderBy("user_id", "month")

@@ -885,3 +885,96 @@ def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("twap_usd"),
     ).orderBy("d")
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    pairs AS (
+      SELECT (b.x - a.x) AS dx, (b.y - a.y) AS dy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    c AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+        CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+      FROM pairs
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+    SELECT nn.n_days, c.n_pairs, c.nc, c.nd, c.tied_x, c.tied_y,
+           round((c.nc - c.nd) / sqrt(CAST((c.n_pairs - c.tied_x)
+                 * (c.n_pairs - c.tied_y) AS DOUBLE)), 6) AS tau_b
+    FROM c CROSS JOIN nn
+    """,
+    tags=("timeseries", "stats", "rank"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily revenue and daily active users — the
+    rank-association companion to spearman_rho_qty_price, computed the
+    exact way: concordant / discordant / tied pair COUNTS (pure integer
+    comparisons), with the τ-b tie correction from the same counts; the
+    single sqrt runs once over two exact integers. Scale shape: one
+    full-data daily aggregate, then pair enumeration on the per-day
+    grain (days² — calendar-bounded like theil_sen_daily_trend's
+    CARTESIAN_OK class, NOT corpus²) reduced by one combinable agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x"),
+        F.countDistinct("user_id").cast("long").alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (F.col("xb") - F.col("xa")).alias("dx"),
+        (F.col("yb") - F.col("ya")).alias("dy"),
+    )
+    c = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nd"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tied_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tied_y"),
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return c.crossJoin(F.broadcast(nn)).select(
+        "n_days",
+        "n_pairs",
+        "nc",
+        "nd",
+        "tied_x",
+        "tied_y",
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt(
+                (
+                    (F.col("n_pairs") - F.col("tied_x"))
+                    * (F.col("n_pairs") - F.col("tied_y"))
+                ).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )

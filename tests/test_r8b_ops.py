@@ -295,3 +295,75 @@ def test_cdc_chunk_accounting_and_replay(spark, sf_dir):
     assert row["max_copies"] == max(store.values())
     ratio = 1.0 - sum(len(c) for c in store) / total_chars
     assert math.isclose(row["char_dedup_ratio"], round(ratio, 6), abs_tol=1e-9)
+
+
+def test_kendall_tau_replay(spark, sf_dir):
+    """Replay Kendall τ-b in pure Python from the raw fixture."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    rev = defaultdict(int)
+    users = defaultdict(set)
+    for ts, v, uid in zip(
+        t.column("ts").to_pylist(),
+        t.column("value").to_pylist(),
+        t.column("user_id").to_pylist(),
+    ):
+        d = ts.date()
+        rev[d] += math.floor(v * 100 + 0.5)
+        users[d].add(uid)
+    days = sorted(rev)
+    pts = [(rev[d], len(users[d])) for d in days]
+    nc = nd = tx = ty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    npairs = n * (n - 1) // 2
+    tau = (nc - nd) / math.sqrt((npairs - tx) * (npairs - ty))
+
+    (row,) = _run(spark, sf_dir, "kendall_tau_daily")
+    assert row["n_days"] == n
+    assert row["n_pairs"] == npairs
+    assert (row["nc"], row["nd"]) == (nc, nd)
+    assert (row["tied_x"], row["tied_y"]) == (tx, ty)
+    assert math.isclose(row["tau_b"], round(tau, 6), abs_tol=1e-9)
+
+
+def test_bitmap_activity_streaks(spark, sf_dir):
+    """Bitmap invariants: popcount ties out with the distinct active
+    days recomputed from the fixture; streak counts are consistent
+    (triples ≤ pairs ≤ active_days − 1 when active_days ≥ 1)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ref = defaultdict(set)
+    for ts, uid in zip(
+        t.column("ts").to_pylist(), t.column("user_id").to_pylist()
+    ):
+        ref[(uid, ts.year, ts.month)].add(ts.day)
+
+    rows = _run(spark, sf_dir, "bitmap_activity_index")
+    assert len(rows) == len(ref)
+    for r in rows:
+        key = (r["user_id"], r["month"].year, r["month"].month)
+        days = ref[key]
+        assert r["day_bitmap"] == sum(1 << (d - 1) for d in days)
+        assert r["active_days"] == len(days)
+        pairs = sum(1 for d in days if d + 1 in days)
+        triples = sum(1 for d in days if d + 1 in days and d + 2 in days)
+        assert r["consecutive_day_pairs"] == pairs
+        assert r["consecutive_day_triples"] == triples

@@ -76,6 +76,10 @@ CARTESIAN_OK = {
     # N·G = O(N·√K) dots, no shuffle of the big side; level-2 is a
     # keyed join on the hash group, not a cross
     "semdedup_prune_report",
+    # all-pairs over the per-DAY aggregated relation (days² — the same
+    # calendar-bounded dimension as theil_sen_daily_trend; concordance
+    # counting is inherently pairwise, reduced by one combinable agg)
+    "kendall_tau_daily",
 }
 
 # Single-partition windows whose input aggregate's KEY DOMAIN is
