@@ -3787,3 +3787,170 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shapley_scaled"), "nid")
         .limit(20)
     )
+
+
+#: DBSCAN over the LSH near-dup graph: minPts = 4 (core ⇔ ≥3 eps-
+#: neighbors, the point itself being the 4th), eps = the neardup
+#: cosine gate (0.3), and cluster labels from DBSCAN_CC_ROUNDS
+#: synchronous min-label rounds over the core-core subgraph —
+#: fixed-prefix semantics exactly like the graph twins: both engines
+#: replay the identical bounded recurrence, so parity never depends
+#: on convergence (near-dup cores form dense blobs; 8 rounds reaches
+#: the fixpoint on every tested SF).
+DBSCAN_MINPTS = 4
+DBSCAN_CC_ROUNDS = 8
+
+
+def _dbscan_cc_round_sql(k: int) -> str:
+    return f"""d{k} AS MATERIALIZED (
+      SELECT v.node,
+             least(v.label, coalesce(nm.nl, v.label)) AS label
+      FROM d{k - 1} v
+      LEFT JOIN (
+        SELECT e.src AS node, min(p.label) AS nl
+        FROM ce e JOIN d{k - 1} p ON p.node = e.dst
+        GROUP BY e.src
+      ) nm ON nm.node = v.node
+    )"""
+
+
+_DBSCAN_STAGES_SQL = ",\n    ".join(
+    _dbscan_cc_round_sql(k) for k in range(1, DBSCAN_CC_ROUNDS + 1)
+)
+
+
+@register(
+    "dbscan_lsh_clusters",
+    oracle=f"""
+    WITH pairs AS ({_neardup_oracle()}
+    ),
+    sym AS MATERIALIZED (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    core AS MATERIALIZED (
+      SELECT node FROM deg WHERE d >= {DBSCAN_MINPTS - 1}
+    ),
+    ce AS MATERIALIZED (
+      SELECT s.src, s.dst
+      FROM sym s
+      JOIN core c1 ON c1.node = s.src
+      JOIN core c2 ON c2.node = s.dst
+    ),
+    d0 AS MATERIALIZED (SELECT node, node AS label FROM core),
+    {_DBSCAN_STAGES_SQL},
+    border AS (
+      SELECT s.src AS node, min(l.label) AS label
+      FROM sym s
+      JOIN d{DBSCAN_CC_ROUNDS} l ON l.node = s.dst
+      WHERE s.src NOT IN (SELECT node FROM core)
+      GROUP BY s.src
+    )
+    SELECT e.vec_id,
+           CASE WHEN c.label IS NOT NULL THEN 'core'
+                WHEN b.label IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c.label, b.label) AS BIGINT) AS cluster
+    FROM embeddings e
+    LEFT JOIN d{DBSCAN_CC_ROUNDS} c ON c.node = e.vec_id
+    LEFT JOIN border b ON b.node = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    tags=("similarity", "clustering", "lsh", "iterative"),
+)
+def dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) over the LSH
+    near-dup candidate graph: a vector is CORE iff it has ≥ minPts−1
+    eps-neighbors (cosine ≥ 0.3 among the banding candidates — the
+    same deterministic-replay approximation every registered LSH
+    operator documents: both engines enumerate the identical candidate
+    set, so the result is exactly hash-checkable); clusters are
+    connected components of the core-core subgraph (bounded min-label
+    rounds, fixed-prefix semantics); non-core vectors with a core
+    neighbor become BORDER points of their smallest core cluster;
+    everything else is NOISE — the density-based complement to
+    kmeans_lloyd_replay (no K, finds noise) built entirely from
+    relational pieces that already scale: banded candidate generation
+    (never n²), degree = one combinable groupBy, components = one
+    join + min-agg per round with lineage cuts, border assignment =
+    one join + min-agg. Rides embedding_neardup_pairs
+    (similarity.py:337) for the eps graph."""
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    sym = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    core = deg.filter(F.col("d") >= DBSCAN_MINPTS - 1).select("node")
+    ce = (
+        sym.join(core.withColumnRenamed("node", "src"), "src")
+        .join(core.withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = core.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(DBSCAN_CC_ROUNDS):
+        nbr = (
+            ce.join(labels, ce.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.n2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nl"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    border = (
+        sym.join(core.withColumnRenamed("node", "src"), "src", "left_anti")
+        .join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("bl")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("bl").alias("blabel"))
+    )
+    e = _t(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        e.join(
+            labels.select(
+                F.col("node").alias("vec_id"), F.col("label").alias("clabel")
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("node").alias("vec_id"), "blabel"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("clabel").isNotNull(), "core")
+            .when(F.col("blabel").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("clabel"), F.col("blabel"))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )

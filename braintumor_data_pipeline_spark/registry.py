@@ -357,7 +357,15 @@ PRIORITY: tuple[str, ...] = (
     "memorization_window_fraction",   # r7-new
     "ann_lsh_cosine",
     "ann_ivf_cosine",
-    "embedding_pca_covariance",
+    # Late-r8 amendment: embedding_pca_covariance (a judge "prioritize"
+    # suggestion, similarity's 5th slot alongside the headline + three
+    # mandated entries) vacates for frequent_triples_apriori — the new
+    # basket module (Apriori mining) would otherwise have NO window
+    # representative, violating the module-coverage invariant the
+    # smoke test asserts. Both are never-driver-checked, so the
+    # first-time count is unchanged; embedding_pca_covariance heads
+    # the r9 rotation shortlist.
+    "frequent_triples_apriori",       # new r8 (basket module coverage)
 )
 
 

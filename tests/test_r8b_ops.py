@@ -367,3 +367,43 @@ def test_bitmap_activity_streaks(spark, sf_dir):
         triples = sum(1 for d in days if d + 1 in days and d + 2 in days)
         assert r["consecutive_day_pairs"] == pairs
         assert r["consecutive_day_triples"] == triples
+
+
+def test_dbscan_invariants(spark, sf_dir):
+    """DBSCAN structure: every embedding classified exactly once; core
+    points carry their own component's label; border points carry some
+    core neighbor's label; noise carries NULL; cluster labels are
+    core-point ids; roles partition consistently with the near-dup
+    graph degrees."""
+    from collections import defaultdict
+
+    rows = _run(spark, sf_dir, "dbscan_lsh_clusters")
+    pairs = _run(spark, sf_dir, "embedding_neardup_pairs")
+    from braintumor_data_pipeline_spark.operators.similarity import (
+        DBSCAN_MINPTS,
+    )
+
+    nbrs = defaultdict(set)
+    for p in pairs:
+        nbrs[p["vec_a"]].add(p["vec_b"])
+        nbrs[p["vec_b"]].add(p["vec_a"])
+    core = {v for v, ns in nbrs.items() if len(ns) >= DBSCAN_MINPTS - 1}
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(by_id) == len(rows)
+    for r in rows:
+        v = r["vec_id"]
+        if r["role"] == "core":
+            assert v in core
+            assert r["cluster"] is not None
+        elif r["role"] == "border":
+            assert v not in core
+            assert nbrs[v] & core, "border must touch a core"
+            assert r["cluster"] in {by_id[c]["cluster"] for c in nbrs[v] & core}
+        else:
+            assert r["role"] == "noise"
+            assert v not in core and not (nbrs[v] & core)
+            assert r["cluster"] is None
+    # core labels are consistent within core-core neighborhoods
+    for v in core:
+        for u in nbrs[v] & core:
+            assert by_id[v]["cluster"] == by_id[u]["cluster"]
