@@ -3954,3 +3954,225 @@ def dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+
+#: Top-eigenpair solver over the exact scaled covariance, by REPEATED
+#: MATRIX SQUARING (power iteration with C, C², C⁴ … C^(2^k)): the
+#: embedding spectrum's top gap is tiny (λ₁/λ₂ ≈ 1.07 at sf0.001), so
+#: plain power iteration needs ~100 rounds — squaring doubles the
+#: exponent per round, and POWER_SQUARINGS = 7 gives an effective
+#: (λ₁/λ₂)^128 ≈ 10³-10⁴ separation in 7 bounded stages. Everything is
+#: INTEGER arithmetic: covariance quantizes at 2^10 (coarser than
+#: _PCA_Q so C = n·Σqq − (Σq)(Σq)ᵀ stays in int64; re-derive
+#: n²·9·2^20 < 2^63 before running at sf ≥ 10), each squaring
+#: renormalizes entries to |b| ≤ POWER_MSCALE by truncating division
+#: (Spark div and DuckDB // BOTH truncate toward zero — tested), so
+#: per-squaring magnitudes peak at 64·POWER_MSCALE² ≈ 6.4e13 < 2^63
+#: and both engines replay the identical integer trajectory. The ~1e-6
+#: relative truncation per squaring perturbs the dominant eigenvector
+#: far below the 1e-3 the final VSCALE quantization keeps anyway.
+POWER_Q = 1 << 10
+POWER_SQUARINGS = 7
+POWER_MSCALE = 1_000_000
+POWER_VSCALE = 1000
+
+
+def _power_square_sql(k: int) -> str:
+    return f"""p{k}raw AS MATERIALIZED (
+      SELECT a.i, b.j, CAST(sum(a.b * b.b) AS BIGINT) AS b
+      FROM p{k - 1} a JOIN p{k - 1} b ON a.j = b.i
+      GROUP BY a.i, b.j
+    ),
+    m{k} AS (SELECT greatest(max(abs(b)) // {POWER_MSCALE}, 1) AS m
+             FROM p{k}raw),
+    p{k} AS MATERIALIZED (
+      SELECT i, j, b // m AS b FROM p{k}raw, m{k}
+    )"""
+
+
+_POWER_STAGES_SQL = ",\n    ".join(
+    _power_square_sql(k) for k in range(1, POWER_SQUARINGS + 1)
+)
+
+
+@register(
+    "power_iteration_top_eigen",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(range({_IVF_DIM})) AS dim,
+             CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * {POWER_Q}
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT a.dim AS i, b.dim AS j,
+             count(*) AS n,
+             CAST(sum(a.qv) AS BIGINT) AS si,
+             CAST(sum(b.qv) AS BIGINT) AS sj,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS sxy
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    ),
+    cov AS MATERIALIZED (
+      SELECT i, j, n * sxy - si * sj AS cv FROM mom
+    ),
+    m0 AS (SELECT greatest(max(abs(cv)) // {POWER_MSCALE}, 1) AS m FROM cov),
+    p0 AS MATERIALIZED (
+      SELECT i, j, cv // m AS b FROM cov, m0
+    ),
+    {_POWER_STAGES_SQL},
+    w AS MATERIALIZED (
+      SELECT i AS dim, CAST(sum(b) AS BIGINT) AS w
+      FROM p{POWER_SQUARINGS} GROUP BY i
+    ),
+    mv AS (SELECT greatest(max(abs(w)) // {POWER_VSCALE}, 1) AS m FROM w),
+    v AS MATERIALIZED (
+      SELECT dim, w // m AS v FROM w, mv
+    ),
+    ray AS (
+      SELECT
+        CAST(sum(CAST(a.v AS DECIMAL(38,0)) * c.cv * b.v)
+             AS DECIMAL(38,0)) AS num,
+        (SELECT CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+         FROM v) AS den
+      FROM cov c
+      JOIN v a ON a.dim = c.i
+      JOIN v b ON b.dim = c.j
+    )
+    SELECT f.dim, CAST(f.v AS BIGINT) AS v_scaled,
+           round(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE), 6)
+             AS eigenvalue_scaled
+    FROM v f CROSS JOIN ray r
+    ORDER BY f.dim
+    """,
+    tags=("similarity", "pca", "iterative", "linear-algebra"),
+)
+def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenpair of the embedding covariance, solved DISTRIBUTED
+    and in exact integer arithmetic — the solver tail of the PCA story
+    embedding_pca_covariance starts (that operator ships exact scaled
+    moments to a driver eigensolve; this one keeps even the eigensolve
+    relational). Method: repeated matrix squaring (see constant note:
+    the spectrum's top gap is ~1.07, so C^(2^7) separates what plain
+    power iteration would need ~100 rounds for), then one matvec
+    against the all-ones probe, then the Rayleigh quotient against the
+    ORIGINAL exact covariance (DECIMAL sums, one float division at
+    the end — divide by n²·POWER_Q² for covariance units).
+    Scale shape: one mapInPandas pass over the corpus accumulates
+    per-batch int64 Gram partials (the embedding_pca_covariance
+    recipe — rows never leave executors); every squaring is a
+    join-aggregate over d²-row model-state relations (d = 64; d³ =
+    262k products per stage) plus a 1-row renormalizer broadcast —
+    cost independent of corpus size. Every intermediate is an int64
+    with documented bounds; the unrolled oracle replays the identical
+    integer trajectory, so the driver hash is exact."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qm = np.floor(x * POWER_Q + 0.5).astype(np.int64)
+            g = qm.T @ qm
+            s = qm.sum(axis=0)
+            ii, jj = np.meshgrid(
+                np.arange(_IVF_DIM), np.arange(_IVF_DIM), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "n": np.full(_IVF_DIM * _IVF_DIM, len(pdf), dtype="int64"),
+                    "si": s[ii.ravel()],
+                    "sj": s[jj.ravel()],
+                    "sxy": g.ravel(),
+                }
+            )
+
+    mom = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            gram, schema="i int, j int, n long, si long, sj long, sxy long"
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("sxy").alias("sxy"),
+        )
+    )
+    cov = mom.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).alias("cv"),
+    ).localCheckpoint()
+
+    def _renorm(df, col, scale):
+        m = df.agg(
+            F.greatest(
+                F.expr(f"div(max(abs({col})), {scale})"), F.lit(1).cast("long")
+            ).alias("m")
+        )
+        return df.crossJoin(F.broadcast(m))
+
+    b = _renorm(cov, "cv", POWER_MSCALE).select(
+        "i", "j", F.expr("div(cv, m)").cast("long").alias("b")
+    ).localCheckpoint()
+    for _ in range(POWER_SQUARINGS):
+        raw = (
+            b.alias("a")
+            .join(b.alias("c"), F.col("a.j") == F.col("c.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(
+                F.sum(F.col("a.b") * F.col("c.b")).cast("long").alias("braw")
+            )
+        )
+        b = _renorm(raw, "braw", POWER_MSCALE).select(
+            "i", "j", F.expr("div(braw, m)").cast("long").alias("b")
+        ).localCheckpoint()
+    w = b.groupBy(F.col("i").alias("dim")).agg(
+        F.sum("b").cast("long").alias("w")
+    )
+    v = _renorm(w, "w", POWER_VSCALE).select(
+        "dim", F.expr("div(w, m)").cast("long").alias("v")
+    ).localCheckpoint()
+    num = (
+        cov.join(
+            v.select(F.col("dim").alias("i"), F.col("v").alias("va")), "i"
+        )
+        .join(v.select(F.col("dim").alias("j"), F.col("v").alias("vb")), "j")
+        .agg(
+            F.sum(
+                F.col("va").cast("decimal(38,0)") * F.col("cv") * F.col("vb")
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    den = v.agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    ray = num.crossJoin(F.broadcast(den)).select(
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("eigenvalue_scaled")
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            "dim",
+            F.col("v").cast("long").alias("v_scaled"),
+            "eigenvalue_scaled",
+        )
+        .orderBy("dim")
+    )

@@ -407,3 +407,30 @@ def test_dbscan_invariants(spark, sf_dir):
     for v in core:
         for u in nbrs[v] & core:
             assert by_id[v]["cluster"] == by_id[u]["cluster"]
+
+
+def test_power_iteration_matches_numpy_eigh(spark, sf_dir):
+    """The integer power iteration must land on numpy's top eigenpair
+    of the SAME scaled covariance: |cos(v, v_numpy)| ≥ 0.999 and the
+    Rayleigh estimate within the power-iteration gap of λ_max."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.similarity import POWER_Q
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    x = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    q = np.floor(x * POWER_Q + 0.5).astype(np.int64)
+    n = len(q)
+    c = n * (q.T @ q) - np.outer(q.sum(axis=0), q.sum(axis=0))
+    evals, evecs = np.linalg.eigh(c.astype(np.float64))
+    lam, top = evals[-1], evecs[:, -1]
+
+    rows = _run(spark, sf_dir, "power_iteration_top_eigen")
+    assert len(rows) == 64
+    v = np.array([r["v_scaled"] for r in sorted(rows, key=lambda r: r["dim"])])
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, f"direction off: |cos|={cos}"
+    ray = rows[0]["eigenvalue_scaled"]
+    assert all(r["eigenvalue_scaled"] == ray for r in rows)
+    assert abs(ray - lam) / lam < 0.01, f"rayleigh {ray} vs eigh {lam}"

@@ -80,6 +80,12 @@ CARTESIAN_OK = {
     # calendar-bounded dimension as theil_sen_daily_trend; concordance
     # counting is inherently pairwise, reduced by one combinable agg)
     "kendall_tau_daily",
+    # every cross here is a 1-row scalar broadcast (the per-round
+    # renormalizer max, the Rayleigh numerator/denominator aggregates)
+    # against d-row / d²-row model-state frames (d = 64) — one build
+    # subtree lands outside the classifier's tail window across the 6
+    # unrolled rounds, but no data-grain relation ever rides an NLJ
+    "power_iteration_top_eigen",
 }
 
 # Single-partition windows whose input aggregate's KEY DOMAIN is
