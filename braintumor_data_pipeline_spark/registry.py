@@ -275,7 +275,15 @@ DRIVER_WINDOW = 50
 #: never-driver-checked, so the first-time count is unchanged. The text
 #: slot likewise flips to the r8-new gopher_quality_gates. The other
 #: late-r8 additions (gopher_repetition_filters, kmeans_lloyd_replay,
-#: l_diversity_report) defer to r9 alongside
+#: l_diversity_report, knn_shapley_data_values, assoc_rules_lift, and
+#: the end-of-round batch: anova_f_event_value, sprt_purchase_rate,
+#: simpsons_paradox_screen, label_propagation_communities,
+#: dp_laplace_noisy_counts, rake_keyword_scores,
+#: tukey_pairwise_contrasts, quantile_normalize_event_values,
+#: cdc_chunk_dedup, kendall_tau_daily, bitmap_activity_index,
+#: dbscan_lsh_clusters, power_iteration_top_eigen) defer to r9 —
+#: r9 rotation shortlist, headed by the displaced
+#: embedding_pca_covariance — alongside
 #: audio_spectral_bands and text_quality_score: every multi-rep module
 #: slot is VERDICT-mandated (the five r7-new LLM operators, the capped
 #: LSH pair query, the judge's named similarity picks) or a locked
