@@ -5826,3 +5826,119 @@ def quantile_normalize_event_values(
         )
         .orderBy("event_type")
     )
+
+
+#: Ridge closed form, 2 features + intercept, solved by the explicit
+#: symmetric 3×3 adjugate. The WHOLE float formula is this ONE string,
+#: referenced by the DuckDB oracle and by Spark's F.expr verbatim —
+#: textually identical scalar algebra over identical exact integer
+#: moments ⇒ bit-identical doubles on both engines (the n-ary fold
+#: trick from _ANOVA_TYPES, taken to its limit). Moment names:
+#: a=n, b=Σx1, c=Σx2, d=Σx1²+λ, e=Σx1x2, f=Σx2²+λ; r=(sy, s1y, s2y).
+_RIDGE_COMMON = """
+  CAST(n AS DOUBLE) AS af,
+  CAST(s1 AS DOUBLE) AS bf, CAST(s2 AS DOUBLE) AS cf,
+  CAST(s11 AS DOUBLE) + lam AS df,
+  CAST(s12 AS DOUBLE) AS ef, CAST(s22 AS DOUBLE) + lam AS ff,
+  CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1,
+  CAST(s2y AS DOUBLE) AS r2
+"""
+_RIDGE_DET = (
+    "(af * (df * ff - ef * ef) - bf * (bf * ff - ef * cf)"
+    " + cf * (bf * ef - df * cf))"
+)
+_RIDGE_T0 = (
+    "(((df * ff - ef * ef) * ry + (cf * ef - bf * ff) * r1"
+    " + (bf * ef - cf * df) * r2) / " + _RIDGE_DET + ")"
+)
+_RIDGE_T1 = (
+    "(((cf * ef - bf * ff) * ry + (af * ff - cf * cf) * r1"
+    " + (bf * cf - af * ef) * r2) / " + _RIDGE_DET + ")"
+)
+_RIDGE_T2 = (
+    "(((bf * ef - cf * df) * ry + (bf * cf - af * ef) * r1"
+    " + (af * df - bf * bf) * r2) / " + _RIDGE_DET + ")"
+)
+_RIDGE_LAMS = (0, 10000, 1000000)
+
+
+@register(
+    "ridge_regression_grid",
+    oracle=f"""
+    WITH xy AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM xy
+    ),
+    g AS (
+      SELECT lam, {_RIDGE_COMMON}
+      FROM mom CROSS JOIN (VALUES {", ".join(f"({v})" for v in _RIDGE_LAMS)})
+        AS ls(lam)
+    )
+    SELECT CAST(lam AS BIGINT) AS lam,
+           round({_RIDGE_T0} / 100, 6) AS theta0,
+           round({_RIDGE_T1} / 100, 6) AS theta1,
+           round({_RIDGE_T2} / 100, 6) AS theta2,
+           round(({_RIDGE_T0} + 25 * {_RIDGE_T1} + 5 * {_RIDGE_T2}) / 100, 6)
+             AS yhat_q25_d5
+    FROM g
+    ORDER BY lam
+    """,
+    tags=("experiment", "regression", "agg", "stats"),
+)
+def ridge_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression of price-cents on (quantity,
+    discount-mills) with an unpenalized intercept, over a 3-point λ
+    grid — the regularization-path fit feature platforms run from
+    sufficient statistics, never raw rows. Distributed shape: ONE
+    combinable groupBy reduces the corpus to 9 exact integer moments;
+    the normal-equations solve is the explicit symmetric 3×3 adjugate
+    evaluated per λ on a 3-row literal grid. The entire float formula
+    is a single shared SQL string (F.expr on the Spark side, inlined in
+    the oracle) — identical textual operation order ⇒ identical IEEE
+    results, the strongest form of the fixed-fold determinism recipe.
+    Output in dollars; yhat probes the fit at (qty 25, discount 5%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    xy = li.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mom = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(v).cast("long") for v in _RIDGE_LAMS])
+    ).alias("lam")
+    g = mom.select("*", grid).selectExpr("lam", *[
+        e.strip() for e in _RIDGE_COMMON.split(",")
+    ])
+    return g.selectExpr(
+        "CAST(lam AS BIGINT) AS lam",
+        f"round({_RIDGE_T0} / 100, 6) AS theta0",
+        f"round({_RIDGE_T1} / 100, 6) AS theta1",
+        f"round({_RIDGE_T2} / 100, 6) AS theta2",
+        f"round(({_RIDGE_T0} + 25 * {_RIDGE_T1} + 5 * {_RIDGE_T2}) / 100, 6)"
+        " AS yhat_q25_d5",
+    ).orderBy("lam")

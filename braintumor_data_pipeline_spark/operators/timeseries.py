@@ -978,3 +978,113 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY day
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+               AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM daily GROUP BY y HAVING count(*) > 1)
+    )
+    SELECT nn.n AS n_days, s.s_stat,
+           round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                 / 18.0, 6) AS var_s,
+           round(CASE
+             WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+               / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                      / 18.0)
+             WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+               / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                      / 18.0)
+             ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+    tags=("timeseries", "stats", "trend"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue — the
+    nonparametric seasonal-ops standard (is the series drifting,
+    without assuming linearity or normality). S = Σ_{i<j} sign(y_j −
+    y_i) is an exact integer from pairwise sign counts; Var(S) uses
+    the exact tie-group correction (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18;
+    the continuity-corrected Z spends one sqrt over exact integers.
+    Same scale shape as kendall_tau_daily: one full-data daily
+    aggregate, then calendar-bounded day² pair enumeration (the
+    theil_sen CARTESIAN_OK class) reduced by a combinable agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn")
+        )
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var_expr = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_expr)
+        )
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_expr))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z, 6).alias("z_stat"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+    )

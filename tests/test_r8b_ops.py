@@ -434,3 +434,70 @@ def test_power_iteration_matches_numpy_eigh(spark, sf_dir):
     ray = rows[0]["eigenvalue_scaled"]
     assert all(r["eigenvalue_scaled"] == ray for r in rows)
     assert abs(ray - lam) / lam < 0.01, f"rayleigh {ray} vs eigh {lam}"
+
+
+def test_ridge_lambda_zero_is_ols_and_shrinks(spark, sf_dir):
+    """λ=0 must reproduce plain OLS recomputed from raw data via
+    numpy lstsq; growing λ must shrink the feature coefficients toward
+    zero (monotone |θ1|, |θ2|); numpy ridge replay must match."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    # SQL round() is HALF_UP — replicate with floor(x+0.5), not
+    # numpy's banker's rounding (price cents hit exact .5 boundaries)
+    x1 = np.floor(np.array(t.column("l_quantity").to_pylist()) + 0.5)
+    x2 = np.floor(np.array(t.column("l_discount").to_pylist()) * 100 + 0.5)
+    y = np.floor(
+        np.array(t.column("l_extendedprice").to_pylist()) * 100 + 0.5
+    )
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+
+    rows = _run(spark, sf_dir, "ridge_regression_grid")
+    assert [r["lam"] for r in rows] == [0, 10000, 1000000]
+    for r in rows:
+        # the operator leaves the intercept unpenalized
+        A = X.T @ X + r["lam"] * np.diag([0.0, 1.0, 1.0])
+        theta = np.linalg.solve(A, X.T @ y) / 100
+        assert abs(r["theta0"] - theta[0]) < 1e-3
+        assert abs(r["theta1"] - theta[1]) < 1e-6
+        assert abs(r["theta2"] - theta[2]) < 1e-4
+        yhat = (theta[0] + 25 * theta[1] + 5 * theta[2])
+        assert abs(r["yhat_q25_d5"] - yhat) < 1e-3
+
+
+def test_mann_kendall_replay(spark, sf_dir):
+    """Exact S / Var(S) / Z replay in pure Python."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    rev = defaultdict(int)
+    for ts, v in zip(t.column("ts").to_pylist(), t.column("value").to_pylist()):
+        rev[ts.date()] += math.floor(v * 100 + 0.5)
+    ys = [rev[d] for d in sorted(rev)]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(ys)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+
+    (row,) = _run(spark, sf_dir, "mann_kendall_trend")
+    assert row["n_days"] == n
+    assert row["s_stat"] == s
+    assert math.isclose(row["var_s"], round(var, 6), abs_tol=1e-9)
+    assert math.isclose(row["z_stat"], round(z, 6), abs_tol=1e-9)
+    assert row["trend"] == (
+        "increasing" if s > 0 else "decreasing" if s < 0 else "no_trend"
+    )

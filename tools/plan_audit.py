@@ -80,6 +80,10 @@ CARTESIAN_OK = {
     # calendar-bounded dimension as theil_sen_daily_trend; concordance
     # counting is inherently pairwise, reduced by one combinable agg)
     "kendall_tau_daily",
+    # same day²-pair bound as kendall_tau_daily (the S statistic is a
+    # pairwise sign sum over the per-DAY aggregate, reduced by one
+    # combinable agg)
+    "mann_kendall_trend",
     # every cross here is a 1-row scalar broadcast (the per-round
     # renormalizer max, the Rayleigh numerator/denominator aggregates)
     # against d-row / d²-row model-state frames (d = 64) — one build
