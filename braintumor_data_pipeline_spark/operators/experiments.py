@@ -5252,6 +5252,41 @@ def _sum_terms(expr: str) -> str:
     return out
 
 
+
+def _anova_wide_frame(spark, sf_dir):
+    """The shared 1-row exact-moment pivot both ANOVA and Tukey read:
+    per-type (n, Σcents, Σcents²) spread into fixed columns n_<t>/
+    s1_<t>/s2_<t> via conditional aggregation (the wide CASE pivot)."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    s = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    aggs = []
+    for t in _ANOVA_TYPES:
+        for m in ("n", "s1", "s2"):
+            aggs.append(
+                F.max(
+                    F.when(F.col("event_type") == t, F.col(m))
+                ).alias(f"{m}_{t}")
+            )
+    return s.agg(*aggs)
+
+
+def _anova_fold(fmt):
+    """Left-fold fmt(type) over _ANOVA_TYPES — the fixed addition
+    order both oracles state textually (see _ANOVA_TYPES note)."""
+    out = fmt(_ANOVA_TYPES[0])
+    for t in _ANOVA_TYPES[1:]:
+        out = out + fmt(t)
+    return out
+
+
 @register(
     "anova_f_event_value",
     oracle=f"""
@@ -5297,31 +5332,8 @@ def anova_f_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor — then a 5-row conditional pivot feeds the float algebra
     once, in the fixed _ANOVA_TYPES fold order, so the oracle's doubles
     are bit-identical. SS terms are reported in dollars² (/10000)."""
-    e = _t(spark, sf_dir, "events")
-    cents = e.select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
-    s = cents.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    aggs = []
-    for t in _ANOVA_TYPES:
-        for m in ("n", "s1", "s2"):
-            aggs.append(
-                F.max(
-                    F.when(F.col("event_type") == t, F.col(m))
-                ).alias(f"{m}_{t}")
-            )
-    wide = s.agg(*aggs)
-
-    def fold(fmt):
-        out = fmt(_ANOVA_TYPES[0])
-        for t in _ANOVA_TYPES[1:]:
-            out = out + fmt(t)
-        return out
+    wide = _anova_wide_frame(spark, sf_dir)
+    fold = _anova_fold
 
     n_total = fold(lambda t: F.col(f"n_{t}"))
     s_total = fold(lambda t: F.col(f"s1_{t}").cast("double"))
@@ -5633,31 +5645,8 @@ def tukey_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot, SSW folded in the fixed literal order, then per-pair scalar
     algebra over a 10-row literal cross — both engines run the same
     textual expression over the same exact integers."""
-    e = _t(spark, sf_dir, "events")
-    cents = e.select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
-    s = cents.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    aggs = []
-    for t in _ANOVA_TYPES:
-        for m in ("n", "s1", "s2"):
-            aggs.append(
-                F.max(
-                    F.when(F.col("event_type") == t, F.col(m))
-                ).alias(f"{m}_{t}")
-            )
-    wide = s.agg(*aggs)
-
-    def fold(fmt):
-        out = fmt(_ANOVA_TYPES[0])
-        for t in _ANOVA_TYPES[1:]:
-            out = out + fmt(t)
-        return out
+    wide = _anova_wide_frame(spark, sf_dir)
+    fold = _anova_fold
 
     calc = wide.select(
         "*",
