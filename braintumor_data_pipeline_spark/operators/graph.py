@@ -1112,3 +1112,144 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (VERDICT r5 task 7 — matches components.py; PR_ITERS can now
         # be raised without growing one joined plan per round)
     return pr.orderBy(F.col("pr").desc(), "p_partkey").limit(20)
+
+
+#: HITS (Kleinberg 1999) over the customer→part purchase bipartite
+#: graph: HITS_ROUNDS full hub↔authority alternations, each half-step
+#: renormalized to |score| ≤ HITS_VSCALE by truncating integer
+#: division (Spark div ≡ DuckDB // toward zero), so the whole
+#: trajectory is exact integers and the unrolled oracle replays it
+#: bit-for-bit. Scores are non-negative throughout (sums of
+#: non-negative starts), so truncation direction never matters here;
+#: the div/// parity note is for symmetry with power_iteration.
+HITS_ROUNDS = 4
+HITS_VSCALE = 1000
+
+
+def _hits_stage_sql(k: int) -> str:
+    return f"""a{k}raw AS MATERIALIZED (
+      SELECT e.part, CAST(sum(h.s) AS BIGINT) AS s
+      FROM edges e JOIN h{k - 1} h ON h.cust = e.cust
+      GROUP BY e.part
+    ),
+    am{k} AS (SELECT greatest(max(s) // {HITS_VSCALE}, 1) AS m FROM a{k}raw),
+    a{k} AS MATERIALIZED (
+      SELECT part, s // m AS s FROM a{k}raw, am{k}
+    ),
+    h{k}raw AS MATERIALIZED (
+      SELECT e.cust, CAST(sum(a.s) AS BIGINT) AS s
+      FROM edges e JOIN a{k} a ON a.part = e.part
+      GROUP BY e.cust
+    ),
+    hm{k} AS (SELECT greatest(max(s) // {HITS_VSCALE}, 1) AS m FROM h{k}raw),
+    h{k} AS MATERIALIZED (
+      SELECT cust, s // m AS s FROM h{k}raw, hm{k}
+    )"""
+
+
+_HITS_STAGES_SQL = ",\n    ".join(
+    _hits_stage_sql(k) for k in range(1, HITS_ROUNDS + 1)
+)
+
+
+@register(
+    "hits_hubs_authorities",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT cust, CAST({HITS_VSCALE} AS BIGINT) AS s FROM edges
+    ),
+    {_HITS_STAGES_SQL},
+    tops AS (
+      SELECT 'authority' AS side, part AS node_id, s
+      FROM a{HITS_ROUNDS}
+      ORDER BY s DESC, part LIMIT 20
+    ),
+    toph AS (
+      SELECT 'hub' AS side, cust AS node_id, s
+      FROM h{HITS_ROUNDS}
+      ORDER BY s DESC, cust LIMIT 20
+    )
+    SELECT side, CAST(node_id AS BIGINT) AS node_id,
+           CAST(s AS BIGINT) AS score_scaled
+    FROM (SELECT * FROM tops UNION ALL SELECT * FROM toph)
+    ORDER BY side, score_scaled DESC, node_id
+    """,
+    tags=("graph", "iterative", "ranking"),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the customer→part
+    purchase graph: authority(part) sums its buyers' hub scores,
+    hub(customer) sums its parts' authority scores, alternating for
+    HITS_ROUNDS rounds with integer renormalization each half-step —
+    the link-analysis complement to pagerank_fixed_point (bipartite,
+    two mutually-recursive scores instead of one stochastic walk).
+    Exactness: all-integer trajectory (see constant note), top-20 per
+    side by (score, id) total order. Distributed shape per half-step:
+    one edges⋈scores hash join + one map-side-combinable sum-groupBy
+    (linear in edges, one shuffle) + a 1-row max broadcast; the edge
+    list builds once from a single orders⋈lineitem equi-join and is
+    lineage-cut. Top-K is TakeOrdered — never a global sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    edges = (
+        o.join(li, "ok").select("cust", "part").distinct().localCheckpoint()
+    )
+    h = edges.select("cust").distinct().select(
+        "cust", F.lit(HITS_VSCALE).cast("long").alias("s")
+    )
+
+    def _renorm(df, key):
+        m = df.agg(
+            F.greatest(
+                F.expr(f"div(max(s), {HITS_VSCALE})"), F.lit(1).cast("long")
+            ).alias("m")
+        )
+        return (
+            df.crossJoin(F.broadcast(m))
+            .select(key, F.expr("div(s, m)").cast("long").alias("s"))
+            .localCheckpoint()
+        )
+
+    a = None
+    for _ in range(HITS_ROUNDS):
+        araw = (
+            edges.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        a = _renorm(araw, "part")
+        hraw = (
+            edges.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        h = _renorm(hraw, "cust")
+    tops = (
+        a.orderBy(F.desc("s"), "part")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("part").cast("long").alias("node_id"),
+            F.col("s").cast("long").alias("score_scaled"),
+        )
+    )
+    toph = (
+        h.orderBy(F.desc("s"), "cust")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("cust").cast("long").alias("node_id"),
+            F.col("s").cast("long").alias("score_scaled"),
+        )
+    )
+    return tops.unionAll(toph).orderBy(
+        "side", F.desc("score_scaled"), "node_id"
+    )

@@ -501,3 +501,54 @@ def test_mann_kendall_replay(spark, sf_dir):
     assert row["trend"] == (
         "increasing" if s > 0 else "decreasing" if s < 0 else "no_trend"
     )
+
+
+def test_hits_replay(spark, sf_dir):
+    """Replay the exact integer HITS trajectory in pure Python from
+    the raw fixture and compare the full top-20 tables."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_VSCALE,
+    )
+
+    ot = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    lt = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    cust_of = dict(
+        zip(ot.column("o_orderkey").to_pylist(), ot.column("o_custkey").to_pylist())
+    )
+    edges = set()
+    for ok, pk in zip(
+        lt.column("l_orderkey").to_pylist(), lt.column("l_partkey").to_pylist()
+    ):
+        edges.add((cust_of[ok], pk))
+    by_cust = defaultdict(list)
+    by_part = defaultdict(list)
+    for c, p in edges:
+        by_cust[c].append(p)
+        by_part[p].append(c)
+    h = {c: HITS_VSCALE for c in by_cust}
+    for _ in range(HITS_ROUNDS):
+        a = {p: sum(h[c] for c in cs) for p, cs in by_part.items()}
+        m = max(max(a.values()) // HITS_VSCALE, 1)
+        a = {p: v // m for p, v in a.items()}
+        h = {c: sum(a[p] for p in ps) for c, ps in by_cust.items()}
+        m = max(max(h.values()) // HITS_VSCALE, 1)
+        h = {c: v // m for c, v in h.items()}
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    rows = _run(spark, sf_dir, "hits_hubs_authorities")
+    got_a = [
+        (r["node_id"], r["score_scaled"])
+        for r in rows
+        if r["side"] == "authority"
+    ]
+    got_h = [
+        (r["node_id"], r["score_scaled"]) for r in rows if r["side"] == "hub"
+    ]
+    assert got_a == top_a
+    assert got_h == top_h
