@@ -1344,3 +1344,80 @@ def bitmap_activity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("consecutive_day_triples"),
     ).orderBy("user_id", "month")
+
+
+@register(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', ts) AS month,
+             CAST(ts AS DATE) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY month, day
+    ),
+    monthly AS (
+      SELECT date_trunc('month', ts) AS month,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY month
+    ),
+    d AS (
+      SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS dau_sum,
+             CAST(min(dau) AS BIGINT) AS dau_min,
+             CAST(max(dau) AS BIGINT) AS dau_max
+      FROM daily GROUP BY month
+    )
+    SELECT CAST(d.month AS DATE) AS month, d.n_days,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(CAST(d.dau_sum AS DOUBLE) / d.n_days, 6) AS avg_dau,
+           d.dau_min, d.dau_max,
+           round(CAST(d.dau_sum AS DOUBLE) / d.n_days / m.mau, 6)
+             AS stickiness
+    FROM d JOIN monthly m USING (month)
+    ORDER BY month
+    """,
+    tags=("analytics", "engagement", "agg"),
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    consumer-product dashboard leads with (what fraction of the
+    monthly actives show up on an average day). Exactness: DAU and MAU
+    are exact distinct counts; the two divisions run once per month
+    row over exact integers in a fixed order. Distributed shape: two
+    count-distinct aggregations over the same scan (day and month
+    grain — Spark plans one shuffle each, both combinable in the
+    partial-distinct phase) joined on the bounded month key."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = e.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    d = daily.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.min("dau").cast("long").alias("dau_min"),
+        F.max("dau").cast("long").alias("dau_max"),
+    )
+    return (
+        d.join(monthly, "month")
+        .select(
+            F.col("month").cast("date").alias("month"),
+            "n_days",
+            F.col("mau").cast("long").alias("mau"),
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days"), 6
+            ).alias("avg_dau"),
+            "dau_min",
+            "dau_max",
+            F.round(
+                F.col("dau_sum").cast("double")
+                / F.col("n_days")
+                / F.col("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -5931,3 +5931,144 @@ def ridge_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(({_RIDGE_T0} + 25 * {_RIDGE_T1} + 5 * {_RIDGE_T2}) / 100, 6)"
         " AS yhat_q25_d5",
     ).orderBy("lam")
+
+
+@register(
+    "revenue_decomposition_by_arm",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT {_ARM_SQL} AS arm, user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN round(value * 100) ELSE 0 END) AS BIGINT)
+               AS cents,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events
+      GROUP BY arm, user_id
+    ),
+    s AS (
+      SELECT arm,
+             count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        max(CASE WHEN arm = 'A' THEN n_conv END) AS ca,
+        max(CASE WHEN arm = 'A' THEN cents END) AS ra,
+        max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        max(CASE WHEN arm = 'B' THEN n_conv END) AS cb,
+        max(CASE WHEN arm = 'B' THEN cents END) AS rb
+      FROM s
+    )
+    SELECT arm, n_users, n_conv,
+           round(conv, 6) AS conversion_rate,
+           round(aov / 100, 6) AS aov,
+           round(rpu / 100, 6) AS rpu,
+           round(d_conv_part / 100, 6) AS delta_from_conversion,
+           round(d_aov_part / 100, 6) AS delta_from_aov,
+           round(d_mix_part / 100, 6) AS delta_interaction
+    FROM (
+      SELECT 'A' AS arm, CAST(na AS BIGINT) AS n_users,
+             CAST(ca AS BIGINT) AS n_conv,
+             CAST(ca AS DOUBLE) / na AS conv,
+             CAST(ra AS DOUBLE) / ca AS aov,
+             CAST(ra AS DOUBLE) / na AS rpu,
+             0.0 AS d_conv_part, 0.0 AS d_aov_part, 0.0 AS d_mix_part
+      FROM wide
+      UNION ALL
+      SELECT 'B', CAST(nb AS BIGINT), CAST(cb AS BIGINT),
+             CAST(cb AS DOUBLE) / nb,
+             CAST(rb AS DOUBLE) / cb,
+             CAST(rb AS DOUBLE) / nb,
+             (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+               * (CAST(ra AS DOUBLE) / ca),
+             (CAST(ca AS DOUBLE) / na)
+               * (CAST(rb AS DOUBLE) / cb - CAST(ra AS DOUBLE) / ca),
+             (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+               * (CAST(rb AS DOUBLE) / cb - CAST(ra AS DOUBLE) / ca)
+      FROM wide
+    )
+    ORDER BY arm
+    """,
+    tags=("experiment", "agg", "metrics"),
+)
+def revenue_decomposition_by_arm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiplicative metric decomposition: revenue-per-user =
+    conversion-rate × AOV, with arm B's RPU delta vs arm A split
+    exactly into Δconversion·AOV_A + conversion_A·ΔAOV + Δ·Δ (the
+    interaction) — the factor-attribution identity every growth
+    readout uses to say WHY the topline moved (and the three parts
+    sum to ΔRPU exactly, asserted in tests). Arms are the md5 user
+    split (_ARM_SQL). Exactness: one per-user aggregate then a 2-row
+    moment pivot; all ratios run once over six exact integers in a
+    fixed textual order. Distributed shape: groupBy(arm, user) then a
+    2-row conditional pivot — mergeable all the way."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy(_arm().alias("arm"), "user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    s = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+        F.sum("cents").alias("cents"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "A", F.col("cents"))).alias("ra"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("cb"),
+        F.max(F.when(F.col("arm") == "B", F.col("cents"))).alias("rb"),
+    )
+    conv_a = F.col("ca").cast("double") / F.col("na")
+    aov_a = F.col("ra").cast("double") / F.col("ca")
+    conv_b = F.col("cb").cast("double") / F.col("nb")
+    aov_b = F.col("rb").cast("double") / F.col("cb")
+    row_a = wide.select(
+        F.lit("A").alias("arm"),
+        F.col("na").cast("long").alias("n_users"),
+        F.col("ca").cast("long").alias("n_conv"),
+        F.round(conv_a, 6).alias("conversion_rate"),
+        F.round(aov_a / 100, 6).alias("aov"),
+        F.round(F.col("ra").cast("double") / F.col("na") / 100, 6).alias(
+            "rpu"
+        ),
+        F.lit(0.0).alias("delta_from_conversion"),
+        F.lit(0.0).alias("delta_from_aov"),
+        F.lit(0.0).alias("delta_interaction"),
+    )
+    row_b = wide.select(
+        F.lit("B").alias("arm"),
+        F.col("nb").cast("long").alias("n_users"),
+        F.col("cb").cast("long").alias("n_conv"),
+        F.round(conv_b, 6).alias("conversion_rate"),
+        F.round(aov_b / 100, 6).alias("aov"),
+        F.round(F.col("rb").cast("double") / F.col("nb") / 100, 6).alias(
+            "rpu"
+        ),
+        F.round((conv_b - conv_a) * aov_a / 100, 6).alias(
+            "delta_from_conversion"
+        ),
+        F.round(conv_a * (aov_b - aov_a) / 100, 6).alias("delta_from_aov"),
+        F.round((conv_b - conv_a) * (aov_b - aov_a) / 100, 6).alias(
+            "delta_interaction"
+        ),
+    )
+    return row_a.unionAll(row_b).orderBy("arm")

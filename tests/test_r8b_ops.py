@@ -552,3 +552,48 @@ def test_hits_replay(spark, sf_dir):
     ]
     assert got_a == top_a
     assert got_h == top_h
+
+
+def test_stickiness_bounds_and_replay(spark, sf_dir):
+    """avg_dau ≤ mau (a day's actives are a subset of the month's);
+    stickiness in (0, 1]; dau_min ≤ avg ≤ dau_max; replay MAU."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    mau = defaultdict(set)
+    for ts, uid in zip(
+        t.column("ts").to_pylist(), t.column("user_id").to_pylist()
+    ):
+        mau[(ts.year, ts.month)].add(uid)
+
+    rows = _run(spark, sf_dir, "stickiness_dau_mau")
+    assert len(rows) == len(mau)
+    for r in rows:
+        assert r["mau"] == len(mau[(r["month"].year, r["month"].month)])
+        assert r["dau_min"] <= r["avg_dau"] <= r["dau_max"]
+        assert 0 < r["stickiness"] <= 1
+        assert math.isclose(
+            r["stickiness"], round(r["avg_dau"] / r["mau"], 6), abs_tol=2e-6
+        )
+
+
+def test_revenue_decomposition_parts_sum_to_delta(spark, sf_dir):
+    """The whole point of the identity: the three attribution parts
+    must sum EXACTLY (pre-rounding algebra) to ΔRPU = rpu_B − rpu_A."""
+    rows = {r["arm"]: r for r in _run(spark, sf_dir, "revenue_decomposition_by_arm")}
+    a, b = rows["A"], rows["B"]
+    assert a["delta_from_conversion"] == a["delta_from_aov"] == 0.0
+    d_rpu = b["rpu"] - a["rpu"]
+    parts = (
+        b["delta_from_conversion"]
+        + b["delta_from_aov"]
+        + b["delta_interaction"]
+    )
+    # parts computed pre-rounding sum to the exact delta; 6-dp rounding
+    # of four quantities bounds the discrepancy by 2e-6
+    assert abs(parts - d_rpu) < 2e-6
+    # consistency: rpu = conversion_rate * aov (up to rounding)
+    for r in (a, b):
+        assert abs(r["rpu"] - r["conversion_rate"] * r["aov"]) < 1e-4
