@@ -6072,3 +6072,198 @@ def revenue_decomposition_by_arm(
         ),
     )
     return row_a.unionAll(row_b).orderBy("arm")
+
+
+@register(
+    "logrank_test_arms",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT max(epoch_us(ts)) AS stream_end FROM events
+    ),
+    users AS (
+      SELECT {_ARM_SQL} AS arm, user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+               AS life_h,
+             CASE WHEN max(epoch_us(ts))
+                       >= (SELECT stream_end FROM bounds) - 86400000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY arm, user_id
+    ),
+    grid AS (
+      SELECT life_h,
+             CAST(sum(1 - censored) AS BIGINT) AS d_t,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 - censored ELSE 0 END)
+                  AS BIGINT) AS d_at,
+             CAST(count(*) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_at
+      FROM users GROUP BY life_h
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a
+      FROM users
+    ),
+    risk AS (
+      SELECT life_h, d_t, d_at,
+             t.n_all - CAST(coalesce(sum(c_t) OVER w, 0) AS BIGINT)
+               AS n_t,
+             t.n_a - CAST(coalesce(sum(c_at) OVER w, 0) AS BIGINT)
+               AS n_at
+      FROM grid CROSS JOIN tot t
+      WINDOW w AS (ORDER BY life_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+      SELECT life_h, d_at,
+             d_t * (CAST(n_at AS DOUBLE) / n_t) AS e_at,
+             CASE WHEN n_t > 1 THEN
+               d_t * (CAST(n_at AS DOUBLE) / n_t)
+                   * (1.0 - CAST(n_at AS DOUBLE) / n_t)
+                   * (n_t - d_t) / (n_t - 1)
+             ELSE 0.0 END AS v_t
+      FROM risk WHERE d_t > 0
+    ),
+    acc AS (
+      -- running PREFIX sums read at the LAST grid row: a sequential
+      -- left-to-right float fold on both engines (a full-frame window
+      -- sum would leave accumulation order engine-chosen)
+      SELECT sum(e_at) OVER w AS e_a,
+             sum(v_t) OVER w AS v,
+             CAST(sum(d_at) OVER w AS BIGINT) AS o_a2,
+             row_number() OVER (ORDER BY life_h) AS rn,
+             count(*) OVER () AS n_times
+      FROM terms
+      WINDOW w AS (ORDER BY life_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_users_a,
+           CAST(t.n_all - t.n_a AS BIGINT) AS n_users_b,
+           CAST(a.n_times AS BIGINT) AS n_event_times,
+           a.o_a2 AS observed_a,
+           round(a.e_a, 6) AS expected_a,
+           round((a.o_a2 - a.e_a) * (a.o_a2 - a.e_a) / a.v, 6)
+             AS logrank_chi2
+    FROM acc a CROSS JOIN tot t
+    WHERE a.rn = a.n_times
+    """,
+    tags=("experiment", "stats", "survival", "window"),
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing user-lifetime survival between the md5
+    A/B arms — the hypothesis test that belongs next to the
+    kaplan_meier_user_lifetime curve (same lifetime and 24h-censoring
+    definitions, experiments.py:1755). At every pooled event time the
+    O−E contribution and hypergeometric variance are computed from
+    exact integer risk sets (at-risk via the same
+    prefix-window-over-the-lifetime-grid recipe as KM — never a
+    per-user window), then summed over the ORDERED bounded grid so
+    the float fold is order-pinned on both engines. One output row:
+    arm sizes, Σobserved, Σexpected, and the χ²₁ statistic."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.max(F.unix_micros("ts")).alias("stream_end")
+    )
+    users = (
+        e.groupBy(_arm().alias("arm"), "user_id")
+        .agg(
+            F.expr(
+                "div(max(unix_micros(ts)) - min(unix_micros(ts)),"
+                " 3600000000)"
+            ).alias("life_h"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "arm",
+            "life_h",
+            F.when(
+                F.col("last_us") >= F.col("stream_end") - 86400000000, 1
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    grid = users.groupBy("life_h").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d_t"),
+        F.sum(
+            F.when(F.col("arm") == "A", 1 - F.col("censored")).otherwise(0)
+        )
+        .cast("long")
+        .alias("d_at"),
+        F.count("*").cast("long").alias("c_t"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("c_at"),
+    )
+    tot = users.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+    )
+    w = Window.orderBy("life_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "life_h",
+        "d_t",
+        "d_at",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("c_t").over(w), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_t"),
+        (
+            F.col("n_a")
+            - F.coalesce(F.sum("c_at").over(w), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at"),
+    )
+    frac = F.col("n_at").cast("double") / F.col("n_t")
+    terms = risk.filter(F.col("d_t") > 0).select(
+        "life_h",
+        "d_at",
+        (F.col("d_t") * frac).alias("e_at"),
+        F.when(
+            F.col("n_t") > 1,
+            F.col("d_t")
+            * frac
+            * (1.0 - frac)
+            * (F.col("n_t") - F.col("d_t"))
+            / (F.col("n_t") - 1),
+        )
+        .otherwise(0.0)
+        .alias("v_t"),
+    )
+    wrun = Window.orderBy("life_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.orderBy("life_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = terms.select(
+        F.sum("e_at").over(wrun).alias("e_a"),
+        F.sum("v_t").over(wrun).alias("v"),
+        F.sum("d_at").over(wrun).cast("long").alias("o_a2"),
+        F.row_number().over(Window.orderBy("life_h")).alias("rn"),
+        F.count("*").over(wfull).alias("n_times"),
+    ).filter(F.col("rn") == F.col("n_times"))
+    return acc.crossJoin(F.broadcast(tot)).select(
+        F.col("n_a").cast("long").alias("n_users_a"),
+        (F.col("n_all") - F.col("n_a")).cast("long").alias("n_users_b"),
+        F.col("n_times").cast("long").alias("n_event_times"),
+        F.col("o_a2").alias("observed_a"),
+        F.round("e_a", 6).alias("expected_a"),
+        F.round(
+            (F.col("o_a2") - F.col("e_a"))
+            * (F.col("o_a2") - F.col("e_a"))
+            / F.col("v"),
+            6,
+        ).alias("logrank_chi2"),
+    )

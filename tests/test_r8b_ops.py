@@ -597,3 +597,68 @@ def test_revenue_decomposition_parts_sum_to_delta(spark, sf_dir):
     # consistency: rpu = conversion_rate * aov (up to rounding)
     for r in (a, b):
         assert abs(r["rpu"] - r["conversion_rate"] * r["aov"]) < 1e-4
+
+
+def test_logrank_replay(spark, sf_dir):
+    """Replay the log-rank statistic in pure Python using the exact
+    lifetime/censoring definitions shared with kaplan_meier."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    first = {}
+    last = {}
+    for ts, uid in zip(
+        t.column("ts").to_pylist(), t.column("user_id").to_pylist()
+    ):
+        us = int(ts.timestamp() * 1_000_000)
+        first[uid] = min(first.get(uid, us), us)
+        last[uid] = max(last.get(uid, us), us)
+    stream_end = max(last.values())
+    users = []
+    for uid in first:
+        arm = (
+            "A"
+            if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+            else "B"
+        )
+        life = (last[uid] - first[uid]) // 3_600_000_000
+        cens = last[uid] >= stream_end - 86_400_000_000
+        users.append((arm, life, cens))
+    grid = defaultdict(lambda: [0, 0, 0, 0])  # d_t, d_at, c_t, c_at
+    for arm, life, cens in users:
+        g = grid[life]
+        g[0] += not cens
+        g[1] += (arm == "A") and not cens
+        g[2] += 1
+        g[3] += arm == "A"
+    n_all = len(users)
+    n_a = sum(1 for a, _, _ in users if a == "A")
+    seen_t = seen_a = 0
+    o = e = v = 0.0
+    n_times = 0
+    for life in sorted(grid):
+        d_t, d_at, c_t, c_at = grid[life]
+        n_t = n_all - seen_t
+        n_at = n_a - seen_a
+        seen_t += c_t
+        seen_a += c_at
+        if d_t == 0:
+            continue
+        n_times += 1
+        frac = n_at / n_t
+        o += d_at
+        e += d_t * frac
+        if n_t > 1:
+            v += d_t * frac * (1 - frac) * (n_t - d_t) / (n_t - 1)
+    chi2 = (o - e) ** 2 / v
+
+    (row,) = _run(spark, sf_dir, "logrank_test_arms")
+    assert row["n_users_a"] == n_a
+    assert row["n_users_b"] == n_all - n_a
+    assert row["n_event_times"] == n_times
+    assert row["observed_a"] == o
+    assert math.isclose(row["expected_a"], round(e, 6), abs_tol=1e-6)
+    assert math.isclose(row["logrank_chi2"], round(chi2, 6), abs_tol=1e-6)

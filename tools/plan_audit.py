@@ -143,6 +143,8 @@ GLOBAL_WINDOW_OK.update(
         "calendar-bounded (same bound as its CARTESIAN_OK entry)",
         "kaplan_meier_user_lifetime": "distinct lifetime hours <= "
         "observed time span in hours (volume-free)",
+        "logrank_test_arms": "distinct lifetime hours <= observed time "
+        "span in hours (volume-free; same grid as kaplan_meier)",
         "ks_two_sample_purchase_value": "distinct purchase cents <= "
         "price-domain range in cents (~48k; volume-free)",
         "mann_whitney_u_purchase_value": "distinct purchase cents <= "
