@@ -6267,3 +6267,128 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logrank_chi2"),
     )
+
+
+@register(
+    "james_stein_group_means",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM cents GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(s1) AS BIGINT) AS s_all,
+             CAST(sum(s2) AS DECIMAL(38,0)) AS q_all,
+             -- floor-quantized between-moment: each term s1*s1 // n is
+             -- an EXACT integer, so the k-term sum is order-free (the
+             -- double version drifts ~1 ulp per engine at k ~ 10^3);
+             -- the <1-per-user quantization is statistically nil
+             CAST(sum(s1 * s1 // n) AS DECIMAL(38,0)) AS sb_int
+      FROM per_user
+    ),
+    fac AS (
+      SELECT k, CAST(s_all AS DOUBLE) / n_all AS grand,
+             greatest(0.0, 1.0 - (k - 3)
+               * ((CAST(q_all AS DOUBLE) - CAST(sb_int AS DOUBLE))
+                  / (n_all - k))
+               / nullif(CAST(sb_int AS DOUBLE)
+                        - CAST(s_all * s_all // n_all AS DOUBLE),
+                        0.0)) AS shrink
+      FROM g
+    )
+    SELECT u.user_id,
+           CAST(u.n AS BIGINT) AS n,
+           round(CAST(u.s1 AS DOUBLE) / u.n / 100, 6) AS raw_mean,
+           round(f.shrink, 6) AS shrink_factor,
+           round((f.grand + f.shrink
+                  * (CAST(u.s1 AS DOUBLE) / u.n - f.grand)) / 100, 6)
+             AS js_mean
+    FROM per_user u CROSS JOIN fac f
+    ORDER BY u.user_id
+    """,
+    tags=("experiment", "stats", "shrinkage", "agg"),
+)
+def james_stein_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein / empirical-Bayes shrinkage of per-user mean
+    purchase value toward the grand mean — the many-groups estimator
+    that dominates raw group means whenever k ≥ 4 (small-sample user
+    means are mostly noise; the shrink factor 1 − (k−3)·MSW/SSB
+    learns how much). All moments are exact integer cents sums reduced
+    in one combinable per-user groupBy plus a k-row fold; the shrink
+    factor and grand mean are ONE broadcast scalar row; per-user
+    output is scalar algebra over exact integers. The same
+    positive-part estimator a metrics platform applies before ranking
+    thousands of low-traffic segments. The between-group moment is
+    floor-quantized per user (s1²//n — exact integers, so the k-term
+    sum is order-free on any engine/partitioning; a double sum here
+    drifts with accumulation order at k ~ 10³ and can flip a 6-dp
+    rounding). Bound: per-user purchase cents < 3e9 keeps s1² in
+    int64 at any tested SF."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    per_user = cents.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    g = per_user.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("s1").cast("long").alias("s_all"),
+        F.sum("s2").cast("decimal(38,0)").alias("q_all"),
+        # floor-quantized between-moment — see the oracle comment:
+        # exact integers make the k-term sum order-free
+        F.sum(F.expr("div(s1 * s1, n)"))
+        .cast("decimal(38,0)")
+        .alias("sb_int"),
+    )
+    fac = g.select(
+        "k",
+        (F.col("s_all").cast("double") / F.col("n_all")).alias("grand"),
+        F.greatest(
+            F.lit(0.0),
+            1.0
+            - (F.col("k") - 3)
+            * (
+                (
+                    F.col("q_all").cast("double")
+                    - F.col("sb_int").cast("double")
+                )
+                / (F.col("n_all") - F.col("k"))
+            )
+            / F.nullif(
+                F.col("sb_int").cast("double")
+                - F.expr("div(s_all * s_all, n_all)").cast("double"),
+                F.lit(0.0),
+            ),
+        ).alias("shrink"),
+    )
+    raw_mean = F.col("s1").cast("double") / F.col("n")
+    return (
+        per_user.crossJoin(F.broadcast(fac))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(raw_mean / 100, 6).alias("raw_mean"),
+            F.round(F.col("shrink"), 6).alias("shrink_factor"),
+            F.round(
+                (
+                    F.col("grand")
+                    + F.col("shrink") * (raw_mean - F.col("grand"))
+                )
+                / 100,
+                6,
+            ).alias("js_mean"),
+        )
+        .orderBy("user_id")
+    )

@@ -662,3 +662,54 @@ def test_logrank_replay(spark, sf_dir):
     assert row["observed_a"] == o
     assert math.isclose(row["expected_a"], round(e, 6), abs_tol=1e-6)
     assert math.isclose(row["logrank_chi2"], round(chi2, 6), abs_tol=1e-6)
+
+
+def test_james_stein_shrinks_toward_grand(spark, sf_dir):
+    """0 ≤ shrink ≤ 1 (positive part); every js_mean lies between the
+    raw mean and the grand mean; replay the shrink factor exactly."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    per = defaultdict(lambda: [0, 0, 0])  # n, s1, s2
+    for ty, v, uid in zip(
+        t.column("event_type").to_pylist(),
+        t.column("value").to_pylist(),
+        t.column("user_id").to_pylist(),
+    ):
+        if ty != "purchase":
+            continue
+        c = round(v * 100)
+        g = per[uid]
+        g[0] += 1
+        g[1] += c
+        g[2] += c * c
+    k = len(per)
+    n_all = sum(g[0] for g in per.values())
+    s_all = sum(g[1] for g in per.values())
+    q_all = sum(g[2] for g in per.values())
+    sb_int = sum(g[1] * g[1] // g[0] for g in per.values())
+    grand = s_all / n_all
+    shrink = max(
+        0.0,
+        1.0
+        - (k - 3)
+        * ((q_all - sb_int) / (n_all - k))
+        / (sb_int - s_all * s_all // n_all),
+    )
+
+    rows = _run(spark, sf_dir, "james_stein_group_means")
+    assert len(rows) == k
+    for r in rows:
+        assert math.isclose(
+            r["shrink_factor"], round(shrink, 6), abs_tol=1e-9
+        )
+        assert 0.0 <= r["shrink_factor"] <= 1.0
+        lo, hi = sorted((r["raw_mean"], round(grand / 100, 6)))
+        assert lo - 1e-6 <= r["js_mean"] <= hi + 1e-6
+        n, s1, _ = per[r["user_id"]]
+        assert r["n"] == n
+        assert math.isclose(
+            r["raw_mean"], round(s1 / n / 100, 6), abs_tol=1e-9
+        )
