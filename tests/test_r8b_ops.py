@@ -1,6 +1,10 @@
-"""Property tests for the late-r8 operator batch (ANOVA F, SPRT,
-Simpson screen, label propagation, DP Laplace, RAKE) — invariants the
-DuckDB value-parity oracle cannot express, asserted at sf0.001.
+"""Property/replay tests for the late-r8 operator batch (ANOVA F,
+Tukey, SPRT, Simpson screen, quantile normalization, Kendall τ,
+Mann-Kendall, ridge, label propagation, HITS, DBSCAN, top-eigen
+squaring, DP Laplace, RAKE, CDC chunking, activity bitmaps,
+stickiness, revenue decomposition, log-rank, James-Stein) —
+invariants the DuckDB value-parity oracle cannot express (they hold
+for ANY input) plus independent pure-Python replays, at sf0.001.
 """
 
 from __future__ import annotations
