@@ -1421,3 +1421,127 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "decision_stump_gini",
+    oracle="""
+    WITH xy AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    per_x AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM xy GROUP BY x
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(pos) AS BIGINT) AS pos_all
+      FROM per_x
+    ),
+    cum AS (
+      SELECT x AS t,
+             CAST(sum(n) OVER w AS BIGINT) AS n_l,
+             CAST(sum(pos) OVER w AS BIGINT) AS pos_l
+      FROM per_x
+      WINDOW w AS (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    curve AS (
+      SELECT c.t, c.n_l, c.pos_l,
+             t2.n_all - c.n_l AS n_r,
+             t2.pos_all - c.pos_l AS pos_r,
+             (c.n_l * (1.0
+                - (CAST(c.pos_l AS DOUBLE) / c.n_l)
+                  * (CAST(c.pos_l AS DOUBLE) / c.n_l)
+                - (1.0 - CAST(c.pos_l AS DOUBLE) / c.n_l)
+                  * (1.0 - CAST(c.pos_l AS DOUBLE) / c.n_l))
+              + (t2.n_all - c.n_l) * (1.0
+                - (CAST(t2.pos_all - c.pos_l AS DOUBLE)
+                   / (t2.n_all - c.n_l))
+                  * (CAST(t2.pos_all - c.pos_l AS DOUBLE)
+                     / (t2.n_all - c.n_l))
+                - (1.0 - CAST(t2.pos_all - c.pos_l AS DOUBLE)
+                         / (t2.n_all - c.n_l))
+                  * (1.0 - CAST(t2.pos_all - c.pos_l AS DOUBLE)
+                           / (t2.n_all - c.n_l))))
+             / t2.n_all AS gini_w
+      FROM cum c CROSS JOIN tot t2
+      WHERE c.n_l < t2.n_all
+    )
+    SELECT t, n_l, pos_l, CAST(n_r AS BIGINT) AS n_r,
+           CAST(pos_r AS BIGINT) AS pos_r,
+           round(gini_w, 6) AS weighted_gini,
+           row_number() OVER (ORDER BY gini_w, t) = 1 AS is_best_split
+    FROM curve
+    ORDER BY t
+    """,
+    tags=("analytics", "ml", "window", "agg"),
+)
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision stump by weighted Gini impurity: the full
+    split-quality curve for x ≤ t over the quantity domain predicting
+    'returned' — the inner loop of every distributed tree learner
+    (XGBoost/LightGBM histogram splits), done the scale way: ONE
+    combinable groupBy reduces the corpus to the ≤50-row per-value
+    class-count histogram, prefix sums over that bounded grid give
+    every threshold's left/right counts, and the impurity algebra runs
+    per grid row over exact integers with an identical textual formula
+    on both engines (bit-identical doubles; argmin tie-broken by t).
+    Corpus size never touches the window — the histogram IS the
+    sufficient statistic, which is exactly why histogram-based tree
+    learners scale."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    xy = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    per_x = xy.groupBy("x").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = per_x.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_x.select(
+        F.col("x").alias("t"),
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("pos").over(w).cast("long").alias("pos_l"),
+    )
+    c = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_l") < F.col("n_all")
+    )
+    pl = F.col("pos_l").cast("double") / F.col("n_l")
+    n_r = F.col("n_all") - F.col("n_l")
+    pr = (F.col("pos_all") - F.col("pos_l")).cast("double") / n_r
+    gini_w = (
+        F.col("n_l") * (1.0 - pl * pl - (1.0 - pl) * (1.0 - pl))
+        + n_r * (1.0 - pr * pr - (1.0 - pr) * (1.0 - pr))
+    ) / F.col("n_all")
+    curve = c.select(
+        "t",
+        "n_l",
+        "pos_l",
+        n_r.cast("long").alias("n_r"),
+        (F.col("pos_all") - F.col("pos_l")).cast("long").alias("pos_r"),
+        gini_w.alias("gini_w"),
+    )
+    return curve.select(
+        "t",
+        "n_l",
+        "pos_l",
+        "n_r",
+        "pos_r",
+        F.round("gini_w", 6).alias("weighted_gini"),
+        (
+            F.row_number().over(Window.orderBy("gini_w", "t")) == 1
+        ).alias("is_best_split"),
+    ).orderBy("t")

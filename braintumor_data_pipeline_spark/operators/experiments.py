@@ -6392,3 +6392,95 @@ def james_stein_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS c
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY src, dst
+    ),
+    row_tot AS (
+      SELECT src, CAST(sum(c) AS BIGINT) AS row_n FROM trans GROUP BY src
+    ),
+    all_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM trans),
+    terms AS (
+      SELECT t.src,
+             -- plug-in: pi(src) = row_n/n, per-cell -p ln p quantized
+             sum(round(-(CAST(t.c AS DOUBLE) / r.row_n)
+                       * ln(CAST(t.c AS DOUBLE) / r.row_n), 6)) AS h_row,
+             CAST(min(r.row_n) AS BIGINT) AS row_n
+      FROM trans t JOIN row_tot r USING (src)
+      GROUP BY t.src
+    )
+    SELECT src AS state,
+           row_n AS n_transitions,
+           round(h_row, 6) AS row_entropy_nats,
+           round(CAST(row_n AS DOUBLE) / a.n * h_row, 6)
+             AS weighted_contribution_nats
+    FROM terms CROSS JOIN all_tot a
+    ORDER BY state
+    """,
+    tags=("experiment", "markov", "information", "window"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain (plug-in
+    estimate: H = Σ π̂(s)·H(P̂(·|s)) with π̂ the empirical state
+    frequency) — how predictable the next event is given the current
+    one; the sequence-model baseline next to
+    markov_next_event_accuracy. Per-state rows carry the conditional
+    entropy and the π-weighted contribution (their sum IS the entropy
+    rate — asserted in tests). Distributed shape: one per-user lead
+    window (single hash shuffle), one combinable transition-count
+    groupBy to the 25-cell matrix; the only transcendental is per-cell
+    −p·ln p quantized to 6 dp on both engines before the ≤5-term row
+    sum (the bigram_logprob convention, bounded here by the 5×5 type
+    vocabulary)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").alias("c"))
+    )
+    row_tot = trans.groupBy("src").agg(
+        F.sum("c").cast("long").alias("row_n")
+    )
+    all_tot = trans.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("row_n")
+    terms = (
+        trans.join(F.broadcast(row_tot), "src")
+        .groupBy("src")
+        .agg(
+            F.sum(F.round(-p * F.log(p), 6)).alias("h_row"),
+            F.min("row_n").cast("long").alias("row_n"),
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(all_tot))
+        .select(
+            F.col("src").alias("state"),
+            F.col("row_n").alias("n_transitions"),
+            F.round("h_row", 6).alias("row_entropy_nats"),
+            F.round(
+                F.col("row_n").cast("double") / F.col("n") * F.col("h_row"),
+                6,
+            ).alias("weighted_contribution_nats"),
+        )
+        .orderBy("state")
+    )

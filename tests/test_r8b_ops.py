@@ -717,3 +717,98 @@ def test_james_stein_shrinks_toward_grand(spark, sf_dir):
         assert math.isclose(
             r["raw_mean"], round(s1 / n / 100, 6), abs_tol=1e-9
         )
+
+
+def test_decision_stump_replay(spark, sf_dir):
+    """Replay the full Gini split curve in pure Python; the flagged
+    best split must be the true argmin with t tie-break."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    hist = defaultdict(lambda: [0, 0])
+    for q, rf in zip(
+        t.column("l_quantity").to_pylist(), t.column("l_returnflag").to_pylist()
+    ):
+        g = hist[round(q)]
+        g[0] += 1
+        g[1] += rf == "R"
+    n_all = sum(g[0] for g in hist.values())
+    pos_all = sum(g[1] for g in hist.values())
+
+    def gini(n, pos):
+        p = pos / n
+        return 1 - p * p - (1 - p) * (1 - p)
+
+    curve = {}
+    n_l = pos_l = 0
+    for x in sorted(hist):
+        n_l += hist[x][0]
+        pos_l += hist[x][1]
+        if n_l == n_all:
+            break
+        gw = (
+            n_l * gini(n_l, pos_l)
+            + (n_all - n_l) * gini(n_all - n_l, pos_all - pos_l)
+        ) / n_all
+        curve[x] = (n_l, pos_l, n_all - n_l, pos_all - pos_l, gw)
+    best_t = min(curve, key=lambda x: (curve[x][4], x))
+
+    rows = _run(spark, sf_dir, "decision_stump_gini")
+    assert len(rows) == len(curve)
+    for r in rows:
+        ref = curve[r["t"]]
+        assert (r["n_l"], r["pos_l"], r["n_r"], r["pos_r"]) == ref[:4]
+        assert math.isclose(r["weighted_gini"], round(ref[4], 6), abs_tol=1e-9)
+        assert r["is_best_split"] == (r["t"] == best_t)
+
+
+def test_markov_entropy_rate_replay(spark, sf_dir):
+    """Replay per-state conditional entropies (with the operator's
+    6-dp per-cell quantization) and check the weighted contributions
+    sum to the plug-in entropy rate."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    by_user = defaultdict(list)
+    for ts, eid, ty, uid in zip(
+        t.column("ts").to_pylist(),
+        t.column("event_id").to_pylist(),
+        t.column("event_type").to_pylist(),
+        t.column("user_id").to_pylist(),
+    ):
+        by_user[uid].append((ts, eid, ty))
+    trans = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            trans[(a[2], b[2])] += 1
+    row_n = defaultdict(int)
+    for (s, _), c in trans.items():
+        row_n[s] += c
+    n = sum(trans.values())
+    h_row = defaultdict(float)
+    for (s, _), c in trans.items():
+        p = c / row_n[s]
+        h_row[s] += round(-p * math.log(p), 6)
+
+    rows = _run(spark, sf_dir, "markov_entropy_rate")
+    assert {r["state"] for r in rows} == set(row_n)
+    total = 0.0
+    for r in rows:
+        s = r["state"]
+        assert r["n_transitions"] == row_n[s]
+        assert math.isclose(
+            r["row_entropy_nats"], round(h_row[s], 6), abs_tol=2e-6
+        )
+        assert math.isclose(
+            r["weighted_contribution_nats"],
+            round(row_n[s] / n * h_row[s], 6),
+            abs_tol=2e-6,
+        )
+        total += r["weighted_contribution_nats"]
+    # plug-in entropy rate of a 5-state chain: 0 < H <= ln 5
+    assert 0 < total <= math.log(5) + 1e-6

@@ -145,6 +145,9 @@ GLOBAL_WINDOW_OK.update(
         "observed time span in hours (volume-free)",
         "logrank_test_arms": "distinct lifetime hours <= observed time "
         "span in hours (volume-free; same grid as kaplan_meier)",
+        "decision_stump_gini": "per-quantity class histogram: <=50 rows "
+        "(l_quantity domain 1..50 — feature-domain-bounded, the "
+        "histogram-tree-learner sufficient statistic)",
         "ks_two_sample_purchase_value": "distinct purchase cents <= "
         "price-domain range in cents (~48k; volume-free)",
         "mann_whitney_u_purchase_value": "distinct purchase cents <= "
