@@ -7,7 +7,7 @@ examples run in seconds.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
 
@@ -120,6 +120,14 @@ def test_grayscale_equal_channels_identity(rgb3):
     st.floats(0.0, 1.0),
 )
 @settings(max_examples=40, deadline=None)
+@example(
+    # hypothesis-discovered boundary pair (r8): Δ = 85/255 = exactly 1/3
+    # against threshold f64(1/3) — the f32 predicate (reference
+    # contract) admits it, an f64 replication rejects it. Pinned so the
+    # test forever exercises an exact f32/f64 disagreement point.
+    img=np.array([[102] + [17] * 5] + [[17] * 6] * 5, dtype=np.uint8),
+    threshold=0.3333333333333333,
+)
 def test_region_growing_invariants(img, threshold):
     sy, sx = img.shape[0] // 2, img.shape[1] // 2
     mask = region_growing_np(
@@ -128,9 +136,13 @@ def test_region_growing_invariants(img, threshold):
     )
     assert set(np.unique(mask)).issubset({0, 1})
     assert mask[sy, sx] == 1  # seed always in region (pre-morphology)
-    # every admitted pixel satisfies the admission predicate
-    seed_norm = img[sy, sx] / 255.0
-    admissible = np.abs(img / 255.0 - seed_norm) <= threshold
+    # every admitted pixel satisfies the admission predicate — in the
+    # FLOAT32 arithmetic the reference normalizes with and the oracles
+    # replay via REAL casts (segmentation.py:464 doctrine); a float64
+    # replication disagrees on exact-boundary pairs like Δ=85, t=1/3
+    norm = img.astype(np.float32) / 255.0
+    seed_norm = float(img[sy, sx]) / 255.0
+    admissible = np.abs(norm - seed_norm) <= threshold
     assert (mask.astype(bool) <= admissible).all()
     # threshold 1.0 floods the whole image (everything is admissible)
     if threshold == 1.0:
