@@ -1088,3 +1088,182 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "fano_overdispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+                 / (n_days - 1), 6) AS var_daily,
+           round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+                  / (n_days - 1))
+                 / (CAST(s1 AS DOUBLE) / n_days), 6) AS fano_factor,
+           ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+            / (n_days - 1))
+           / (CAST(s1 AS DOUBLE) / n_days) > 1.5 AS overdispersed
+    FROM s
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "stats", "quality"),
+)
+def fano_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of DAILY event counts per
+    type — the overdispersion screen that says whether arrivals are
+    Poisson-like (F ≈ 1) or bursty/clumped (F ≫ 1, i.e. a negative-
+    binomial world where Poisson-based alert thresholds misfire); the
+    count-domain companion to interarrival_poisson_check. Exact
+    integer daily-count moments from one combinable two-key groupBy
+    reduced to the 5-type grid; the float algebra runs once per type
+    row. Flag at F > 1.5 (documented heuristic)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        (var / mean > 1.5).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+#: Page-Hinkley drift parameters: delta is the tolerated per-day mean
+#: shift (cents), lambda the alarm threshold on the PH gap. Both are
+#: plan literals; the statistic is sequential by definition, so every
+#: accumulation below is a running PREFIX window over the ordered day
+#: grid — genuinely left-to-right on both engines.
+PH_DELTA_CENTS = 500.0
+PH_LAMBDA_CENTS = 50000.0
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    seq AS (
+      SELECT day,
+             CAST(cents AS DOUBLE) / n AS xbar,
+             row_number() OVER (ORDER BY day) AS t,
+             sum(CAST(cents AS DOUBLE)) OVER w
+               / sum(CAST(n AS DOUBLE)) OVER w AS mu_t
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ph AS (
+      SELECT day, t, xbar, mu_t,
+             sum(xbar - mu_t - {PH_DELTA_CENTS}) OVER w2 AS m_t
+      FROM seq
+      WINDOW w2 AS (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gap AS (
+      SELECT day, t,
+             round(xbar / 100, 6) AS day_mean,
+             round(mu_t / 100, 6) AS running_mean,
+             round(m_t - min(m_t) OVER w3, 6) AS ph_gap_cents
+      FROM ph
+      WINDOW w3 AS (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(t AS BIGINT) AS t, day_mean, running_mean,
+           ph_gap_cents,
+           ph_gap_cents > {PH_LAMBDA_CENTS} AS drift_alarm
+    FROM gap
+    ORDER BY day
+    """,
+    tags=("timeseries", "drift", "sequential", "window"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector on the daily mean event
+    value — the streaming-ML standard for "has the mean shifted
+    upward?" (alarm when the cumulative deviation from the running
+    mean, minus its own running minimum, exceeds λ); the
+    per-observation companion to cusum_changepoint_daily's
+    retrospective split. Every accumulation (running weighted mean,
+    PH sum, running minimum) is a running PREFIX window over the
+    ordered day grid — sequential left-to-right folds, bit-identical
+    on both engines (never a full-frame sum), over exact integer
+    daily (cents, count) aggregates. Scale shape: one combinable
+    daily groupBy; windows touch only the calendar-bounded grid."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = daily.select(
+        "day",
+        (F.col("cents").cast("double") / F.col("n")).alias("xbar"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (
+            F.sum(F.col("cents").cast("double")).over(w)
+            / F.sum(F.col("n").cast("double")).over(w)
+        ).alias("mu_t"),
+    )
+    ph = seq.select(
+        "day",
+        "t",
+        "xbar",
+        "mu_t",
+        F.sum(
+            F.col("xbar") - F.col("mu_t") - F.lit(PH_DELTA_CENTS)
+        )
+        .over(w)
+        .alias("m_t"),
+    )
+    gap = ph.select(
+        "day",
+        "t",
+        F.round(F.col("xbar") / 100, 6).alias("day_mean"),
+        F.round(F.col("mu_t") / 100, 6).alias("running_mean"),
+        F.round(F.col("m_t") - F.min("m_t").over(w), 6).alias(
+            "ph_gap_cents"
+        ),
+    )
+    return gap.select(
+        "day",
+        F.col("t").cast("long").alias("t"),
+        "day_mean",
+        "running_mean",
+        "ph_gap_cents",
+        (F.col("ph_gap_cents") > PH_LAMBDA_CENTS).alias("drift_alarm"),
+    ).orderBy("day")

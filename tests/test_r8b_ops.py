@@ -812,3 +812,75 @@ def test_markov_entropy_rate_replay(spark, sf_dir):
         total += r["weighted_contribution_nats"]
     # plug-in entropy rate of a 5-state chain: 0 < H <= ln 5
     assert 0 < total <= math.log(5) + 1e-6
+
+
+def test_fano_replay(spark, sf_dir):
+    """Exact replay of per-type daily-count Fano factors."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    daily = defaultdict(int)
+    for ts, ty in zip(
+        t.column("ts").to_pylist(), t.column("event_type").to_pylist()
+    ):
+        daily[(ty, ts.date())] += 1
+    by_type = defaultdict(list)
+    for (ty, _), c in daily.items():
+        by_type[ty].append(c)
+    rows = _run(spark, sf_dir, "fano_overdispersion")
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        cs = by_type[r["event_type"]]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = (sum(c * c for c in cs) - sum(cs) ** 2 / n) / (n - 1)
+        assert r["n_days"] == n
+        assert math.isclose(r["mean_daily"], round(mean, 6), abs_tol=1e-6)
+        assert math.isclose(r["var_daily"], round(var, 6), abs_tol=1e-6)
+        assert math.isclose(
+            r["fano_factor"], round(var / mean, 6), abs_tol=1e-6
+        )
+        assert r["overdispersed"] == (var / mean > 1.5)
+
+
+def test_page_hinkley_replay(spark, sf_dir):
+    """Sequential Python replay of the PH gap; the gap is always ≥ 0
+    and resets follow the running-minimum definition."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.timeseries import (
+        PH_DELTA_CENTS,
+        PH_LAMBDA_CENTS,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    cents = defaultdict(int)
+    cnt = defaultdict(int)
+    for ts, v in zip(t.column("ts").to_pylist(), t.column("value").to_pylist()):
+        d = ts.date()
+        cents[d] += math.floor(v * 100 + 0.5)
+        cnt[d] += 1
+    s_c = s_n = 0.0
+    m = 0.0
+    m_min = math.inf
+    rows = {r["day"]: r for r in _run(spark, sf_dir, "page_hinkley_drift")}
+    assert len(rows) == len(cents)
+    for i, d in enumerate(sorted(cents), start=1):
+        xbar = cents[d] / cnt[d]
+        s_c += cents[d]
+        s_n += cnt[d]
+        mu = s_c / s_n
+        m += xbar - mu - PH_DELTA_CENTS
+        m_min = min(m_min, m)
+        gap = m - m_min
+        r = rows[d]
+        assert r["t"] == i
+        assert math.isclose(r["day_mean"], round(xbar / 100, 6), abs_tol=1e-6)
+        assert math.isclose(r["running_mean"], round(mu / 100, 6), abs_tol=1e-6)
+        assert math.isclose(r["ph_gap_cents"], round(gap, 6), abs_tol=1e-5)
+        assert r["ph_gap_cents"] >= 0
+        assert r["drift_alarm"] == (r["ph_gap_cents"] > PH_LAMBDA_CENTS)

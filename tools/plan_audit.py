@@ -148,6 +148,9 @@ GLOBAL_WINDOW_OK.update(
         "decision_stump_gini": "per-quantity class histogram: <=50 rows "
         "(l_quantity domain 1..50 — feature-domain-bounded, the "
         "histogram-tree-learner sufficient statistic)",
+        "page_hinkley_drift": "daily grid: rows <= observed days "
+        "(calendar-bounded; the PH statistic is sequential by "
+        "definition — running prefix folds over the day grain)",
         "ks_two_sample_purchase_value": "distinct purchase cents <= "
         "price-domain range in cents (~48k; volume-free)",
         "mann_whitney_u_purchase_value": "distinct purchase cents <= "
