@@ -1861,11 +1861,20 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition), then map-side-combinable hash aggregation; the report
     is exact integers plus one 6-dp ratio."""
     d = _t(spark, sf_dir, "documents")
+    # Guard the position explode: sequence(CDC_W, len) DESCENDS (step
+    # -1) when len < CDC_W, inventing positions whose substring start
+    # (i - CDC_W + 1 <= 0) counts from the string END — cuts the
+    # oracle's empty range(CDC_W, len+1) never produces. Short docs
+    # must contribute zero w-gram positions (their only cut is the
+    # unioned end-of-doc sentinel), mirroring the oracle exactly.
     pos = d.select(
         "doc_id",
         "text",
         F.explode(
-            F.sequence(F.lit(CDC_W), F.length("text"))
+            F.when(
+                F.length("text") >= CDC_W,
+                F.sequence(F.lit(CDC_W), F.length("text")),
+            ).otherwise(F.expr("array()").cast("array<int>"))
         ).alias("i"),
     )
     is_cut = (

@@ -3747,8 +3747,12 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.when(
             F.col("rnk") == F.col("m_eff"),
-            F.col("eq")
-            * (F.lit(SHAP_L).cast("long") / F.col("m_eff")).cast("long"),
+            # div(): true integer division, same truncate-toward-zero
+            # contract as the oracle's '//'. The previous double-divide
+            # + cast was exact only because SHAP_L = lcm(1..SHAP_M)
+            # < 2^53 divides every rnk/m_eff; div() stays exact for ANY
+            # future SHAP_M/SHAP_L choice (div-parity doctrine).
+            F.col("eq") * F.expr(f"div({SHAP_L}L, m_eff)"),
         )
         .when(
             F.col("rnk") < SHAP_K,
@@ -3757,7 +3761,7 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(
             (F.col("eq") - F.col("eq_next"))
-            * (F.lit(SHAP_L).cast("long") / F.col("rnk")).cast("long")
+            * F.expr(f"div({SHAP_L}L, rnk)")
         ),
     )
     w_suffix = (

@@ -301,6 +301,70 @@ def test_cdc_chunk_accounting_and_replay(spark, sf_dir):
     assert math.isclose(row["char_dedup_ratio"], round(ratio, 6), abs_tol=1e-9)
 
 
+def test_cdc_chunk_short_doc_guard(spark, tmp_path):
+    """Docs shorter than CDC_W must contribute ZERO w-gram positions.
+
+    Regression for the r8 ADVICE finding: Spark's sequence(CDC_W, len)
+    DESCENDS when len < CDC_W, inventing positions whose substring start
+    is <= 0 (counted from the string end) — any such phantom w-gram
+    hashing to 0 mod CDC_MOD added a cut the oracle's empty
+    range(CDC_W, len+1) never produces. The fixture can't catch this
+    (min doc length 44), so replay on a synthetic corpus of sub-window
+    docs, including the exact-boundary lengths 7 and 8.
+    """
+    import hashlib
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        CDC_MOD,
+        CDC_W,
+        cdc_chunk_dedup,
+    )
+
+    texts = [
+        "a",  # len 1
+        "ab",  # len 2
+        "abcdefg",  # len 7 == CDC_W - 1 (descending-sequence trigger)
+        "abcdefgh",  # len 8 == CDC_W exactly (one position)
+        "abcdefg",  # duplicate short doc → copies=2 for its chunk
+        "the quick brown fox jumps over the lazy dog " * 3,  # long doc
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    store = Counter()
+    total_chars = 0
+    for text in texts:
+        total_chars += len(text)
+        prev = 0
+        for i in range(CDC_W, len(text) + 1):
+            h = int(
+                hashlib.md5(text[i - CDC_W : i].encode()).hexdigest()[:8],
+                16,
+            )
+            if h % CDC_MOD == 0:
+                store[text[prev:i]] += 1
+                prev = i
+        if prev < len(text):
+            store[text[prev:]] += 1
+
+    (row,) = cdc_chunk_dedup(spark, str(tmp_path)).collect()
+    assert row["distinct_chunks"] == len(store)
+    assert row["total_chunks"] == sum(store.values())
+    assert row["total_chars"] == total_chars
+    assert row["distinct_chars"] == sum(len(c) for c in store)
+    assert row["max_copies"] == max(store.values()) >= 2
+
+
 def test_kendall_tau_replay(spark, sf_dir):
     """Replay Kendall τ-b in pure Python from the raw fixture."""
     from collections import defaultdict
