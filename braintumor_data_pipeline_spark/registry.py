@@ -304,6 +304,52 @@ DRIVER_WINDOW = 50
 #: also vacate. Module coverage holds at every swap (the smoke test
 #: asserts it); bench HEADLINE all stay.
 DRIVER_WINDOW = 50
+#: r9 rotation (VERDICT r8 tasks 1-2: evidence amortization; rotate the
+#: named shortlist, pause widening). Slot arithmetic first, because it
+#: bounds what ANY r9 window can achieve: 15 bench-HEADLINE slots are
+#: locked (perf and correctness gates must cover the same surface), and
+#: 27 non-headline module families each require one representative
+#: (the coverage invariant below) — 14 of those families have NO
+#: never-driver-checked member left (bpe, sketch, xml_io, phash, jsonl,
+#: intervals, skew, components, orc_io, csv_io, indexing, cdc,
+#: bucketed, recursive), so their keeps cannot become first-time rows.
+#: Maximum first-time slots this round = 13 family flips + 8 free
+#: slots = 21. The verdict's "never-checked < 165" target needs 24;
+#: 21 is the structural ceiling, so r9 lands 188 → 167-168 and the
+#: remainder amortizes in r10 (widening stays paused: ONE new operator
+#: this round, verdict item 7's named candidate, vs r8's +33).
+#: All 21 r8-green non-headline first-timers of the r8 window vacate
+#: (formulation unchanged — the ADVICE div/guard fixes touch only
+#: cdc_chunk_dedup and knn_shapley_data_values, which are INCOMING).
+#: Family flips to never-checked members:
+#: q18_large_order_customers -> q5_local_supplier_volume (tpch_shapes),
+#: grouped_exact_median -> bitmap_activity_index (analytics, shortlist),
+#: dummy_gt_dice -> imaging_udf_augment (imaging_udf),
+#: cuped_adjusted_uplift -> anova_f_event_value (experiments, shortlist),
+#: gopher_quality_gates -> text_quality_score (text, shortlist),
+#: dsir_importance_weights -> dp_laplace_noisy_counts (llm, shortlist),
+#: local_clustering_coefficient -> hits_hubs_authorities (graph),
+#: copurchase_kcore -> label_propagation_communities (graph_twins,
+#: shortlist), synthetic_skew_stress_agg -> synthetic_session_windows
+#: (generator), multimodal_video_frame_sample ->
+#: multimodal_audio_spectral_bands (multimodal, shortlist),
+#: zorder_morton_codes -> partition_freshness_skew_report (maintenance),
+#: twap_daily_value -> kendall_tau_daily (timeseries, shortlist),
+#: frequent_triples_apriori -> assoc_rules_lift (basket).
+#: Free slots (8): embedding_pca_covariance (verdict: goes FIRST —
+#: twice-displaced), cdc_chunk_dedup + knn_shapley_data_values (ADVICE
+#: fixes = changed formulations, entry REQUIRED by the invariant),
+#: dbscan_lsh_clusters, power_iteration_top_eigen, kmeans_lloyd_replay,
+#: l_diversity_report (the judge's "resting on judge runs alone"
+#: heavies), rake_keyword_scores. Of the verdict's 20 named shortlist
+#: entries, 16 enter; sprt_purchase_rate, simpsons_paradox_screen,
+#: tukey_pairwise_contrasts, quantile_normalize_event_values,
+#: gopher_repetition_filters defer to r10 under the slot ceiling —
+#: chosen as the deferrals because experiments (anova enters) and text
+#: (text_quality_score + rake enter) both still gain a first-time
+#: representative this round, while similarity/llm had entire r8
+#: batches with zero driver evidence.
+DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # bench HEADLINE (perf and correctness gates cover the same
     # surface — all 15 locked)
@@ -334,46 +380,33 @@ PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_stats",
     "csv_roundtrip_stats",
     "global_dense_ids_documents",
-    # family slots filled with FIRST-TIME (never-driver-checked) members
-    "log_compaction_tombstones",      # cdc
-    "twap_daily_value",               # timeseries
-    "q18_large_order_customers",      # tpch_shapes
-    "grouped_exact_median",           # analytics
-    "dummy_gt_dice",                  # imaging_udf (pinned sf0.01 oracle)
-    "cuped_adjusted_uplift",          # experiments
-    "gopher_quality_gates",           # text (r8-new: the new-query
-    # invariant outranks the original text pick; text_quality_score —
-    # also never-checked — defers to r9)
-    "dsir_importance_weights",        # llm_pipeline (r7-new)
-    "local_clustering_coefficient",   # graph
-    "copurchase_kcore",               # graph_twins
-    "synthetic_skew_stress_agg",      # generator
-    "bucketed_group_agg",             # bucketed
-    "multimodal_video_frame_sample",  # multimodal (first-time AND
-    # changed-formulation re-entry: the r8 fixed-point integer DCT
-    # re-pinned the frozen golden, so the driver must hash the new
-    # formulation; audio_spectral_bands defers to r9)
-    "rcte_hierarchy_rollup",          # recursive
-    "zorder_morton_codes",            # maintenance
-    # remaining first-time slots: r7-new LLM operators, r8-new queries,
-    # changed-formulation re-entry, and the judge's similarity picks
-    "kcenter_coreset_select",         # changed formulation r8
-    "minhash_lsh_pairs_capped",       # new r8
-    "memorization_max_run_length",    # new r8
-    "quality_keep_dedup_groups",      # r7-new
-    "padding_waste_curve",            # r7-new
-    "memorization_window_fraction",   # r7-new
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    # Late-r8 amendment: embedding_pca_covariance (a judge "prioritize"
-    # suggestion, similarity's 5th slot alongside the headline + three
-    # mandated entries) vacates for frequent_triples_apriori — the new
-    # basket module (Apriori mining) would otherwise have NO window
-    # representative, violating the module-coverage invariant the
-    # smoke test asserts. Both are never-driver-checked, so the
-    # first-time count is unchanged; embedding_pca_covariance heads
-    # the r9 rotation shortlist.
-    "frequent_triples_apriori",       # new r8 (basket module coverage)
+    "log_compaction_tombstones",      # cdc (no never-checked member)
+    "bucketed_group_agg",             # bucketed (no never-checked member)
+    "rcte_hierarchy_rollup",          # recursive (no never-checked member)
+    # family slots flipped to FIRST-TIME (never-driver-checked) members
+    "kendall_tau_daily",              # timeseries (shortlist)
+    "q5_local_supplier_volume",       # tpch_shapes
+    "bitmap_activity_index",          # analytics (shortlist)
+    "imaging_udf_augment",            # imaging_udf
+    "anova_f_event_value",            # experiments (shortlist)
+    "text_quality_score",             # text (shortlist, twice-deferred)
+    "dp_laplace_noisy_counts",        # llm_pipeline (shortlist)
+    "hits_hubs_authorities",          # graph
+    "label_propagation_communities",  # graph_twins (shortlist)
+    "synthetic_session_windows",      # generator
+    "multimodal_audio_spectral_bands",  # multimodal (shortlist)
+    "partition_freshness_skew_report",  # maintenance
+    "assoc_rules_lift",               # basket
+    # free slots: the verdict shortlist head + changed formulations +
+    # the late-r8 heavies resting on judge runs alone
+    "embedding_pca_covariance",       # verdict: goes first
+    "cdc_chunk_dedup",                # changed formulation (ADVICE guard)
+    "knn_shapley_data_values",        # changed formulation (ADVICE div)
+    "dbscan_lsh_clusters",
+    "power_iteration_top_eigen",
+    "kmeans_lloyd_replay",
+    "l_diversity_report",
+    "rake_keyword_scores",
 )
 
 
