@@ -349,6 +349,15 @@ DRIVER_WINDOW = 50
 #: (text_quality_score + rake enter) both still gain a first-time
 #: representative this round, while similarity/llm had entire r8
 #: batches with zero driver evidence.
+#: Mid-r9 amendment (new-query invariant): verdict item 7's named
+#: candidate landed — minhash_store_probe_dedup (cross-run bucketed
+#: MinHash signature store, capped probe, sf0.001/0.01/0.1 green,
+#: plan-audited, exchange-free store side asserted in
+#: tests/test_store_dedup.py). New-query entry outranks a never-
+#: checked shortlist pick, so rake_keyword_scores joins the r10
+#: deferrals (now 6 named). Both are never-driver-checked; the
+#: first-time count stays 21. This is r9's ONLY registry widening
+#: (+1 vs r8's +33, per the verdict's pause directive).
 DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # bench HEADLINE (perf and correctness gates cover the same
@@ -406,7 +415,7 @@ PRIORITY: tuple[str, ...] = (
     "power_iteration_top_eigen",
     "kmeans_lloyd_replay",
     "l_diversity_report",
-    "rake_keyword_scores",
+    "minhash_store_probe_dedup",      # new r9 (verdict item 7)
 )
 
 

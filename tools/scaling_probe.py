@@ -1082,6 +1082,11 @@ QUICK_BANDS = {
     ("verify-skew", "repart_us_per_pair"): 2.0,
     ("graph-cc", "ms_per_kedge_round"): 2.5,
     ("semdedup", "pair_us_per_pair"): 2.0,
+    # capped-LSH pair volume per doc must stay flat with scale (0.19 on
+    # the clustered corpus at every factor probed, 1x..64x — SCALE.md
+    # r8/r9 tables); growth here means the count-first bucket cap no
+    # longer bounds the pair stage
+    ("dedup-skew", "capped_pairs_per_doc"): 1.5,
 }
 #: semdedup candidate pairs must grow ~linearly with N (x4 data -> ~x4
 #: pairs when K scales; the old fixed-K formulation grew x16)
@@ -1167,6 +1172,7 @@ def main_quick() -> int:
         "verify-skew",
         "graph-cc",
         "semdedup",
+        "dedup-skew",
         "kcenter",
     ):
         args = ["1"] if probe == "kcenter" else ["1", "4"]
