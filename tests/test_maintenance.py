@@ -295,7 +295,27 @@ def test_partitioned_layout_fresh_process_never_rewrites(spark, sf_dir):
     assert _snapshot(base) == before  # not rewritten, not even touched
 
 
-def test_partitioned_layout_two_process_cold_race(spark, sf_dir):
+def _private_sf_dir(src_sf_dir: str, tmp_path) -> str:
+    """A throwaway sf dir holding a copy of events.parquet, so the
+    deliberately-disruptive race tests below never rename the SHARED
+    fixture layout out from under a concurrently-running gate (the
+    whole point of the fix is that pytest + verify_local may overlap)."""
+    import shutil
+    import uuid
+
+    # unique leaf name: _partitioned_events_dir keys its layout on the
+    # sf dir's LAST path component, so a fixed name would make the two
+    # race tests (and any concurrent pytest) share one layout
+    d = tmp_path / f"race_sf_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(src_sf_dir, "events.parquet"),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_partitioned_layout_two_process_cold_race(spark, sf_dir, tmp_path):
     """Two fresh processes building the layout from scratch
     CONCURRENTLY: both must succeed, exactly one publish wins, the
     survivor is valid and row-complete, and no tmp dirs leak."""
@@ -307,6 +327,7 @@ def test_partitioned_layout_two_process_cold_race(spark, sf_dir):
 
     from braintumor_data_pipeline_spark.sources import maintenance as m
 
+    sf_dir = _private_sf_dir(sf_dir, tmp_path)
     base = m._partitioned_events_dir(sf_dir)
     fp = m._events_fingerprint(sf_dir)
     # start cold: move any existing layout aside (never delete a dir a
@@ -340,7 +361,7 @@ def test_partitioned_layout_two_process_cold_race(spark, sf_dir):
 
 
 def test_partitioned_layout_stale_marker_replaced_atomically(
-    spark, sf_dir
+    spark, sf_dir, tmp_path
 ):
     """A layout whose marker fingerprint mismatches (regenerated
     fixture / old-protocol leftover) is replaced by rename-aside +
@@ -350,6 +371,7 @@ def test_partitioned_layout_stale_marker_replaced_atomically(
 
     from braintumor_data_pipeline_spark.sources import maintenance as m
 
+    sf_dir = _private_sf_dir(sf_dir, tmp_path)
     base = m.write_events_partitioned(spark, sf_dir)
     fp = m._events_fingerprint(sf_dir)
     with open(os.path.join(base, m._LAYOUT_MARKER), "w") as f:
