@@ -1262,9 +1262,213 @@ def main_quick() -> int:
     return 1 if failures else 0
 
 
+def main_store_probe() -> int:
+    """Store-vs-recompute incremental dedup (SCALE.md r9, VERDICT r8
+    item 7): on the s-scaled clustered corpus, build the MinHash band
+    store ONCE (bucketed, bucket counts at layout time — the
+    ``minhash_store_probe_dedup`` layout), then time (a) probing a
+    FIXED 625-doc batch against the prebuilt store vs (b) recomputing
+    BOTH sides' signatures per run (the ``incremental_dedup_new_batch``
+    shape, same cap). The probe must stay ~flat as the corpus grows —
+    its cost is batch signatures + a scan of the 4-rows/doc store —
+    while recompute pays full corpus re-tokenization every run.
+
+    Usage: python tools/scaling_probe.py store-probe [factors...]
+    """
+    import tempfile
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        BAND_ROWS,
+        LSH_BUCKET_CAP as _CAP,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+    )
+
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="store-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    n_bands = MINHASH_K // BAND_ROWS
+    # pay the REAL per-token base-hash cost (one md5 per token, as the
+    # operator does over text) — the synthetic corpus's precomputed
+    # integer h0 would otherwise make corpus re-signature nearly free
+    # and hide exactly the cost the store exists to amortize
+    h0_md5 = F.conv(
+        F.substring(F.md5(F.col("h0").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hs = F.array(
+        *[
+            (F.lit(MINHASH_A[i]) * h0_md5 + F.lit(MINHASH_B[i]))
+            % F.lit(1 << 32)
+            for i in range(MINHASH_K)
+        ]
+    )
+
+    def bands_from_tokens(tok):
+        wide = (
+            tok.select("doc_id", hs.alias("hs"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.col("hs")[i]).alias(f"m{i}")
+                    for i in range(MINHASH_K)
+                ]
+            )
+        )
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{i}").cast("string")
+                                for i in range(
+                                    b * BAND_ROWS, (b + 1) * BAND_ROWS
+                                )
+                            ],
+                        )
+                    ).alias("band_sig"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return wide.select("doc_id", F.explode(arr).alias("bs")).select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+
+    def capped_probe(batch_bands, store_bands_with_n):
+        s_side = store_bands_with_n.filter(
+            F.col("bucket_n") <= _CAP
+        ).alias("s")
+        return (
+            batch_bands.alias("b")
+            .join(
+                s_side,
+                (F.col("b.band") == F.col("s.band"))
+                & (F.col("b.band_sig") == F.col("s.band_sig")),
+                "left",
+            )
+            .groupBy(F.col("b.doc_id"))
+            .agg(
+                F.size(F.collect_set(F.col("s.doc_id"))).alias("n_matches")
+            )
+        )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS store_probe_wh")
+    base = tempfile.mkdtemp(prefix="braintumor_store_probe_")
+    # untimed warmup of both plan shapes
+    wtok = _clustered_corpus(spark, 1)
+    bands_from_tokens(wtok.filter(F.col("doc_id") % 97 == 0)).count()
+
+    for s in factors:
+        tok = _clustered_corpus(spark, s).persist()
+        tok.count()
+        # fixed 625-doc batch drawn from the SMALL-cluster tier
+        # ([docs/4, docs/4 + docs/8) — 4-doc clusters): every batch doc
+        # (id ≡ 0 mod 8 = first member of an even cluster) has exactly
+        # 3 store siblings, so the match path is exercised (the giant
+        # clusters' buckets are cap-dropped and contribute nothing)
+        lo = (5_000 * s) // 4
+        is_batch = (
+            (F.col("doc_id") % 8 == 0)
+            & (F.col("doc_id") >= lo)
+            & (F.col("doc_id") < lo + 5_000)
+        )
+        # the batch ARRIVES as its own input in production — extracting
+        # it from the corpus is not part of the probe's cost
+        batch_tok = tok.filter(is_batch).persist()
+        batch_tok.count()
+
+        # layout build (amortized once per corpus, reported not banded)
+        t0 = time.time()
+        sb = bands_from_tokens(tok.filter(~is_batch))
+        counts = sb.groupBy("band", "band_sig").agg(
+            F.count("*").alias("bucket_n")
+        )
+        table = f"store_probe_wh.bands_x{s}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            sb.join(counts, ["band", "band_sig"])
+            .select("doc_id", "band", "band_sig", "bucket_n")
+            .write.mode("overwrite")
+            .bucketBy(8, "band", "band_sig")
+            .sortBy("band", "band_sig")
+            .option("path", os.path.join(base, f"x{s}"))
+            .saveAsTable(table)
+        )
+        build_s = time.time() - t0
+
+        # (a) probe the prebuilt store: batch signatures only.
+        # Aggregate a value DERIVED FROM THE STORE SIDE — a bare
+        # count() of the per-doc groups lets Catalyst eliminate the
+        # left join (group count is join-invariant) and the store is
+        # never scanned, timing nothing.
+        t0 = time.time()
+        n_probe = (
+            capped_probe(bands_from_tokens(batch_tok), spark.table(table))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("n_matches").alias("total_matches"),
+            )
+            .collect()[0]
+        )
+        probe_s = time.time() - t0
+
+        # (b) recompute both sides from tokens (no store)
+        t0 = time.time()
+        all_bands = bands_from_tokens(tok)
+        store_bands = all_bands.filter(~is_batch)
+        counts2 = store_bands.groupBy("band", "band_sig").agg(
+            F.count("*").alias("bucket_n")
+        )
+        n_re = (
+            capped_probe(
+                all_bands.filter(is_batch),
+                store_bands.join(counts2, ["band", "band_sig"]),
+            )
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("n_matches").alias("total_matches"),
+            )
+            .collect()[0]
+        )
+        recompute_s = time.time() - t0
+
+        batch_tok.unpersist()
+        tok.unpersist()
+        assert tuple(n_probe) == tuple(n_re), (n_probe, n_re)
+        print(
+            json.dumps(
+                {
+                    "shape": "minhash_store_probe",
+                    "factor": s,
+                    "corpus_docs": 5_000 * s,
+                    "batch_docs": 625,
+                    "store_build_s": round(build_s, 3),
+                    "probe_s": round(probe_s, 3),
+                    "recompute_both_s": round(recompute_s, 3),
+                    "recompute_over_probe": round(
+                        recompute_s / max(probe_s, 1e-9), 2
+                    ),
+                    "batch_rows_out": int(n_probe["rows"]),
+                    "total_matches": int(n_probe["total_matches"]),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "quick":
         raise SystemExit(main_quick())
+    if len(sys.argv) > 1 and sys.argv[1] == "store-probe":
+        raise SystemExit(main_store_probe())
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         raise SystemExit(main_semdedup())
     if len(sys.argv) > 1 and sys.argv[1] == "kcenter":
