@@ -2070,6 +2070,10 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         pass  # lost the build race — adopt whichever layout landed
     final = path if os.path.exists(os.path.join(path, "_SUCCESS")) else stage
+    if final != stage and os.path.isdir(stage):
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)  # lost-race leftovers
     _register(final)
     return full
 
