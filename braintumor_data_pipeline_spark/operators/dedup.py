@@ -26,6 +26,8 @@ so both engines replay it (60-bit signature to stay in signed int64).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2167,5 +2169,144 @@ def minhash_store_probe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(F.collect_set(F.col("s.doc_id"))) > 0)
             .cast("long")
             .alias("is_near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signature-store LIFECYCLE (the daily-refresh maintenance contract in
+# SCALE.md "r9: cross-run MinHash signature store", fixture-exercised in
+# tests/test_store_dedup.py). The registered probe above fuses bucket_n
+# into the rows — correct for a build-once store, but appends would
+# leave old rows' counts stale. The production lifecycle therefore
+# keeps THREE relations:
+#   rows       (doc_id, band, band_sig)  — bucketed, append-only
+#   counts     (band, band_sig, n)       — merged per batch (one
+#                                          map-side-combinable sum)
+#   tombstones (band, band_sig)          — buckets whose TOTAL n
+#                                          exceeds LSH_BUCKET_CAP;
+#                                          tiny by construction (only
+#                                          degenerate buckets), so the
+#                                          probe excludes them with a
+#                                          BROADCAST anti-join
+# Appends never rewrite rows; counts never require a recount; probes
+# never aggregate the store.
+# ---------------------------------------------------------------------------
+
+
+def store_lifecycle_init(
+    spark: SparkSession, docs: DataFrame, db: str, base: str
+) -> tuple[str, str, str]:
+    """Build the three-relation store from a documents-shaped frame.
+    Returns (rows_table, counts_path, tombstones_path)."""
+    rows_table = f"{db}.store_rows"
+    counts_path = os.path.join(base, "counts")
+    tomb_path = os.path.join(base, "tombstones")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {rows_table}")
+    bands = _band_sigs_of(docs)
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(STORE_N_BUCKETS, "band", "band_sig")
+        .sortBy("band", "band_sig")
+        .option("path", os.path.join(base, "rows"))
+        .saveAsTable(rows_table)
+    )
+    counts = (
+        spark.table(rows_table)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n"))
+    )
+    counts.write.mode("overwrite").parquet(counts_path)
+    _rewrite_tombstones(spark, counts_path, tomb_path)
+    return rows_table, counts_path, tomb_path
+
+
+def _rewrite_tombstones(
+    spark: SparkSession, counts_path: str, tomb_path: str
+) -> None:
+    (
+        spark.read.parquet(counts_path)
+        .filter(F.col("n") > LSH_BUCKET_CAP)
+        .select("band", "band_sig")
+        .write.mode("overwrite")
+        .parquet(tomb_path)
+    )
+
+
+def store_lifecycle_append(
+    spark: SparkSession,
+    rows_table: str,
+    counts_path: str,
+    tomb_path: str,
+    batch_docs: DataFrame,
+) -> None:
+    """Accept a batch into the store: append its bands (bucketed append
+    preserves the layout — each append writes its own per-bucket
+    files), MERGE its per-bucket counts into the counts relation with
+    one sum (no recount of the store), and extend the tombstones with
+    buckets the merge pushed past the cap. Tombstoning is monotone:
+    once a bucket overflows it stays excluded — exactly the capped
+    path's semantics, where an overflowed bucket's members are the
+    group-dedup tier's job, not the pair join's."""
+    batch_bands = _band_sigs_of(batch_docs)
+    (
+        batch_bands.write.mode("append")
+        .bucketBy(STORE_N_BUCKETS, "band", "band_sig")
+        .sortBy("band", "band_sig")
+        .saveAsTable(rows_table)
+    )
+    old = spark.read.parquet(counts_path)
+    delta = batch_bands.groupBy("band", "band_sig").agg(
+        F.count("*").alias("n")
+    )
+    merged = (
+        old.unionByName(delta)
+        .groupBy("band", "band_sig")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    tmp = counts_path + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(counts_path, ignore_errors=True)
+    os.rename(tmp, counts_path)
+    _rewrite_tombstones(spark, counts_path, tomb_path)
+
+
+def store_lifecycle_probe(
+    spark: SparkSession,
+    rows_table: str,
+    tomb_path: str,
+    batch_docs: DataFrame,
+) -> DataFrame:
+    """Probe an arriving batch against the lifecycle store: bucketed
+    store scan (no Exchange), overflowed buckets excluded by a
+    BROADCAST anti-join on the (tiny) tombstone relation, then the same
+    bounded collect_set aggregation as the registered probe."""
+    tomb = spark.read.parquet(tomb_path)
+    store = (
+        spark.table(rows_table)
+        .join(F.broadcast(tomb), ["band", "band_sig"], "left_anti")
+        .alias("s")
+    )
+    batch = _band_sigs_of(batch_docs).alias("b")
+    return (
+        batch.join(
+            store,
+            (F.col("b.band") == F.col("s.band"))
+            & (F.col("b.band_sig") == F.col("s.band_sig")),
+            "left",
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(
+            F.size(F.collect_set(F.col("s.doc_id")))
+            .cast("long")
+            .alias("n_store_matches"),
+            F.coalesce(
+                F.array_min(F.collect_set(F.col("s.doc_id"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("min_store_doc"),
         )
     )

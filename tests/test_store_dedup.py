@@ -130,3 +130,106 @@ def test_store_build_idempotent_and_capped(spark, sf_dir):
         recount[(b, s)] += 1
     for _d, b, s, n in snap1:
         assert recount[(b, s)] == n
+
+
+def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
+    """Daily-refresh lifecycle end-to-end (the SCALE.md maintenance
+    contract): init on day-0 corpus → append day-1 batch (bucketed
+    append + ONE count merge, no recount) → probe day-2 batch honoring
+    tombstones. Includes a 20-member dup cluster split 10/10 across
+    day-0/day-1 so the bucket CROSSES the cap at the merge (10 ≤ 16
+    before, 20 > 16 after) — the transition fused per-row counts
+    cannot represent."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        store_lifecycle_append,
+        store_lifecycle_init,
+        store_lifecycle_probe,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    small = "iota kappa lmbda mu nu xi omicron pi"
+    rows = []
+    # 20-member exact-dup cluster: ids 0..9 day-0, 10..19 day-1
+    rows += [doc(i, hot) for i in range(20)]
+    # 3-member small cluster: 2 in day-0, 1 probed on day-2
+    rows += [doc(100, small), doc(101, small)]
+    # unique docs everywhere
+    rows += [doc(200 + i, f"unique tokens document number {i} " + "x" * i)
+             for i in range(6)]
+    day0 = [r for r in rows if r[0] < 10 or r[0] in (100, 101, 200, 201)]
+    day1 = [r for r in rows if 10 <= r[0] < 20 or r[0] in (202, 203)]
+    day2 = [doc(300, hot), doc(301, small), doc(302, "never seen words")]
+
+    def df(rs):
+        return spark.createDataFrame(rs, "doc_id long, text string")
+
+    db = f"lifecycle_{uuid.uuid4().hex[:8]}"
+    rows_t, counts_p, tomb_p = store_lifecycle_init(
+        spark, df(day0), db, str(tmp_path / "store")
+    )
+    # day-0: hot bucket has 10 members — under the cap, NOT tombstoned
+    assert spark.read.parquet(tomb_p).count() == 0
+    pre = {
+        r["doc_id"]: (r["n_store_matches"], r["min_store_doc"])
+        for r in store_lifecycle_probe(spark, rows_t, tomb_p, df(day2))
+        .collect()
+    }
+    assert pre[300] == (10, 0)  # hot cluster visible before overflow
+    assert pre[301] == (2, 100)
+    assert pre[302] == (0, -1)
+
+    store_lifecycle_append(spark, rows_t, counts_p, tomb_p, df(day1))
+
+    # counts merged == recount from the appended rows relation
+    merged = {
+        (r["band"], r["band_sig"]): r["n"]
+        for r in spark.read.parquet(counts_p).collect()
+    }
+    recount = {
+        (r["band"], r["band_sig"]): r["cnt"]
+        for r in spark.table(rows_t)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert merged == recount
+    # the hot cluster's buckets (one per band) crossed the cap
+    tombs = spark.read.parquet(tomb_p).count()
+    assert tombs >= 1
+    assert all(merged[k] == 20 for k in {
+        (r["band"], r["band_sig"])
+        for r in spark.read.parquet(tomb_p).collect()
+    })
+
+    post = {
+        r["doc_id"]: (r["n_store_matches"], r["min_store_doc"])
+        for r in store_lifecycle_probe(spark, rows_t, tomb_p, df(day2))
+        .collect()
+    }
+    # overflowed cluster now excluded (group-dedup's job, not the pair
+    # join's); small cluster unaffected; clean doc still clean
+    assert post[300] == (0, -1)
+    assert post[301] == (2, 100)
+    assert post[302] == (0, -1)
+
+    # appended layout is still bucketed: the probe's store side reads
+    # in place (no Exchange between the scan and the join)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            store_lifecycle_probe(spark, rows_t, tomb_p, df(day2))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
