@@ -233,3 +233,72 @@ def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
         assert "SelectedBucketsCount: 8 out of 8" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+_STORE_WRITER_SNIPPET = """
+import sys
+sys.path.insert(0, sys.argv[3])
+from braintumor_data_pipeline_spark.session import get_spark
+from braintumor_data_pipeline_spark.operators.dedup import (
+    ensure_minhash_band_store,
+)
+spark = get_spark(app_name="store-race-" + sys.argv[1],
+                  master="local[2]", shuffle_partitions=4)
+print("TABLE=" + ensure_minhash_band_store(spark, sys.argv[2]), flush=True)
+spark.stop()
+"""
+
+
+def test_store_build_two_process_cold_race(spark, sf_dir, tmp_path):
+    """Two fresh processes building the band store from scratch
+    concurrently (the same stage/rename/adopt protocol as the bucketed
+    warehouse): both must succeed, the surviving layout is complete,
+    and no stage dirs leak."""
+    import glob
+    import re
+    import shutil
+    import subprocess
+    import sys as _sys
+    import tempfile
+    import uuid
+
+    # private sf dir → private store path, never touching the shared one
+    d = tmp_path / f"store_race_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        str(d / "documents.parquet"),
+    )
+    sf = str(d)
+
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _STORE_WRITER_SNIPPET, f"r{i}", sf,
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+        assert "TABLE=" in out
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    base = os.path.join(
+        tempfile.gettempdir(), "braintumor_minhash_store", tag
+    )
+    path = os.path.join(base, "band_store")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not glob.glob(f"{path}.tmp*"), "stage dirs leaked"
+    got = spark.read.parquet(path)
+    t = pq.read_table(os.path.join(sf, "documents.parquet"))
+    n_store_docs = sum(
+        1 for i in t.column("doc_id").to_pylist()
+        if i % STORE_BATCH_MOD != 0
+    )
+    # one row per (store doc × band)
+    assert got.count() == n_store_docs * (MINHASH_K // BAND_ROWS)
+    shutil.rmtree(base, ignore_errors=True)
