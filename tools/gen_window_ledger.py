@@ -48,6 +48,14 @@ EXPLAINED_UNCONFIRMED: dict[str, str] = {
         "re-held a slot since (sketch family evidence rides "
         "hll_set_intersection_estimate r6 / hll_register_sketch r7)"
     ),
+    "embedding_pca_covariance": (
+        "r9 red row is representation-only: rows+schema match, hash "
+        "mismatch on the registry's sole DECIMAL(38,0) output column — "
+        "judge r9 verified values cell-for-cell exact cross-engine "
+        "(including Python types) at sf0.01 and sf0.1. r10 re-enters a "
+        "changed formulation emitting sxy as a canonical digit string "
+        "on both engines"
+    ),
     "json_props_explode": (
         "r1-era builder raised (err=Traceback) before the r2 JSON-path "
         "fix; the fixed formulation's evidence rides "
