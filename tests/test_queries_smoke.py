@@ -15,6 +15,20 @@ def test_query_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+    # No registered query may OUTPUT a decimal column (r9 verdict): the
+    # driver's hasher canonicalizes DECIMAL differently per engine (a
+    # pandas-style fetch renders DuckDB DECIMAL as float64 repr while
+    # Spark yields Decimal), so exact values still hash-mismatch.
+    # Decimal REDUCTIONS stay internal; outputs cast to string/bigint.
+    from pyspark.sql.types import DecimalType
+
+    decimal_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimal_cols, (
+        f"{name} outputs decimal column(s) {decimal_cols}; cast to a "
+        "canonical digit string or bigint before returning"
+    )
 
 
 def test_contract_shape():
