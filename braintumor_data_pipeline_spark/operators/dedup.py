@@ -2000,11 +2000,37 @@ def _band_sigs_of(docs: DataFrame) -> DataFrame:
     )
 
 
+_STORE_MARKER = "_STORE_VALID"
+#: (table, fingerprint) pairs this process has already registered —
+#: skips the DROP/CREATE metadata round-trip on repeat ensure() calls.
+_STORE_REGISTERED: set[tuple[str, str]] = set()
+
+
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the source documents fixture (footer row count
+    + file size — one parquet footer read, no data scan). Same scheme
+    as ``maintenance._events_fingerprint``: detects a regenerated
+    fixture, or two different sf_dirs sharing a leaf name, without
+    trusting the path string."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    return f"{pq.read_metadata(src).num_rows}-{os.path.getsize(src)}"
+
+
+def _store_marker_valid(path: str, fp: str) -> bool:
+    try:
+        with open(os.path.join(path, _STORE_MARKER)) as f:
+            return f.read().strip() == fp
+    except OSError:
+        return False
+
+
 def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the corpus band-signature store for ``sf_dir``
-    (idempotent, cross-process race-safe — same stage/rename/adopt
-    protocol as ``bucketed.ensure_bucketed_tables``); returns the fully
-    qualified table name.
+    (idempotent, cross-process race-safe — the same stage/marker/rename
+    publication protocol as ``maintenance.write_events_partitioned``);
+    returns the fully qualified table name.
 
     Layout: (doc_id, band, band_sig, bucket_n) bucketed AND sorted by
     (band, band_sig) into {STORE_N_BUCKETS} buckets — the probe join's
@@ -2017,16 +2043,30 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
     sum, and tombstone buckets that newly exceed LSH_BUCKET_CAP —
     probes read counts, never recount; see SCALE.md "r9: signature
     store".
+
+    Validity is a FINGERPRINT marker (source footer row count + size)
+    stamped inside the stage dir before the atomic rename — a bare
+    ``_SUCCESS`` check would silently adopt a store built from a
+    regenerated documents.parquet at the same path, or from a different
+    sf_dir sharing the leaf name (``/a/sf0.01`` vs ``/b/sf0.01``). A
+    stale or partial layout at the publish path is atomically renamed
+    ASIDE (readers keep their POSIX handles; ``reap_stale_siblings``
+    prunes day-old remains), never deleted live and never a permanent
+    block on publication.
     """
-    import os
     import re
+    import shutil
     import tempfile
+    import uuid
+
+    from ..sources.maintenance import reap_stale_siblings
 
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     db = f"minhash_store_wh_{tag}"
     full = f"{db}.band_store"
     base = os.path.join(tempfile.gettempdir(), "braintumor_minhash_store", tag)
     path = os.path.join(base, "band_store")
+    fp = _documents_fingerprint(sf_dir)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     ddl_cols = "`doc_id` bigint, `band` int, `band_sig` string, `bucket_n` bigint"
 
@@ -2037,12 +2077,13 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
             f"CLUSTERED BY (band, band_sig) SORTED BY (band, band_sig) "
             f"INTO {STORE_N_BUCKETS} BUCKETS LOCATION '{location}'"
         )
+        _STORE_REGISTERED.add((full, fp))
 
-    done = os.path.exists(os.path.join(path, "_SUCCESS"))
-    if spark.catalog.tableExists(full) and done:
-        return full
-    if done:
-        _register(path)  # fresh session over an intact layout: adopt
+    if _store_marker_valid(path, fp):
+        if (full, fp) not in _STORE_REGISTERED or not spark.catalog.tableExists(
+            full
+        ):
+            _register(path)  # fresh session over an intact layout: adopt
         return full
 
     corpus = _t(spark, sf_dir, "documents").filter(
@@ -2058,7 +2099,7 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
         "band_sig",
         F.col("bucket_n").cast("long").alias("bucket_n"),
     )
-    stage = f"{path}.tmp{os.getpid()}"
+    stage = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {full}")
     (
         rows.write.mode("overwrite")
@@ -2067,16 +2108,37 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
         .option("path", stage)
         .saveAsTable(full)
     )
-    try:
-        os.rename(stage, path)
-    except OSError:
-        pass  # lost the build race — adopt whichever layout landed
-    final = path if os.path.exists(os.path.join(path, "_SUCCESS")) else stage
-    if final != stage and os.path.isdir(stage):
-        import shutil
+    with open(os.path.join(stage, _STORE_MARKER), "w") as f:
+        f.write(fp)
 
+    published = False
+    for _ in range(5):
+        if _store_marker_valid(path, fp):
+            published = True  # another process won with the same source
+            break
+        try:
+            os.rename(stage, path)  # atomic publish; fails iff path exists
+            published = True
+            break
+        except OSError:
+            if _store_marker_valid(path, fp):
+                published = True
+                break
+            # path holds a STALE or PARTIAL layout (regenerated fixture,
+            # foreign sf_dir with the same leaf, crashed old-protocol
+            # build): move it aside atomically, never rmtree a dir a
+            # reader may hold, then retry the publish.
+            aside = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, aside)
+            except OSError:
+                pass  # a concurrent process moved it first; re-check
+    if os.path.isdir(stage):
         shutil.rmtree(stage, ignore_errors=True)  # lost-race leftovers
-    _register(final)
+    if not published:
+        raise RuntimeError(f"could not publish minhash band store at {path}")
+    _register(path)
+    reap_stale_siblings(path)
     return full
 
 
@@ -2194,14 +2256,66 @@ def minhash_store_probe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_VERSION_PTR = "CURRENT"
+
+
+def _versioned_current(root: str) -> str:
+    """Resolve a versioned relation root to its live version directory
+    (the one the CURRENT pointer names)."""
+    with open(os.path.join(root, _VERSION_PTR)) as f:
+        return os.path.join(root, f.read().strip())
+
+
+def _versioned_publish(df: DataFrame, root: str) -> str:
+    """Publish ``df`` as a NEW version directory under ``root`` and flip
+    the one-line CURRENT pointer with ``os.replace`` — a single atomic
+    file swap, so a concurrent reader resolves either the old version or
+    the new one and NEVER observes an absent relation (the window a
+    rmtree-then-rename swap of the live dir leaves open). Versions older
+    than the immediately previous one are best-effort pruned — a reader
+    can only be holding current-or-previous across one flip."""
+    import shutil
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    prev = None
+    try:
+        with open(os.path.join(root, _VERSION_PTR)) as f:
+            prev = f.read().strip()
+    except OSError:
+        pass
+    v = f"v-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(root, v))
+    tmp = os.path.join(root, f".ptr-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(v)
+    os.replace(tmp, os.path.join(root, _VERSION_PTR))
+    for d in os.listdir(root):
+        if d.startswith("v-") and d not in (v, prev):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return os.path.join(root, v)
+
+
+def store_counts(spark: SparkSession, counts_root: str) -> DataFrame:
+    """The live (band, band_sig, n) counts relation."""
+    return spark.read.parquet(_versioned_current(counts_root))
+
+
+def store_tombstones(spark: SparkSession, tomb_root: str) -> DataFrame:
+    """The live (band, band_sig) tombstone relation."""
+    return spark.read.parquet(_versioned_current(tomb_root))
+
+
 def store_lifecycle_init(
     spark: SparkSession, docs: DataFrame, db: str, base: str
 ) -> tuple[str, str, str]:
     """Build the three-relation store from a documents-shaped frame.
-    Returns (rows_table, counts_path, tombstones_path)."""
+    Returns (rows_table, counts_root, tombstones_root) — counts and
+    tombstones are VERSIONED relation roots (read them through
+    :func:`store_counts` / :func:`store_tombstones`)."""
     rows_table = f"{db}.store_rows"
-    counts_path = os.path.join(base, "counts")
-    tomb_path = os.path.join(base, "tombstones")
+    counts_root = os.path.join(base, "counts")
+    tomb_root = os.path.join(base, "tombstones")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     spark.sql(f"DROP TABLE IF EXISTS {rows_table}")
     bands = _band_sigs_of(docs)
@@ -2217,20 +2331,19 @@ def store_lifecycle_init(
         .groupBy("band", "band_sig")
         .agg(F.count("*").alias("n"))
     )
-    counts.write.mode("overwrite").parquet(counts_path)
-    _rewrite_tombstones(spark, counts_path, tomb_path)
-    return rows_table, counts_path, tomb_path
+    _versioned_publish(counts, counts_root)
+    _rewrite_tombstones(spark, counts_root, tomb_root)
+    return rows_table, counts_root, tomb_root
 
 
 def _rewrite_tombstones(
-    spark: SparkSession, counts_path: str, tomb_path: str
+    spark: SparkSession, counts_root: str, tomb_root: str
 ) -> None:
-    (
-        spark.read.parquet(counts_path)
+    _versioned_publish(
+        store_counts(spark, counts_root)
         .filter(F.col("n") > LSH_BUCKET_CAP)
-        .select("band", "band_sig")
-        .write.mode("overwrite")
-        .parquet(tomb_path)
+        .select("band", "band_sig"),
+        tomb_root,
     )
 
 
@@ -2248,7 +2361,14 @@ def store_lifecycle_append(
     buckets the merge pushed past the cap. Tombstoning is monotone:
     once a bucket overflows it stays excluded — exactly the capped
     path's semantics, where an overflowed bucket's members are the
-    group-dedup tier's job, not the pair join's."""
+    group-dedup tier's job, not the pair join's.
+
+    The counts swap is a pointer FLIP, not delete-then-rename: the
+    merged relation lands in a fresh version dir and ``os.replace``
+    swings the CURRENT pointer — a crash or concurrent probe at any
+    instant resolves a complete counts relation (old or new), never
+    nothing, and a crash before the flip leaks only an unreferenced
+    version dir the next successful publish prunes."""
     batch_bands = _band_sigs_of(batch_docs)
     (
         batch_bands.write.mode("append")
@@ -2256,7 +2376,7 @@ def store_lifecycle_append(
         .sortBy("band", "band_sig")
         .saveAsTable(rows_table)
     )
-    old = spark.read.parquet(counts_path)
+    old = store_counts(spark, counts_path)
     delta = batch_bands.groupBy("band", "band_sig").agg(
         F.count("*").alias("n")
     )
@@ -2265,12 +2385,7 @@ def store_lifecycle_append(
         .groupBy("band", "band_sig")
         .agg(F.sum("n").cast("long").alias("n"))
     )
-    tmp = counts_path + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(counts_path, ignore_errors=True)
-    os.rename(tmp, counts_path)
+    _versioned_publish(merged, counts_path)
     _rewrite_tombstones(spark, counts_path, tomb_path)
 
 
@@ -2284,7 +2399,7 @@ def store_lifecycle_probe(
     store scan (no Exchange), overflowed buckets excluded by a
     BROADCAST anti-join on the (tiny) tombstone relation, then the same
     bounded collect_set aggregation as the registered probe."""
-    tomb = spark.read.parquet(tomb_path)
+    tomb = store_tombstones(spark, tomb_path)
     store = (
         spark.table(rows_table)
         .join(F.broadcast(tomb), ["band", "band_sig"], "left_anti")

@@ -297,6 +297,26 @@ def _marker_valid(base: str, fp: str) -> bool:
         return False
 
 
+def reap_stale_siblings(base: str, max_age_s: float = 86400.0) -> None:
+    """Best-effort prune of ``{base}.stale-*`` layouts a publish renamed
+    aside. Rename-aside (never rmtree a live dir) is the protocol's
+    safety property, but without reaping every fixture regeneration
+    accumulates a full stale copy indefinitely; anything aside for over
+    ``max_age_s`` has no live reader left (gates run minutes, not days)
+    and is deleted. Errors are swallowed — reaping is hygiene, never
+    correctness."""
+    import glob as _glob
+    import shutil
+    import time
+
+    for d in _glob.glob(f"{base}.stale-*"):
+        try:
+            if time.time() - os.path.getmtime(d) > max_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Day-partitioned Hive layout of the events table
     (``event_date=YYYY-MM-DD/`` directories) — THE canonical 100 TB fact
@@ -371,6 +391,7 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
             f"could not publish day-partitioned events layout at {base}"
         )
     _PARTITIONED_WRITTEN.add((base, fp))
+    reap_stale_siblings(base)
     return base
 
 

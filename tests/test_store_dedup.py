@@ -145,9 +145,11 @@ def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from braintumor_data_pipeline_spark.operators.dedup import (
+        store_counts,
         store_lifecycle_append,
         store_lifecycle_init,
         store_lifecycle_probe,
+        store_tombstones,
     )
 
     def doc(i, text):
@@ -175,7 +177,7 @@ def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
         spark, df(day0), db, str(tmp_path / "store")
     )
     # day-0: hot bucket has 10 members — under the cap, NOT tombstoned
-    assert spark.read.parquet(tomb_p).count() == 0
+    assert store_tombstones(spark, tomb_p).count() == 0
     pre = {
         r["doc_id"]: (r["n_store_matches"], r["min_store_doc"])
         for r in store_lifecycle_probe(spark, rows_t, tomb_p, df(day2))
@@ -190,7 +192,7 @@ def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
     # counts merged == recount from the appended rows relation
     merged = {
         (r["band"], r["band_sig"]): r["n"]
-        for r in spark.read.parquet(counts_p).collect()
+        for r in store_counts(spark, counts_p).collect()
     }
     recount = {
         (r["band"], r["band_sig"]): r["cnt"]
@@ -201,11 +203,11 @@ def test_store_lifecycle_append_merge_tombstone(spark, tmp_path):
     }
     assert merged == recount
     # the hot cluster's buckets (one per band) crossed the cap
-    tombs = spark.read.parquet(tomb_p).count()
+    tombs = store_tombstones(spark, tomb_p).count()
     assert tombs >= 1
     assert all(merged[k] == 20 for k in {
         (r["band"], r["band_sig"])
-        for r in spark.read.parquet(tomb_p).collect()
+        for r in store_tombstones(spark, tomb_p).collect()
     })
 
     post = {
@@ -302,3 +304,99 @@ def test_store_build_two_process_cold_race(spark, sf_dir, tmp_path):
     # one row per (store doc × band)
     assert got.count() == n_store_docs * (MINHASH_K // BAND_ROWS)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_store_fingerprint_rejects_stale_and_partial_layouts(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r9: validity is the source FINGERPRINT, not bare _SUCCESS.
+    (a) a partial dir at the publish path (crashed build) must not block
+    publication; (b) a regenerated documents.parquet at the same path
+    must trigger a rebuild — the old layout goes ASIDE, never adopted;
+    (c) day-old .stale-* siblings are reaped on the next publish."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        _STORE_MARKER,
+        _store_marker_valid,
+        _documents_fingerprint,
+    )
+
+    leaf = f"fpstore_{uuid.uuid4().hex[:8]}"
+    d = tmp_path / leaf
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        str(d / "documents.parquet"),
+    )
+    sf = str(d)
+    base = os.path.join(
+        tempfile.gettempdir(), "braintumor_minhash_store", leaf
+    )
+    path = os.path.join(base, "band_store")
+
+    # (a) pre-plant a partial layout (no marker) at the publish path
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass  # _SUCCESS alone used to mean "done" — it must no longer
+    full = ensure_minhash_band_store(spark, sf)
+    fp1 = _documents_fingerprint(sf)
+    assert _store_marker_valid(path, fp1)
+    n1 = spark.table(full).count()
+    assert n1 > 0
+    stale_now = [s for s in os.listdir(base) if s.startswith("band_store.stale-")]
+    assert stale_now, "partial layout should have been renamed aside"
+
+    # (c) age the aside dirs past the reap horizon
+    for s in stale_now:
+        old = time.time() - 2 * 86400
+        os.utime(os.path.join(base, s), (old, old))
+
+    # (b) regenerate the fixture: HALVE the documents
+    t = pq.read_table(str(d / "documents.parquet"))
+    pq.write_table(t.slice(0, t.num_rows // 2), str(d / "documents.parquet"))
+    fp2 = _documents_fingerprint(sf)
+    assert fp2 != fp1
+    full2 = ensure_minhash_band_store(spark, sf)
+    assert _store_marker_valid(path, fp2)
+    n2 = spark.table(full2).count()
+    assert 0 < n2 < n1  # rebuilt from the smaller fixture, not adopted
+    # aged asides reaped; the layout just displaced is fresh and kept
+    left = [s for s in os.listdir(base) if s.startswith("band_store.stale-")]
+    assert not (set(stale_now) & set(left)), "day-old stale dirs not reaped"
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_versioned_publish_pointer_flip_keeps_previous(spark, tmp_path):
+    """ADVICE r9: the counts swap must never expose an absent relation.
+    The publish is write-new-version + atomic pointer replace; after a
+    flip the PREVIOUS version dir still exists (a reader mid-scan keeps
+    its files), and versions older than previous are pruned."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        _VERSION_PTR,
+        _versioned_current,
+        _versioned_publish,
+    )
+
+    root = str(tmp_path / "counts")
+    df1 = spark.createDataFrame([(1, "a", 1)], "band int, band_sig string, n long")
+    df2 = spark.createDataFrame([(1, "a", 2)], "band int, band_sig string, n long")
+    df3 = spark.createDataFrame([(1, "a", 3)], "band int, band_sig string, n long")
+    v1 = _versioned_publish(df1, root)
+    assert _versioned_current(root) == v1
+    v2 = _versioned_publish(df2, root)
+    assert _versioned_current(root) == v2
+    assert os.path.isdir(v1), "previous version must survive one flip"
+    v3 = _versioned_publish(df3, root)
+    assert _versioned_current(root) == v3
+    assert os.path.isdir(v2) and not os.path.isdir(v1)
+    assert spark.read.parquet(_versioned_current(root)).collect()[0]["n"] == 3
+    # pointer file is the only non-version entry (no leaked .ptr tmp)
+    extras = [
+        e for e in os.listdir(root)
+        if not e.startswith("v-") and e != _VERSION_PTR
+    ]
+    assert not extras
