@@ -2425,3 +2425,136 @@ def store_lifecycle_probe(
             .alias("min_store_doc"),
         )
     )
+
+
+@register(
+    "minhash_store_lifecycle_dedup",
+    # Two-epoch replay: the oracle recomputes the FINAL store state
+    # (init corpus + appended batch) from scratch — counts as one
+    # recount, tombstones as merged-count > cap — while the Spark side
+    # arrives at the same state INCREMENTALLY (bucketed append + one
+    # count merge + tombstone extension). Any drift in the merge or
+    # tombstone logic hash-mismatches.
+    oracle=f"""
+    WITH sigs AS ({_MINHASH_ORACLE_SIG}),
+    bands AS (
+      SELECT doc_id,
+             seed // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, band
+    ),
+    store AS (
+      SELECT doc_id, band, band_sig FROM bands
+      WHERE doc_id % {STORE_BATCH_MOD} <> 0
+    ),
+    counts AS (
+      SELECT band, band_sig, count(*) AS n FROM store GROUP BY band, band_sig
+    ),
+    tomb AS (
+      SELECT band, band_sig FROM counts WHERE n > {LSH_BUCKET_CAP}
+    ),
+    batch AS (
+      SELECT doc_id, band, band_sig FROM bands
+      WHERE doc_id % {STORE_BATCH_MOD} = 0
+    ),
+    live AS (
+      SELECT s.* FROM store s
+      WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                        WHERE t.band = s.band AND t.band_sig = s.band_sig)
+    ),
+    probe AS (
+      SELECT b.doc_id AS doc_id,
+             CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_store_matches,
+             CAST(coalesce(min(l.doc_id), -1) AS BIGINT) AS min_store_doc,
+             CAST(count(l.doc_id) > 0 AS BIGINT) AS is_near_dup
+      FROM batch b
+      LEFT JOIN live l ON b.band = l.band AND b.band_sig = l.band_sig
+      GROUP BY b.doc_id
+    ),
+    tombhits AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tomb_bands
+      FROM batch b
+      JOIN tomb t ON b.band = t.band AND b.band_sig = t.band_sig
+      GROUP BY b.doc_id
+    )
+    SELECT p.doc_id AS doc_id,
+           p.n_store_matches AS n_store_matches,
+           p.min_store_doc AS min_store_doc,
+           CAST(coalesce(th.n_tomb_bands, 0) AS BIGINT) AS n_tomb_bands,
+           p.is_near_dup AS is_near_dup
+    FROM probe p LEFT JOIN tombhits th ON p.doc_id = th.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental", "store", "lifecycle"),
+)
+def minhash_store_lifecycle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature store's DAILY-REFRESH loop as one registered query
+    (VERDICT r9 task 4 — the registered probe covers only the
+    build-once shape; this is the production maintenance contract from
+    SCALE.md "r9: signature store"):
+
+    1. **init** the three-relation store from the day-0 corpus
+       (doc_id % {STORE_BATCH_MOD} ∉ {{0, 1}});
+    2. **append** the day-1 batch (doc_id % MOD == 1): bucketed
+       row append + ONE map-side-combinable count merge (no recount)
+       + tombstone extension for buckets the merge pushed past
+       LSH_BUCKET_CAP;
+    3. **probe** the day-2 batch (doc_id % MOD == 0) against the
+       appended store, overflowed buckets excluded by a broadcast
+       anti-join on the tombstones.
+
+    Output per probe doc: distinct store matches, earliest match (-1
+    when clean), how many of its bands hit TOMBSTONED buckets (the
+    overflow path's visible effect), and the near-dup verdict.
+
+    100 TB shape: identical to the lifecycle API it drives — appends
+    never rewrite rows, counts never recount the store, probes never
+    aggregate it, and the counts/tombstone swaps are atomic pointer
+    flips a concurrent probe can never observe mid-swap. Each call runs
+    a fresh lifecycle under a uuid-keyed tmp dir (no cross-process
+    contention by construction); day-old lifecycle dirs are reaped
+    best-effort at call start."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    parent = os.path.join(tempfile.gettempdir(), "braintumor_store_lc")
+    os.makedirs(parent, exist_ok=True)
+    for d in os.listdir(parent):  # reap abandoned lifecycles (>1 day)
+        p = os.path.join(parent, d)
+        try:
+            if time.time() - os.path.getmtime(p) > 86400:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(parent, tag)
+    db = f"store_lc_{tag}"
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    epoch = F.col("doc_id") % STORE_BATCH_MOD
+    day0 = docs.filter((epoch != 0) & (epoch != 1))
+    day1 = docs.filter(epoch == 1)
+    day2 = docs.filter(epoch == 0)
+
+    rows_t, counts_p, tomb_p = store_lifecycle_init(spark, day0, db, base)
+    store_lifecycle_append(spark, rows_t, counts_p, tomb_p, day1)
+
+    probe = store_lifecycle_probe(spark, rows_t, tomb_p, day2)
+    tomb = store_tombstones(spark, tomb_p)
+    tomb_hits = (
+        _band_sigs_of(day2)
+        .join(F.broadcast(tomb), ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tomb_bands"))
+    )
+    return probe.join(tomb_hits, ["doc_id"], "left").select(
+        "doc_id",
+        "n_store_matches",
+        "min_store_doc",
+        F.coalesce(F.col("n_tomb_bands"), F.lit(0))
+        .cast("long")
+        .alias("n_tomb_bands"),
+        (F.col("n_store_matches") > 0).cast("long").alias("is_near_dup"),
+    )

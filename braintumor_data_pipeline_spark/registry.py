@@ -359,6 +359,41 @@ DRIVER_WINDOW = 50
 #: first-time count stays 21. This is r9's ONLY registry widening
 #: (+1 vs r8's +33, per the verdict's pause directive).
 DRIVER_WINDOW = 50
+#: r10 rotation (VERDICT r9 tasks 1, 2, 4, 6). Slot arithmetic: 15
+#: bench-HEADLINE locked + 27 non-headline family reps + 8 free. After
+#: the r9 driver run only EIGHT non-headline families still hold a
+#: never-driver-checked member (analytics, experiments, graph,
+#: graph_twins, llm_pipeline, text, timeseries, tpch_shapes) — the
+#: structural first-time ceiling this round is 8 flips + 8 free = 16,
+#: and three of the free slots are verdict-ORDERED non-first-time
+#: entries: embedding_pca_covariance (task 1 — changed formulation, the
+#: decimal→digit-string output fix, re-entry REQUIRED) and the ledger's
+#: only two permanently-red r1-era rows approx_distinct_parts +
+#: json_props_explode (task 6 — judge-green today; driver hashes close
+#: out every red in the ledger's history). First-time count lands 13.
+#: All 21 r9-green non-headline first-timers vacate (formulations
+#: unchanged). The six named deferrals enter FIRST (task 2):
+#: sprt_purchase_rate takes the experiments family slot,
+#: rake_keyword_scores the text slot; simpsons_paradox_screen,
+#: tukey_pairwise_contrasts, quantile_normalize_event_values,
+#: gopher_repetition_filters take free slots. The one r10 widening is
+#: verdict task 4's named capability gap: minhash_store_lifecycle_dedup
+#: (the signature store's init→append→count-merge→tombstone→probe daily
+#: loop with a two-epoch recomputing oracle) — new-query invariant ⇒
+#: window entry. Family flips to never-checked members:
+#: anova_f_event_value -> sprt_purchase_rate (experiments, deferral),
+#: text_quality_score -> rake_keyword_scores (text, deferral),
+#: bitmap_activity_index -> equidepth_histogram_totalprice (analytics),
+#: hits_hubs_authorities -> sssp_weighted_bellman (graph),
+#: label_propagation_communities -> copurchase_modularity (graph_twins),
+#: dp_laplace_noisy_counts -> pii_mask_documents (llm_pipeline),
+#: kendall_tau_daily -> event_value_anomalies_mad (timeseries),
+#: q5_local_supplier_volume -> q2_min_price_per_part (tpch_shapes).
+#: Five r9 flip slots become KEEPS (their families ran dry of
+#: never-checked members): imaging_udf_augment, assoc_rules_lift,
+#: synthetic_session_windows, multimodal_audio_spectral_bands,
+#: partition_freshness_skew_report.
+DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # bench HEADLINE (perf and correctness gates cover the same
     # surface — all 15 locked)
@@ -392,30 +427,29 @@ PRIORITY: tuple[str, ...] = (
     "log_compaction_tombstones",      # cdc (no never-checked member)
     "bucketed_group_agg",             # bucketed (no never-checked member)
     "rcte_hierarchy_rollup",          # recursive (no never-checked member)
+    "imaging_udf_augment",            # imaging_udf (family ran dry in r9)
+    "assoc_rules_lift",               # basket (family ran dry in r9)
+    "synthetic_session_windows",      # generator (family ran dry in r9)
+    "multimodal_audio_spectral_bands",  # multimodal (family ran dry in r9)
+    "partition_freshness_skew_report",  # maintenance (family ran dry in r9)
     # family slots flipped to FIRST-TIME (never-driver-checked) members
-    "kendall_tau_daily",              # timeseries (shortlist)
-    "q5_local_supplier_volume",       # tpch_shapes
-    "bitmap_activity_index",          # analytics (shortlist)
-    "imaging_udf_augment",            # imaging_udf
-    "anova_f_event_value",            # experiments (shortlist)
-    "text_quality_score",             # text (shortlist, twice-deferred)
-    "dp_laplace_noisy_counts",        # llm_pipeline (shortlist)
-    "hits_hubs_authorities",          # graph
-    "label_propagation_communities",  # graph_twins (shortlist)
-    "synthetic_session_windows",      # generator
-    "multimodal_audio_spectral_bands",  # multimodal (shortlist)
-    "partition_freshness_skew_report",  # maintenance
-    "assoc_rules_lift",               # basket
-    # free slots: the verdict shortlist head + changed formulations +
-    # the late-r8 heavies resting on judge runs alone
-    "embedding_pca_covariance",       # verdict: goes first
-    "cdc_chunk_dedup",                # changed formulation (ADVICE guard)
-    "knn_shapley_data_values",        # changed formulation (ADVICE div)
-    "dbscan_lsh_clusters",
-    "power_iteration_top_eigen",
-    "kmeans_lloyd_replay",
-    "l_diversity_report",
-    "minhash_store_probe_dedup",      # new r9 (verdict item 7)
+    "sprt_purchase_rate",             # experiments (named r10 deferral)
+    "rake_keyword_scores",            # text (named r10 deferral)
+    "equidepth_histogram_totalprice",  # analytics
+    "sssp_weighted_bellman",          # graph
+    "copurchase_modularity",          # graph_twins
+    "pii_mask_documents",             # llm_pipeline
+    "event_value_anomalies_mad",      # timeseries
+    "q2_min_price_per_part",          # tpch_shapes
+    # free slots: verdict-ordered entries first
+    "embedding_pca_covariance",       # task 1: changed formulation re-entry
+    "minhash_store_lifecycle_dedup",  # task 4: new query (invariant entry)
+    "simpsons_paradox_screen",        # named r10 deferral
+    "tukey_pairwise_contrasts",       # named r10 deferral
+    "quantile_normalize_event_values",  # named r10 deferral
+    "gopher_repetition_filters",      # named r10 deferral
+    "approx_distinct_parts",          # task 6: ledger's r1-era red row
+    "json_props_explode",             # task 6: ledger's r1-era red row
 )
 
 

@@ -400,3 +400,53 @@ def test_versioned_publish_pointer_flip_keeps_previous(spark, tmp_path):
         if not e.startswith("v-") and e != _VERSION_PTR
     ]
     assert not extras
+
+
+def test_store_lifecycle_query_matches_pure_python_replay(spark, sf_dir):
+    """Registered lifecycle query vs an independent pure-Python replay
+    of the two-epoch semantics: final store = everything outside the
+    probe batch; tombstones = merged bucket count > cap; probe excludes
+    tombstoned buckets wholesale and counts the batch doc's own bands
+    that hit them."""
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        minhash_store_lifecycle_dedup,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    docs = list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    buckets = defaultdict(list)
+    for doc_id, text in docs:
+        if doc_id % STORE_BATCH_MOD != 0:
+            for key in _py_bands(text):
+                buckets[key].append(doc_id)
+    tomb = {k for k, members in buckets.items() if len(members) > LSH_BUCKET_CAP}
+    expect = {}
+    for doc_id, text in docs:
+        if doc_id % STORE_BATCH_MOD == 0:
+            matches, n_tomb = set(), 0
+            for key in _py_bands(text):
+                if key in tomb:
+                    n_tomb += 1
+                else:
+                    matches.update(buckets.get(key, []))
+            expect[doc_id] = (
+                len(matches),
+                min(matches) if matches else -1,
+                n_tomb,
+                1 if matches else 0,
+            )
+
+    rows = minhash_store_lifecycle_dedup(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_store_matches"],
+            r["min_store_doc"],
+            r["n_tomb_bands"],
+            r["is_near_dup"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert len(rows) == len(expect) > 0
