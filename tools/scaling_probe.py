@@ -1638,15 +1638,24 @@ def main_store_probe_append() -> int:
         )
         assert agg1 == agg_ref, (n_appends, agg1, agg_ref)
         tomb.unpersist()
-        return min(p1, p2), agg1
+        # isolate the LAYOUT cost from the batch-dominated probe: a
+        # full one-column store scan (sum over doc_id) — pure
+        # file-listing + footer + column-chunk read
+        t0 = time.time()
+        rows_df.agg(F.sum("doc_id")).collect()
+        s1 = time.time() - t0
+        t0 = time.time()
+        rows_df.agg(F.sum("doc_id")).collect()
+        s2 = time.time() - t0
+        return min(p1, p2), agg1, min(s1, s2)
 
     # untimed warmup of the probe plan shape (JIT/codegen)
     timed_agg(lifecycle_probe(batch_bands, spark.table(table),
                               spark.table(table).limit(0)
                               .select("band", "band_sig")))
     results = []
-    probe_s, agg = checkpoint(0)
-    results.append((0, n_files(), probe_s, agg))
+    probe_s, agg, scan_s = checkpoint(0)
+    results.append((0, n_files(), probe_s, agg, scan_s))
     for k in range(1, 9):
         (
             bands_from_tokens(store_tok.filter(epoch == k))
@@ -1656,8 +1665,8 @@ def main_store_probe_append() -> int:
             .saveAsTable(table)
         )
         if k in (1, 2, 4, 8):
-            probe_s, agg = checkpoint(k)
-            results.append((k, n_files(), probe_s, agg))
+            probe_s, agg, scan_s = checkpoint(k)
+            results.append((k, n_files(), probe_s, agg, scan_s))
 
     # compaction: ONE fresh bucketed rewrite of the appended rows
     t0 = time.time()
@@ -1690,8 +1699,14 @@ def main_store_probe_append() -> int:
     c2, agg_c2 = timed_agg(lifecycle_probe(batch_bands, rows_c, tomb_c))
     assert agg_c1 == agg_c2 == results[-1][3]
     compact_probe_s = min(c1, c2)
+    t0 = time.time()
+    rows_c.agg(F.sum("doc_id")).collect()
+    cs1 = time.time() - t0
+    t0 = time.time()
+    rows_c.agg(F.sum("doc_id")).collect()
+    compact_scan_s = min(cs1, time.time() - t0)
 
-    for k, nf, p, agg in results:
+    for k, nf, p, agg, sc in results:
         print(
             json.dumps(
                 {
@@ -1700,7 +1715,10 @@ def main_store_probe_append() -> int:
                     "appends": k,
                     "store_files": nf,
                     "probe_s": round(p, 3),
-                    "vs_compacted": round(p / max(compact_probe_s, 1e-9), 2),
+                    "store_scan_s": round(sc, 3),
+                    "scan_vs_compacted": round(
+                        sc / max(compact_scan_s, 1e-9), 2
+                    ),
                     "batch_rows_out": agg[0],
                     "total_matches": agg[1],
                 }
@@ -1720,6 +1738,7 @@ def main_store_probe_append() -> int:
                     if f.endswith(".parquet")
                 ),
                 "probe_s": round(compact_probe_s, 3),
+                "store_scan_s": round(compact_scan_s, 3),
             }
         ),
         flush=True,
