@@ -2273,7 +2273,13 @@ def _versioned_publish(df: DataFrame, root: str) -> str:
     the new one and NEVER observes an absent relation (the window a
     rmtree-then-rename swap of the live dir leaves open). Versions older
     than the immediately previous one are best-effort pruned — a reader
-    can only be holding current-or-previous across one flip."""
+    can only be holding current-or-previous across one flip.
+
+    Concurrency contract: any number of concurrent READERS, one
+    MAINTAINER (the daily-refresh job — appends are inherently serial:
+    each merge consumes the previous counts). Two concurrent publishers
+    to the same root could prune each other's fresh version; that is a
+    maintainer-discipline violation, not a crash/reader hazard."""
     import shutil
     import uuid
 
