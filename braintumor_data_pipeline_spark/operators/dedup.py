@@ -2296,9 +2296,21 @@ def _versioned_publish(df: DataFrame, root: str) -> str:
     with open(tmp, "w") as f:
         f.write(v)
     os.replace(tmp, os.path.join(root, _VERSION_PTR))
-    for d in os.listdir(root):
-        if d.startswith("v-") and d not in (v, prev):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # keep current + the two newest predecessors (one is the guarantee;
+    # the second is cheap slack for a reader straddling rapid flips),
+    # prune the rest
+    keep = {v, prev}
+    others = sorted(
+        (
+            d
+            for d in os.listdir(root)
+            if d.startswith("v-") and d not in keep
+        ),
+        key=lambda d: os.path.getmtime(os.path.join(root, d)),
+        reverse=True,
+    )
+    for d in others[1:]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return os.path.join(root, v)
 
 

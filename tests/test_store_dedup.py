@@ -382,18 +382,24 @@ def test_versioned_publish_pointer_flip_keeps_previous(spark, tmp_path):
     )
 
     root = str(tmp_path / "counts")
-    df1 = spark.createDataFrame([(1, "a", 1)], "band int, band_sig string, n long")
-    df2 = spark.createDataFrame([(1, "a", 2)], "band int, band_sig string, n long")
-    df3 = spark.createDataFrame([(1, "a", 3)], "band int, band_sig string, n long")
-    v1 = _versioned_publish(df1, root)
+    def df(n):
+        return spark.createDataFrame(
+            [(1, "a", n)], "band int, band_sig string, n long"
+        )
+
+    v1 = _versioned_publish(df(1), root)
     assert _versioned_current(root) == v1
-    v2 = _versioned_publish(df2, root)
+    v2 = _versioned_publish(df(2), root)
     assert _versioned_current(root) == v2
     assert os.path.isdir(v1), "previous version must survive one flip"
-    v3 = _versioned_publish(df3, root)
+    v3 = _versioned_publish(df(3), root)
     assert _versioned_current(root) == v3
-    assert os.path.isdir(v2) and not os.path.isdir(v1)
-    assert spark.read.parquet(_versioned_current(root)).collect()[0]["n"] == 3
+    assert os.path.isdir(v2) and os.path.isdir(v1)  # two-predecessor slack
+    v4 = _versioned_publish(df(4), root)
+    assert _versioned_current(root) == v4
+    # current + previous + one slack survive; older pruned
+    assert os.path.isdir(v3) and os.path.isdir(v2) and not os.path.isdir(v1)
+    assert spark.read.parquet(_versioned_current(root)).collect()[0]["n"] == 4
     # pointer file is the only non-version entry (no leaked .ptr tmp)
     extras = [
         e for e in os.listdir(root)
@@ -450,3 +456,61 @@ def test_store_lifecycle_query_matches_pure_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(rows) == len(expect) > 0
+
+
+def test_versioned_publish_concurrent_reader_never_sees_absent_relation(
+    spark, tmp_path
+):
+    """The ADVICE hazard, exercised: a reader hammering the counts
+    relation WHILE the maintainer flips versions must always resolve a
+    complete relation — never ENOENT, never a half-written dir. (The old
+    rmtree-then-rename swap fails this within a few flips.)"""
+    import threading
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        _versioned_current,
+        _versioned_publish,
+    )
+
+    root = str(tmp_path / "counts")
+    _versioned_publish(
+        spark.createDataFrame([(0, "x", 0)], "band int, band_sig string, n long"),
+        root,
+    )
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    seen: list[int] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                # resolve + read the full relation, as a probe would
+                rows = spark.read.parquet(_versioned_current(root)).collect()
+                assert len(rows) == 1
+                seen.append(rows[0]["n"])
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(1, 13):
+            _versioned_publish(
+                spark.createDataFrame(
+                    [(0, "x", i)], "band int, band_sig string, n long"
+                ),
+                root,
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errors, f"reader observed a broken relation: {errors[:1]}"
+    assert seen, "readers never completed a read"
+    # every observed value is a version that actually existed (0..12),
+    # and reads are monotone-consistent per the pointer (old or new,
+    # never garbage)
+    assert set(seen) <= set(range(13))
