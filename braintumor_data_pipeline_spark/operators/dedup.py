@@ -2445,6 +2445,90 @@ def store_lifecycle_probe(
     )
 
 
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path backing an external table (local-path form)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"].strip() == "Location":
+            loc = r["data_type"].strip()
+            return loc[len("file:"):] if loc.startswith("file:") else loc
+    raise ValueError(f"no Location row for {table}")
+
+
+def store_layout_stats(spark: SparkSession, rows_table: str) -> dict:
+    """Files-per-bucket of the rows relation — the input to the
+    compaction trigger band (SCALE.md r10: compact at ~16-32
+    files/bucket, or when the appended-layout scan crosses ~1.5x the
+    compacted scan)."""
+    loc = _table_location(spark, rows_table)
+    n = sum(
+        1
+        for dp, _, fs in os.walk(loc)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "n_files": n,
+        "n_buckets": STORE_N_BUCKETS,
+        "files_per_bucket": n / STORE_N_BUCKETS,
+    }
+
+
+def store_lifecycle_compact(spark: SparkSession, rows_table: str) -> None:
+    """Rewrite the appended rows relation into ONE file per bucket —
+    the periodic maintenance step the append-only layout needs (each
+    bucketed append adds one file per task×bucket; SCALE.md r10
+    measures the scan decay and the trigger band).
+
+    Mechanics: read the RAW PARQUET PATH (reading the bucketed catalog
+    table makes the planner drop the aligning repartition — observed
+    175 output files instead of 8 on identical data), repartition onto
+    the bucket hash (repartition and bucketing use the same Murmur3 →
+    one task holds exactly one bucket → one file per bucket), write to
+    a stage dir via a throwaway external table (DROP keeps the files),
+    then swap: live dir renamed ASIDE, stage renamed in, REFRESH TABLE
+    to invalidate the cached file listing.
+
+    Concurrency contract (same as the versioned relations): one
+    MAINTAINER — compaction is serial with appends in the daily loop.
+    Cross-process readers mid-scan keep POSIX handles on the aside dir
+    (reaped only after a day); probes PLANNED before the compaction in
+    this session must be re-built after it (their cached listing names
+    the old files). Rows are bit-identical — compaction evaluates no
+    expressions."""
+    import shutil
+    import uuid
+
+    loc = _table_location(spark, rows_table)
+    nonce = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    stage = f"{loc}.compact-{nonce}"
+    tmp_tbl = f"{rows_table}_compact_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    (
+        spark.read.parquet(loc)
+        .repartition(STORE_N_BUCKETS, "band", "band_sig")
+        .write.mode("overwrite")
+        .bucketBy(STORE_N_BUCKETS, "band", "band_sig")
+        .sortBy("band", "band_sig")
+        .option("path", stage)
+        .saveAsTable(tmp_tbl)
+    )
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay in stage
+    aside = f"{loc}.stale-{nonce}"
+    try:
+        os.rename(loc, aside)
+        os.rename(stage, loc)
+    except OSError:
+        # failed mid-swap: restore the live dir if it was moved aside
+        if not os.path.isdir(loc) and os.path.isdir(aside):
+            os.rename(aside, loc)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    spark.sql(f"REFRESH TABLE {rows_table}")
+    from ..sources.maintenance import reap_stale_siblings
+
+    reap_stale_siblings(loc)
+
+
 @register(
     "minhash_store_lifecycle_dedup",
     # Two-epoch replay: the oracle recomputes the FINAL store state

@@ -514,3 +514,89 @@ def test_versioned_publish_concurrent_reader_never_sees_absent_relation(
     # and reads are monotone-consistent per the pointer (old or new,
     # never garbage)
     assert set(seen) <= set(range(13))
+
+
+def test_store_lifecycle_compact_one_file_per_bucket(spark, tmp_path):
+    """Compaction closes the append loop: after several bucketed
+    appends the rows relation fragments (files/bucket grows); compact
+    rewrites it to EXACTLY one file per bucket, rows bit-identical,
+    probe results unchanged, and the probe's store side still reads in
+    place (bucketed, no Exchange)."""
+    import uuid
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        store_layout_stats,
+        store_lifecycle_append,
+        store_lifecycle_compact,
+        store_lifecycle_init,
+        store_lifecycle_probe,
+    )
+
+    def df(rs):
+        return spark.createDataFrame(rs, "doc_id long, text string")
+
+    day0 = [(i, f"base document tokens {i} " + "pad " * (i % 5))
+            for i in range(40)]
+    days = [
+        [(100 * d + i, f"day {d} document {i} fresh tokens")
+         for i in range(10)]
+        for d in range(1, 4)
+    ]
+    # one small dup cluster across epochs so the probe has matches
+    shared = "alpha beta gamma delta epsilon zeta"
+    day0 += [(900, shared)]
+    days[0] += [(901, shared)]
+    probe_batch = [(950, shared), (951, "never seen anywhere")]
+
+    db = f"compact_{uuid.uuid4().hex[:8]}"
+    rows_t, counts_p, tomb_p = store_lifecycle_init(
+        spark, df(day0), db, str(tmp_path / "store")
+    )
+    for d in days:
+        store_lifecycle_append(spark, rows_t, counts_p, tomb_p, df(d))
+
+    before_stats = store_layout_stats(spark, rows_t)
+    assert before_stats["files_per_bucket"] > 1
+    before_rows = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in spark.table(rows_t).collect()
+    )
+    before_probe = sorted(
+        (r["doc_id"], r["n_store_matches"], r["min_store_doc"])
+        for r in store_lifecycle_probe(
+            spark, rows_t, tomb_p, df(probe_batch)
+        ).collect()
+    )
+    assert (950, 2, 900) in before_probe  # both cluster members found
+    assert (951, 0, -1) in before_probe
+
+    store_lifecycle_compact(spark, rows_t)
+
+    after_stats = store_layout_stats(spark, rows_t)
+    assert after_stats["n_files"] == after_stats["n_buckets"]
+    after_rows = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in spark.table(rows_t).collect()
+    )
+    assert after_rows == before_rows  # bit-identical relation
+    after_probe = sorted(
+        (r["doc_id"], r["n_store_matches"], r["min_store_doc"])
+        for r in store_lifecycle_probe(
+            spark, rows_t, tomb_p, df(probe_batch)
+        ).collect()
+    )
+    assert after_probe == before_probe
+
+    # compacted layout still exposes its bucketing to the planner
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            store_lifecycle_probe(spark, rows_t, tomb_p, df(probe_batch))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
