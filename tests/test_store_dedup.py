@@ -600,3 +600,140 @@ def test_store_lifecycle_compact_one_file_per_bucket(spark, tmp_path):
         assert "SelectedBucketsCount: 8 out of 8" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_store_probe_shapes_agree_build_once_vs_lifecycle(spark, sf_dir):
+    """The registered probe (fused layout-time bucket_n, row predicate
+    bucket_n <= CAP) and the lifecycle probe (tombstone anti-join,
+    tombstone = count > CAP) implement the SAME exclusion semantics —
+    on identical store/batch splits they must agree doc-for-doc."""
+    import uuid
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        store_lifecycle_init,
+        store_lifecycle_probe,
+    )
+    from braintumor_data_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import functions as F
+
+    store_docs = docs.filter(F.col("doc_id") % STORE_BATCH_MOD != 0)
+    batch_docs = docs.filter(F.col("doc_id") % STORE_BATCH_MOD == 0)
+
+    db = f"shapes_{uuid.uuid4().hex[:8]}"
+    rows_t, _counts, tomb_p = store_lifecycle_init(
+        spark, store_docs, db, f"/tmp/braintumor_shapes_{uuid.uuid4().hex[:8]}"
+    )
+    lifecycle = {
+        r["doc_id"]: (r["n_store_matches"], r["min_store_doc"])
+        for r in store_lifecycle_probe(
+            spark, rows_t, tomb_p, batch_docs
+        ).collect()
+    }
+    registered = {
+        r["doc_id"]: (r["n_store_matches"], r["min_store_doc"])
+        for r in minhash_store_probe_dedup(spark, sf_dir).collect()
+    }
+    assert lifecycle == registered
+    assert len(lifecycle) > 0
+
+
+_TWO_FP_WRITER = """
+import sys
+sys.path.insert(0, sys.argv[3])
+from braintumor_data_pipeline_spark.session import get_spark
+from braintumor_data_pipeline_spark.operators.dedup import (
+    ensure_minhash_band_store,
+    _documents_fingerprint,
+)
+spark = get_spark(app_name="fp-race-" + sys.argv[1],
+                  master="local[2]", shuffle_partitions=4)
+full = ensure_minhash_band_store(spark, sys.argv[2])
+n = spark.table(full).select("doc_id").distinct().count()
+print(f"RESULT={n}", flush=True)
+spark.stop()
+"""
+
+
+def test_store_foreign_fingerprint_never_adopted_across_processes(
+    spark, sf_dir, tmp_path
+):
+    """The ADVICE foreign-sf_dir scenario, process-isolated and
+    deterministic: two fixtures share a leaf name (same store path and
+    table name). Alternating fresh processes build for one fixture,
+    then the other, then the first again — each MUST return a store
+    consistent with its OWN fixture (distinct doc counts prove no
+    silent adoption of the other's layout), displacing the foreign
+    layout aside each time. (The concurrent same-fingerprint race is
+    covered by test_store_build_two_process_cold_race.)"""
+    import glob
+    import re
+    import shutil
+    import subprocess
+    import sys as _sys
+    import tempfile
+    import uuid
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        _STORE_MARKER,
+        _documents_fingerprint,
+    )
+
+    leaf = f"fprace_{uuid.uuid4().hex[:8]}"
+    d1 = tmp_path / "a" / leaf
+    d2 = tmp_path / "b" / leaf
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        str(d1 / "documents.parquet"),
+    )
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    pq.write_table(t.slice(0, t.num_rows // 2), str(d2 / "documents.parquet"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(sf):
+        out = subprocess.run(
+            [_sys.executable, "-c", _TWO_FP_WRITER, "seq", sf, repo],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        m = re.search(r"RESULT=(\d+)", out.stdout)
+        assert m, out.stdout
+        return int(m.group(1))
+
+    n_full = sum(
+        1
+        for i in pq.read_table(str(d1 / "documents.parquet"))
+        .column("doc_id").to_pylist()
+        if i % STORE_BATCH_MOD != 0
+    )
+    n_half = sum(
+        1
+        for i in pq.read_table(str(d2 / "documents.parquet"))
+        .column("doc_id").to_pylist()
+        if i % STORE_BATCH_MOD != 0
+    )
+    assert n_full != n_half
+
+    assert run(str(d1)) == n_full   # cold build
+    assert run(str(d2)) == n_half   # foreign layout present -> rebuild
+    assert run(str(d1)) == n_full   # and back -> rebuild again
+
+    base = os.path.join(
+        tempfile.gettempdir(), "braintumor_minhash_store", leaf
+    )
+    path = os.path.join(base, "band_store")
+    with open(os.path.join(path, _STORE_MARKER)) as f:
+        assert f.read().strip() == _documents_fingerprint(str(d1))
+    assert not glob.glob(f"{path}.tmp*"), "stage dirs leaked"
+    # each displacement renamed the loser aside (fresh -> not reaped)
+    asides = [
+        x for x in os.listdir(base) if x.startswith("band_store.stale-")
+    ]
+    assert len(asides) == 2
+    shutil.rmtree(base, ignore_errors=True)
