@@ -38,18 +38,37 @@ from ..sources.fixtures import load_table as _t
 
 N_BUCKETS = 8
 _BUCKET_SPECS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+#: (table, fingerprint) pairs this process already registered — skips
+#: the DROP/CREATE metadata round-trip on repeat ensure() calls.
+_REGISTERED: set[tuple[str, str]] = set()
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the bucketed warehouse for ``sf_dir`` (idempotent);
-    returns the database name holding ``lineitem``/``orders``.
+    """Materialize the bucketed warehouse for ``sf_dir`` (idempotent,
+    cross-process race-safe); returns the database name holding
+    ``lineitem``/``orders``.
 
     The write is the amortized one-time cost of the layout; a rerun in
     the same session (or a later session over an intact temp dir) reuses
     the files. Bucket count is fixed so the two tables' partitionings
     are co-located — at 100 TB you size this to cluster parallelism
     (e.g. 4096) once, at layout time, not per query.
-    """
+
+    Publication follows the stage/marker/rename protocol shared with
+    the events layout and the MinHash band store (r10 class-kill of the
+    ADVICE r9 finding): validity is a source-FINGERPRINT marker stamped
+    in the stage dir before the atomic rename — never a bare
+    ``_SUCCESS`` (which silently adopts a layout built from a
+    regenerated fixture or a foreign sf_dir sharing the leaf name) —
+    and a stale/partial dir at the publish path is renamed ASIDE and
+    reaped after a day, never a permanent block that leaks per-process
+    stage dirs."""
+    from ..sources.maintenance import (
+        _marker_valid,
+        fixture_fingerprint,
+        publish_derived_layout,
+    )
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     db = f"bucketed_wh_{tag}"
     base = os.path.join(tempfile.gettempdir(), "braintumor_bucketed", tag)
@@ -57,54 +76,42 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     for name, key in _BUCKET_SPECS:
         full = f"{db}.{name}"
         path = os.path.join(base, name)
-        done = os.path.exists(os.path.join(path, "_SUCCESS"))
-        if spark.catalog.tableExists(full) and done:
-            continue
-        if done:
-            # files are intact but this is a fresh session (empty
-            # catalog): REGISTER the existing layout instead of
-            # rewriting — a concurrent process may be reading it
-            # (overwrite-in-place was a cross-process race).
+        fp = fixture_fingerprint(sf_dir, name)
+
+        def _register(location: str) -> None:
             df = _t(spark, sf_dir, name)
             cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
             )
             spark.sql(f"DROP TABLE IF EXISTS {full}")
             spark.sql(
                 f"CREATE TABLE {full} ({cols}) USING PARQUET "
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+                f"INTO {N_BUCKETS} BUCKETS LOCATION '{location}'"
             )
+            _REGISTERED.add((full, fp))
+
+        if _marker_valid(path, fp):
+            if (full, fp) not in _REGISTERED or not spark.catalog.tableExists(
+                full
+            ):
+                _register(path)  # fresh session over an intact layout
             continue
-        # first writer: stage under a per-process dir, atomic-rename in;
-        # if another process won the race, adopt its files
-        stage = f"{path}.tmp{os.getpid()}"
-        spark.sql(f"DROP TABLE IF EXISTS {full}")
-        (
-            _t(spark, sf_dir, name)
-            .write.mode("overwrite")
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .option("path", stage)
-            .saveAsTable(full)
-        )
-        try:
-            os.rename(stage, path)
-        except OSError:
-            pass  # lost the race — fall through to the registered stage
-        # re-point the catalog at the final path (or keep stage if the
-        # rename lost; both contain identical deterministic data)
-        final = path if os.path.exists(os.path.join(path, "_SUCCESS")) else stage
-        df = _t(spark, sf_dir, name)
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        spark.sql(f"DROP TABLE IF EXISTS {full}")
-        spark.sql(
-            f"CREATE TABLE {full} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{final}'"
-        )
+
+        def build(stage: str) -> None:
+            spark.sql(f"DROP TABLE IF EXISTS {full}")
+            (
+                _t(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", stage)
+                .saveAsTable(full)
+            )
+
+        publish_derived_layout(path, fp, build)
+        _register(path)
     return db
 
 

@@ -2000,30 +2000,22 @@ def _band_sigs_of(docs: DataFrame) -> DataFrame:
     )
 
 
-_STORE_MARKER = "_STORE_VALID"
+#: Marker/validation ride the shared publication protocol
+#: (``maintenance.publish_derived_layout`` — r10 consolidation).
+from ..sources.maintenance import _LAYOUT_MARKER as _STORE_MARKER  # noqa: E402
+from ..sources.maintenance import _marker_valid as _store_marker_valid  # noqa: E402
+
 #: (table, fingerprint) pairs this process has already registered —
 #: skips the DROP/CREATE metadata round-trip on repeat ensure() calls.
 _STORE_REGISTERED: set[tuple[str, str]] = set()
 
 
 def _documents_fingerprint(sf_dir: str) -> str:
-    """Cheap identity of the source documents fixture (footer row count
-    + file size — one parquet footer read, no data scan). Same scheme
-    as ``maintenance._events_fingerprint``: detects a regenerated
-    fixture, or two different sf_dirs sharing a leaf name, without
-    trusting the path string."""
-    import pyarrow.parquet as pq
+    """Fingerprint of the source documents fixture (shared scheme —
+    see ``maintenance.fixture_fingerprint``)."""
+    from ..sources.maintenance import fixture_fingerprint
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    return f"{pq.read_metadata(src).num_rows}-{os.path.getsize(src)}"
-
-
-def _store_marker_valid(path: str, fp: str) -> bool:
-    try:
-        with open(os.path.join(path, _STORE_MARKER)) as f:
-            return f.read().strip() == fp
-    except OSError:
-        return False
+    return fixture_fingerprint(sf_dir, "documents")
 
 
 def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
@@ -2055,11 +2047,9 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
     block on publication.
     """
     import re
-    import shutil
     import tempfile
-    import uuid
 
-    from ..sources.maintenance import reap_stale_siblings
+    from ..sources.maintenance import publish_derived_layout
 
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     db = f"minhash_store_wh_{tag}"
@@ -2086,59 +2076,31 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
             _register(path)  # fresh session over an intact layout: adopt
         return full
 
-    corpus = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % STORE_BATCH_MOD != 0
-    )
-    sb = _band_sigs_of(corpus)
-    counts = sb.groupBy("band", "band_sig").agg(
-        F.count("*").alias("bucket_n")
-    )
-    rows = sb.join(counts, ["band", "band_sig"]).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("band").cast("int").alias("band"),
-        "band_sig",
-        F.col("bucket_n").cast("long").alias("bucket_n"),
-    )
-    stage = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    spark.sql(f"DROP TABLE IF EXISTS {full}")
-    (
-        rows.write.mode("overwrite")
-        .bucketBy(STORE_N_BUCKETS, "band", "band_sig")
-        .sortBy("band", "band_sig")
-        .option("path", stage)
-        .saveAsTable(full)
-    )
-    with open(os.path.join(stage, _STORE_MARKER), "w") as f:
-        f.write(fp)
+    def build(stage: str) -> None:
+        corpus = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % STORE_BATCH_MOD != 0
+        )
+        sb = _band_sigs_of(corpus)
+        counts = sb.groupBy("band", "band_sig").agg(
+            F.count("*").alias("bucket_n")
+        )
+        rows = sb.join(counts, ["band", "band_sig"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("band").cast("int").alias("band"),
+            "band_sig",
+            F.col("bucket_n").cast("long").alias("bucket_n"),
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        (
+            rows.write.mode("overwrite")
+            .bucketBy(STORE_N_BUCKETS, "band", "band_sig")
+            .sortBy("band", "band_sig")
+            .option("path", stage)
+            .saveAsTable(full)
+        )
 
-    published = False
-    for _ in range(5):
-        if _store_marker_valid(path, fp):
-            published = True  # another process won with the same source
-            break
-        try:
-            os.rename(stage, path)  # atomic publish; fails iff path exists
-            published = True
-            break
-        except OSError:
-            if _store_marker_valid(path, fp):
-                published = True
-                break
-            # path holds a STALE or PARTIAL layout (regenerated fixture,
-            # foreign sf_dir with the same leaf, crashed old-protocol
-            # build): move it aside atomically, never rmtree a dir a
-            # reader may hold, then retry the publish.
-            aside = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(path, aside)
-            except OSError:
-                pass  # a concurrent process moved it first; re-check
-    if os.path.isdir(stage):
-        shutil.rmtree(stage, ignore_errors=True)  # lost-race leftovers
-    if not published:
-        raise RuntimeError(f"could not publish minhash band store at {path}")
+    publish_derived_layout(path, fp, build)
     _register(path)
-    reap_stale_siblings(path)
     return full
 
 

@@ -128,10 +128,18 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match certifies the full encode→decode cycle: doubles render
     round-trip-exact (Java shortest-repr), timestamps survive to the
     microsecond, and strings pass through quoting unchanged."""
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), "braintumor_csv", tag)
-    orders = _t(spark, sf_dir, "orders").select(*ORDERS_SCHEMA.fieldNames())
-    write_csv(orders, path, n_shards=4)
+    path = publish_derived_layout(
+        os.path.join(tempfile.gettempdir(), "braintumor_csv", tag),
+        fixture_fingerprint(sf_dir, "orders"),
+        lambda stage: write_csv(
+            _t(spark, sf_dir, "orders").select(*ORDERS_SCHEMA.fieldNames()),
+            stage,
+            n_shards=4,
+        ),
+    )
     back = read_csv(spark, path, ORDERS_SCHEMA)
     chk = F.conv(
         F.substring(

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from .fixtures import load_table as _t
-from .textdir import read_text_dir, write_text_dir
+from .textdir import ensure_text_dir, read_text_dir
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -92,10 +92,16 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a hash match certifies the whole encode→decode cycle lossless
     (newlines, quotes, and non-ASCII included — JSON escaping is the
     codec under test)."""
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), "braintumor_jsonl", tag)
-    docs = _t(spark, sf_dir, "documents")
-    write_jsonl(docs, path, n_shards=4)
+    path = publish_derived_layout(
+        os.path.join(tempfile.gettempdir(), "braintumor_jsonl", tag),
+        fixture_fingerprint(sf_dir, "documents"),
+        lambda stage: write_jsonl(
+            _t(spark, sf_dir, "documents"), stage, n_shards=4
+        ),
+    )
     back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
     chk = F.conv(
         F.substring(
@@ -142,10 +148,7 @@ def textdir_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     match certifies every byte of every document survived the
     filesystem round trip and the path metadata reconstructed doc_id
     and lang exactly."""
-    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), "braintumor_textdir", tag)
-    docs = _t(spark, sf_dir, "documents")
-    write_text_dir(docs, path)
+    path = ensure_text_dir(spark, sf_dir)
     back = read_text_dir(spark, path)
     chk = F.conv(
         F.substring(
@@ -200,21 +203,28 @@ def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     line for quarantine. The oracle replays the schedule against the
     original parquet — a hash match certifies that exactly the intended
     lines failed and every other field survived the round trip."""
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(
-        tempfile.gettempdir(), "braintumor_jsonl_corrupt", tag
+
+    def build(stage):
+        docs = _t(spark, sf_dir, "documents")
+        line = F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        )
+        mangled = F.when(
+            F.col("doc_id") % 50 == 7,
+            F.substring(line, 1, 12),  # unclosed JSON — always fails
+        ).otherwise(line)
+        docs.select(mangled.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(stage)
+
+    path = publish_derived_layout(
+        os.path.join(tempfile.gettempdir(), "braintumor_jsonl_corrupt", tag),
+        fixture_fingerprint(sf_dir, "documents"),
+        build,
     )
-    docs = _t(spark, sf_dir, "documents")
-    line = F.to_json(
-        F.struct("doc_id", "text", "lang", "source", "n_chars")
-    )
-    mangled = F.when(
-        F.col("doc_id") % 50 == 7,
-        F.substring(line, 1, 12),  # unclosed JSON object — always fails
-    ).otherwise(line)
-    docs.select(mangled.alias("value")).coalesce(4).write.mode(
-        "overwrite"
-    ).text(path)
 
     schema = T.StructType(
         list(DOCUMENTS_SCHEMA.fields)

@@ -123,20 +123,26 @@ def write_evolved_generations(spark, sf_dir: str) -> str:
     """Two parquet generations of the documents table: gen 1 (even
     doc_ids) with the original columns, gen 2 (odd doc_ids) with an
     ADDED integer ``quality`` column — additive evolution, the only
-    kind a 100 TB table can afford (rewrites are off the table)."""
+    kind a 100 TB table can afford (rewrites are off the table).
+    Published race-safely via :func:`publish_derived_layout` (the old
+    overwrite-in-place of the shared dir was the r7 flake class)."""
     from pyspark.sql import functions as F
 
     from .fixtures import load_table
 
-    d = load_table(spark, sf_dir, "documents")
     base = _evolution_dir(sf_dir)
-    d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
-        os.path.join(base, "gen=1")
-    )
-    d.filter(F.col("doc_id") % 2 == 1).withColumn(
-        "quality", (F.col("n_chars") % 7).cast("long")
-    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
-    return base
+    fp = fixture_fingerprint(sf_dir, "documents")
+
+    def build(stage: str) -> None:
+        d = load_table(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            os.path.join(stage, "gen=1")
+        )
+        d.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "quality", (F.col("n_chars") % 7).cast("long")
+        ).write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
+
+    return publish_derived_layout(base, fp, build)
 
 
 def _register_evolution_query():
@@ -297,6 +303,74 @@ def _marker_valid(base: str, fp: str) -> bool:
         return False
 
 
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap identity of a source fixture table (footer row count +
+    file size — one parquet footer read, no data scan). Detects a
+    regenerated fixture, or two sf_dirs sharing a leaf name, without
+    trusting the path string."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    return f"{pq.read_metadata(src).num_rows}-{os.path.getsize(src)}"
+
+
+def publish_derived_layout(path: str, fp: str, build) -> str:
+    """THE publication protocol for every shared derived layout (r10
+    consolidation — events by day, schema-evolution generations, text
+    tree, JSONL/XML/ORC/CSV shards, MinHash band store, bucketed
+    warehouse all ride this one function):
+
+    1. a layout is VALID iff ``{path}/_LAYOUT_VALID`` holds ``fp`` (the
+       source fingerprint) — never a bare ``_SUCCESS``, which silently
+       adopts a layout built from a regenerated fixture or a foreign
+       sf_dir sharing the leaf name;
+    2. builders materialize into a unique stage dir via ``build(stage)``,
+       stamp the marker, and publish with ONE atomic ``os.rename`` —
+       losers observe the winner's marker and discard their build;
+    3. a stale or partial dir at ``path`` is atomically renamed ASIDE
+       (readers keep their POSIX handles; Spark never lists ``_``-files,
+       so the marker is invisible to reads), never deleted live and
+       never a permanent block on publication;
+    4. day-old ``.stale-*`` siblings are reaped after a successful
+       publish.
+
+    Returns ``path`` with a valid layout for ``fp`` in place."""
+    import shutil
+    import uuid
+
+    if _marker_valid(path, fp):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    stage = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build(stage)
+    with open(os.path.join(stage, _LAYOUT_MARKER), "w") as f:
+        f.write(fp)
+    published = False
+    for _ in range(5):
+        if _marker_valid(path, fp):
+            published = True  # another process won with the same source
+            break
+        try:
+            os.rename(stage, path)  # atomic publish; fails iff path exists
+            published = True
+            break
+        except OSError:
+            if _marker_valid(path, fp):
+                published = True
+                break
+            aside = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, aside)
+            except OSError:
+                pass  # a concurrent process moved it first; re-check
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+    if not published:
+        raise RuntimeError(f"could not publish derived layout at {path}")
+    reap_stale_siblings(path)
+    return path
+
+
 def reap_stale_siblings(base: str, max_age_s: float = 86400.0) -> None:
     """Best-effort prune of ``{base}.stale-*`` layouts a publish renamed
     aside. Rename-aside (never rmtree a live dir) is the protocol's
@@ -328,17 +402,15 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     small-file count is the classic partitionBy failure mode.
 
     Publication protocol (race-proof across PROCESSES, VERDICT r8 task
-    3): build under ``{base}.tmp-{pid}-{nonce}``, stamp a validity
-    marker holding the source fingerprint, then ``os.rename`` into
-    place — a single atomic syscall, so concurrent gates (pytest +
-    verify_local, or two verify runs) either publish first or observe
-    the winner's marker and discard their own build. A live valid
-    layout is NEVER overwritten in place; a stale one (old protocol,
-    regenerated fixture) is atomically renamed aside, not deleted, so
-    any reader holding it keeps its POSIX handles."""
-    import shutil
-    import uuid
-
+    3, generalized in r10 as :func:`publish_derived_layout`): build
+    under a unique stage dir, stamp a validity marker holding the
+    source fingerprint, then ``os.rename`` into place — a single atomic
+    syscall, so concurrent gates (pytest + verify_local, or two verify
+    runs) either publish first or observe the winner's marker and
+    discard their own build. A live valid layout is NEVER overwritten
+    in place; a stale one (old protocol, regenerated fixture) is
+    atomically renamed aside, not deleted, so any reader holding it
+    keeps its POSIX handles."""
     from pyspark.sql import functions as F
 
     from .fixtures import load_table
@@ -347,51 +419,19 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     fp = _events_fingerprint(sf_dir)
     if (base, fp) in _PARTITIONED_WRITTEN and _marker_valid(base, fp):
         return base
-    if _marker_valid(base, fp):
-        _PARTITIONED_WRITTEN.add((base, fp))
-        return base
 
-    tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    e = load_table(spark, sf_dir, "events")
-    (
-        e.withColumn("event_date", F.to_date("ts"))
-        .repartition("event_date")
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(tmp)
-    )
-    with open(os.path.join(tmp, _LAYOUT_MARKER), "w") as f:
-        f.write(fp)
-
-    published = False
-    for _ in range(5):
-        if _marker_valid(base, fp):
-            published = True  # another process won with the same source
-            break
-        try:
-            os.rename(tmp, base)  # atomic publish; fails iff base exists
-            published = True
-            break
-        except OSError:
-            # base exists. If it became valid since the check above,
-            # the next pass returns it; if it is STILL stale, move it
-            # aside atomically (never rmtree a dir a reader may hold).
-            if _marker_valid(base, fp):
-                published = True
-                break
-            aside = f"{base}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(base, aside)
-            except OSError:
-                pass  # a concurrent process moved it first; re-check
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp, ignore_errors=True)
-    if not published:
-        raise RuntimeError(
-            f"could not publish day-partitioned events layout at {base}"
+    def build(stage: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(stage)
         )
+
+    publish_derived_layout(base, fp, build)
     _PARTITIONED_WRITTEN.add((base, fp))
-    reap_stale_siblings(base)
     return base
 
 

@@ -74,10 +74,14 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical aggregate from the ORIGINAL parquet; a hash
     match certifies the ORC encode→decode cycle lossless for longs and
     non-ASCII text alike."""
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), "braintumor_orc", tag)
-    docs = _t(spark, sf_dir, "documents")
-    write_orc(docs, path, n_shards=4)
+    path = publish_derived_layout(
+        os.path.join(tempfile.gettempdir(), "braintumor_orc", tag),
+        fixture_fingerprint(sf_dir, "documents"),
+        lambda stage: write_orc(_t(spark, sf_dir, "documents"), stage, n_shards=4),
+    )
     back = read_orc(spark, path, DOCUMENTS_SCHEMA)
     chk = F.conv(
         F.substring(

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 def write_text_dir(docs: DataFrame, path: str) -> None:
     """documents(doc_id, lang, text) → ``path/lang=<lang>/<doc_id>.txt``
-    written from executors (each partition writes its own files)."""
+    written from executors (each partition writes its own files).
+
+    ``path`` must be CALLER-OWNED (a private/stage dir): this rewrites
+    it in place. For the shared tag-keyed corpus tree use
+    :func:`ensure_text_dir`, which stages through this function and
+    publishes atomically."""
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     rows = docs.select("doc_id", "lang", "text")
@@ -44,6 +49,29 @@ def write_text_dir(docs: DataFrame, path: str) -> None:
                 f.write(r.text)
 
     rows.foreachPartition(write_part)
+
+
+def ensure_text_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the shared one-file-per-doc text tree for ``sf_dir``
+    (idempotent, cross-process race-safe) and return its path.
+
+    The old shape — rmtree + rewrite of the shared tag-keyed dir on
+    every call — was the r7 events-layout flake class: a concurrent
+    gate mid-read loses files under its feet. Publication rides
+    :func:`maintenance.publish_derived_layout` (fingerprint marker,
+    stage + atomic rename, stale layouts aside + reaped)."""
+    from ..sources.fixtures import load_table
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(tempfile.gettempdir(), "braintumor_textdir", tag)
+    return publish_derived_layout(
+        path,
+        fixture_fingerprint(sf_dir, "documents"),
+        lambda stage: write_text_dir(
+            load_table(spark, sf_dir, "documents"), stage
+        ),
+    )
 
 
 def read_text_dir(spark: SparkSession, path: str) -> DataFrame:

@@ -93,10 +93,18 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     characters in free text (``< > & " '``) survive entity escaping
     byte-for-byte, the exact failure mode XML interchange exists to
     get right."""
+    from .maintenance import fixture_fingerprint, publish_derived_layout
+
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), "braintumor_xml", tag)
-    docs = _t(spark, sf_dir, "documents").select(*DOCS_SCHEMA.fieldNames())
-    write_xml(docs, path, n_shards=4)
+    path = publish_derived_layout(
+        os.path.join(tempfile.gettempdir(), "braintumor_xml", tag),
+        fixture_fingerprint(sf_dir, "documents"),
+        lambda stage: write_xml(
+            _t(spark, sf_dir, "documents").select(*DOCS_SCHEMA.fieldNames()),
+            stage,
+            n_shards=4,
+        ),
+    )
     back = read_xml(spark, path, DOCS_SCHEMA)
     chk = F.conv(
         F.substring(
