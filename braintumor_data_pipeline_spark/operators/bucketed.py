@@ -66,6 +66,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.maintenance import (
         _marker_valid,
         fixture_fingerprint,
+        layout_marker_content,
         publish_derived_layout,
     )
 
@@ -92,7 +93,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
             )
             _REGISTERED.add((full, fp))
 
-        if _marker_valid(path, fp):
+        if _marker_valid(path, layout_marker_content(fp)):
             if (full, fp) not in _REGISTERED or not spark.catalog.tableExists(
                 full
             ):

@@ -56,6 +56,13 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 NULL_SENTINEL = "\\N"
 
 
+#: Layout-format version for this module's derived layouts. The source
+#: fingerprint only detects changed INPUT bytes; bump this whenever the
+#: encoder (write_*), shard layout, or corruption schedule changes so
+#: cached /tmp layouts built by older code are invalidated (ADVICE r10).
+_LAYOUT_VERSION = "1"
+
+
 def write_csv(
     df: DataFrame,
     path: str,
@@ -139,6 +146,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage,
             n_shards=4,
         ),
+        version=_LAYOUT_VERSION,
     )
     back = read_csv(spark, path, ORDERS_SCHEMA)
     chk = F.conv(

@@ -31,6 +31,12 @@ from ..registry import register
 from .fixtures import load_table as _t
 from .textdir import ensure_text_dir, read_text_dir
 
+#: Layout-format version for this module's derived layouts. The source
+#: fingerprint only detects changed INPUT bytes; bump this whenever the
+#: encoder (write_*), shard layout, or corruption schedule changes so
+#: cached /tmp layouts built by older code are invalidated (ADVICE r10).
+_LAYOUT_VERSION = "1"
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -101,6 +107,7 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stage: write_jsonl(
             _t(spark, sf_dir, "documents"), stage, n_shards=4
         ),
+        version=_LAYOUT_VERSION,
     )
     back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
     chk = F.conv(
@@ -224,6 +231,7 @@ def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tempfile.gettempdir(), "braintumor_jsonl_corrupt", tag),
         fixture_fingerprint(sf_dir, "documents"),
         build,
+        version=_LAYOUT_VERSION,
     )
 
     schema = T.StructType(

@@ -303,6 +303,15 @@ def _marker_valid(base: str, fp: str) -> bool:
         return False
 
 
+def layout_marker_content(fp: str, version: str = "1") -> str:
+    """What ``publish_derived_layout`` stamps into ``_LAYOUT_VALID``:
+    the SOURCE fingerprint plus the call site's LAYOUT-FORMAT version.
+    Callers that keep their own fast-path ``_marker_valid`` check must
+    compose the content through this helper so source changes AND
+    encoder changes both invalidate (ADVICE r10)."""
+    return f"{fp}|v{version}"
+
+
 def fixture_fingerprint(sf_dir: str, table: str) -> str:
     """Cheap identity of a source fixture table (footer row count +
     file size — one parquet footer read, no data scan). Detects a
@@ -314,57 +323,71 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
     return f"{pq.read_metadata(src).num_rows}-{os.path.getsize(src)}"
 
 
-def publish_derived_layout(path: str, fp: str, build) -> str:
+def publish_derived_layout(path: str, fp: str, build, version: str = "1") -> str:
     """THE publication protocol for every shared derived layout (r10
     consolidation — events by day, schema-evolution generations, text
     tree, JSONL/XML/ORC/CSV shards, MinHash band store, bucketed
     warehouse all ride this one function):
 
-    1. a layout is VALID iff ``{path}/_LAYOUT_VALID`` holds ``fp`` (the
-       source fingerprint) — never a bare ``_SUCCESS``, which silently
-       adopts a layout built from a regenerated fixture or a foreign
-       sf_dir sharing the leaf name;
+    1. a layout is VALID iff ``{path}/_LAYOUT_VALID`` holds ``fp|v{version}``
+       — never a bare ``_SUCCESS``, which silently adopts a layout built
+       from a regenerated fixture or a foreign sf_dir sharing the leaf
+       name. ``version`` is the call site's LAYOUT-FORMAT token: the
+       source fingerprint only says "same input bytes", so an encoder /
+       codec / corruption-schedule change in ``build`` must bump its
+       module's version constant or cached layouts keep serving the old
+       encoding (masking encoder regressions, or surfacing phantom
+       mismatches after encoder fixes);
     2. builders materialize into a unique stage dir via ``build(stage)``,
        stamp the marker, and publish with ONE atomic ``os.rename`` —
        losers observe the winner's marker and discard their build;
-    3. a stale or partial dir at ``path`` is atomically renamed ASIDE
-       (readers keep their POSIX handles; Spark never lists ``_``-files,
-       so the marker is invisible to reads), never deleted live and
-       never a permanent block on publication;
-    4. day-old ``.stale-*`` siblings are reaped after a successful
-       publish.
+    3. a stale or partial dir at ``path`` is atomically renamed ASIDE,
+       never deleted live and never a permanent block on publication.
+       Readers with OPEN STREAMS keep their POSIX handles across the
+       rename; a Spark PLAN built before the displacement, however,
+       resolves file paths at task launch and must be REBUILT after a
+       foreign-fingerprint displacement (store_lifecycle_compact's
+       docstring walks the pattern) — still strictly better than the
+       old overwrite-in-place, which corrupted even running scans;
+    4. day-old ``.stale-*`` (renamed-aside) and ``.tmp-*`` (crashed
+       builds) siblings are reaped after a successful publish.
 
-    Returns ``path`` with a valid layout for ``fp`` in place."""
+    Returns ``path`` with a valid layout for ``fp``/``version`` in
+    place."""
     import shutil
     import uuid
 
+    fp = layout_marker_content(fp, version)
     if _marker_valid(path, fp):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     stage = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    build(stage)
-    with open(os.path.join(stage, _LAYOUT_MARKER), "w") as f:
-        f.write(fp)
     published = False
-    for _ in range(5):
-        if _marker_valid(path, fp):
-            published = True  # another process won with the same source
-            break
-        try:
-            os.rename(stage, path)  # atomic publish; fails iff path exists
-            published = True
-            break
-        except OSError:
+    try:
+        build(stage)
+        with open(os.path.join(stage, _LAYOUT_MARKER), "w") as f:
+            f.write(fp)
+        for _ in range(5):
             if _marker_valid(path, fp):
+                published = True  # another process won with the same source
+                break
+            try:
+                os.rename(stage, path)  # atomic publish; fails iff path exists
                 published = True
                 break
-            aside = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(path, aside)
             except OSError:
-                pass  # a concurrent process moved it first; re-check
-    if os.path.isdir(stage):
-        shutil.rmtree(stage, ignore_errors=True)
+                if _marker_valid(path, fp):
+                    published = True
+                    break
+                aside = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(path, aside)
+                except OSError:
+                    pass  # a concurrent process moved it first; re-check
+    finally:
+        # a raising build(stage) must not leak its stage dir (ADVICE r10)
+        if os.path.isdir(stage):
+            shutil.rmtree(stage, ignore_errors=True)
     if not published:
         raise RuntimeError(f"could not publish derived layout at {path}")
     reap_stale_siblings(path)
@@ -373,7 +396,10 @@ def publish_derived_layout(path: str, fp: str, build) -> str:
 
 def reap_stale_siblings(base: str, max_age_s: float = 86400.0) -> None:
     """Best-effort prune of ``{base}.stale-*`` layouts a publish renamed
-    aside. Rename-aside (never rmtree a live dir) is the protocol's
+    aside and of day-old ``{base}.tmp-*`` stage dirs (a crashed build
+    can leak its stage despite the try/finally — e.g. SIGKILL mid-build;
+    age-based deletion never races a live builder, which finishes in
+    minutes). Rename-aside (never rmtree a live dir) is the protocol's
     safety property, but without reaping every fixture regeneration
     accumulates a full stale copy indefinitely; anything aside for over
     ``max_age_s`` has no live reader left (gates run minutes, not days)
@@ -383,7 +409,7 @@ def reap_stale_siblings(base: str, max_age_s: float = 86400.0) -> None:
     import shutil
     import time
 
-    for d in _glob.glob(f"{base}.stale-*"):
+    for d in _glob.glob(f"{base}.stale-*") + _glob.glob(f"{base}.tmp-*"):
         try:
             if time.time() - os.path.getmtime(d) > max_age_s:
                 shutil.rmtree(d, ignore_errors=True)
@@ -417,7 +443,9 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
 
     base = _partitioned_events_dir(sf_dir)
     fp = _events_fingerprint(sf_dir)
-    if (base, fp) in _PARTITIONED_WRITTEN and _marker_valid(base, fp):
+    if (base, fp) in _PARTITIONED_WRITTEN and _marker_valid(
+        base, layout_marker_content(fp)
+    ):
         return base
 
     def build(stage: str) -> None:

@@ -31,6 +31,13 @@ from .fixtures import load_table as _t
 from .jsonl import DOCUMENTS_SCHEMA
 
 
+#: Layout-format version for this module's derived layouts. The source
+#: fingerprint only detects changed INPUT bytes; bump this whenever the
+#: encoder (write_*), shard layout, or corruption schedule changes so
+#: cached /tmp layouts built by older code are invalidated (ADVICE r10).
+_LAYOUT_VERSION = "1"
+
+
 def write_orc(
     df: DataFrame,
     path: str,
@@ -81,6 +88,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tempfile.gettempdir(), "braintumor_orc", tag),
         fixture_fingerprint(sf_dir, "documents"),
         lambda stage: write_orc(_t(spark, sf_dir, "documents"), stage, n_shards=4),
+        version=_LAYOUT_VERSION,
     )
     back = read_orc(spark, path, DOCUMENTS_SCHEMA)
     chk = F.conv(

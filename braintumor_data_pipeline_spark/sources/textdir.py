@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 
 
+#: Layout-format version for this module's derived layouts. The source
+#: fingerprint only detects changed INPUT bytes; bump this whenever the
+#: encoder (write_*), shard layout, or corruption schedule changes so
+#: cached /tmp layouts built by older code are invalidated (ADVICE r10).
+_LAYOUT_VERSION = "1"
+
+
 def write_text_dir(docs: DataFrame, path: str) -> None:
     """documents(doc_id, lang, text) → ``path/lang=<lang>/<doc_id>.txt``
     written from executors (each partition writes its own files).
@@ -71,6 +78,7 @@ def ensure_text_dir(spark: SparkSession, sf_dir: str) -> str:
         lambda stage: write_text_dir(
             load_table(spark, sf_dir, "documents"), stage
         ),
+        version=_LAYOUT_VERSION,
     )
 
 

@@ -30,6 +30,12 @@ from ..registry import register
 from .csv_io import TS_FMT_DUCK, TS_FMT_SPARK
 from .fixtures import load_table as _t
 
+#: Layout-format version for this module's derived layouts. The source
+#: fingerprint only detects changed INPUT bytes; bump this whenever the
+#: encoder (write_*), shard layout, or corruption schedule changes so
+#: cached /tmp layouts built by older code are invalidated (ADVICE r10).
+_LAYOUT_VERSION = "1"
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -104,6 +110,7 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage,
             n_shards=4,
         ),
+        version=_LAYOUT_VERSION,
     )
     back = read_xml(spark, path, DOCS_SCHEMA)
     chk = F.conv(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from braintumor_data_pipeline_spark.sources.fixtures import load_table
@@ -351,7 +352,7 @@ def test_partitioned_layout_two_process_cold_race(spark, sf_dir, tmp_path):
         assert p.returncode == 0, err[-2000:]
         assert f"BASE={base}" in out
 
-    assert m._marker_valid(base, fp)
+    assert m._marker_valid(base, m.layout_marker_content(fp))
     assert not glob.glob(f"{base}.tmp-*"), "tmp build dirs leaked"
     got = spark.read.parquet(base).count()
     want = load_table(spark, sf_dir, "events").count()
@@ -379,8 +380,70 @@ def test_partitioned_layout_stale_marker_replaced_atomically(
     m._PARTITIONED_WRITTEN.clear()
 
     assert m.write_events_partitioned(spark, sf_dir) == base
-    assert m._marker_valid(base, fp)
+    assert m._marker_valid(base, m.layout_marker_content(fp))
     aside = glob.glob(f"{base}.stale-*")
     assert aside, "stale layout should be renamed aside, not overwritten"
     for d in aside:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_publish_version_bump_invalidates_cached_layout(tmp_path):
+    """ADVICE r10 (medium): the fingerprint says "same input bytes";
+    only the layout-format VERSION says "same encoder". Same fp + new
+    version must rebuild; same fp + same version must not."""
+    from braintumor_data_pipeline_spark.sources import maintenance as m
+
+    base = str(tmp_path / "layouts" / "demo")
+    builds = []
+
+    def build(stage):
+        os.makedirs(stage, exist_ok=True)
+        builds.append(stage)
+
+    m.publish_derived_layout(base, "fp-1", build, version="1")
+    m.publish_derived_layout(base, "fp-1", build, version="1")
+    assert len(builds) == 1  # cached: same source, same encoder
+    m.publish_derived_layout(base, "fp-1", build, version="2")
+    assert len(builds) == 2  # encoder changed: cache invalid
+    m.publish_derived_layout(base, "fp-1", build, version="2")
+    assert len(builds) == 2
+    assert m._marker_valid(base, m.layout_marker_content("fp-1", "2"))
+    # the displaced v1 layout went aside, not adopted and not deleted
+    import glob
+
+    assert glob.glob(f"{base}.stale-*")
+
+
+def test_publish_raising_build_leaks_no_stage_dir(tmp_path):
+    """ADVICE r10 (low): a build(stage) that raises must not leave its
+    {path}.tmp-* stage dir behind, and day-old tmp leftovers (SIGKILL
+    shape) are reaped by the next successful publish."""
+    import glob
+    import time
+
+    from braintumor_data_pipeline_spark.sources import maintenance as m
+
+    base = str(tmp_path / "layouts" / "crashy")
+
+    def bad_build(stage):
+        os.makedirs(stage, exist_ok=True)
+        with open(os.path.join(stage, "part-0"), "w") as f:
+            f.write("x")
+        raise RuntimeError("simulated build crash")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        m.publish_derived_layout(base, "fp-crash", bad_build)
+    assert not glob.glob(f"{base}.tmp-*"), "stage dir leaked on raise"
+    assert not os.path.isdir(base)
+
+    # SIGKILL shape: a tmp dir the finally never saw, aged past a day
+    zombie = f"{base}.tmp-zombie"
+    os.makedirs(zombie)
+    old = time.time() - 2 * 86400
+    os.utime(zombie, (old, old))
+
+    def good_build(stage):
+        os.makedirs(stage, exist_ok=True)
+
+    m.publish_derived_layout(base, "fp-ok", good_build)
+    assert not os.path.isdir(zombie), "aged tmp dir not reaped"
