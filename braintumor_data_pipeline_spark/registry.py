@@ -52,7 +52,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: surface, and queries whose formulation changed this round stay
 #: in-window so the new formulation gets driver confirmation; plus the
 #: test_queries_smoke invariant that every module with a recomputing
-#: oracle keeps ≥1 window slot.
+#: oracle holds a slot within the ROLLING_COVERAGE_ROUNDS horizon
+#: (current window or the two most recent driver rounds — amended from
+#: per-round to rolling-3 in r11 per VERDICT r10 task 1).
 #:
 #: Rotation log —
 #: r3 (all green in CORRECTNESS_r03): rotated out setop_intersect,
@@ -394,6 +396,39 @@ DRIVER_WINDOW = 50
 #: synthetic_session_windows, multimodal_audio_spectral_bands,
 #: partition_freshness_skew_report.
 DRIVER_WINDOW = 50
+#: r11 rotation (VERDICT r10 tasks 1-3). POLICY AMENDMENT (task 1): the
+#: module-coverage invariant is now ROLLING-3-ROUND — every module with
+#: a recomputing oracle must hold a window slot in the CURRENT window OR
+#: one of the TWO most recent driver-checked rounds (read from the
+#: committed CORRECTNESS_r*.json artifacts via
+#: :func:`recent_checked_names`), not in every round. The 15 bench
+#: HEADLINE slots stay locked unconditionally (perf and correctness
+#: gates must keep covering the same surface). Why: after r10's
+#: all-green window the per-round invariant locked 27 already-green
+#: family reps into every 50-slot window while 156 queries had NEVER
+#: held a slot — the invariant, not the engine, had become the
+#: amortization bottleneck (a ~10-round tail). Rolling-3 keeps every
+#: family within 2 rounds of its last driver hash while raising the
+#: first-time ceiling from ~16 to 34.
+#: Slot arithmetic under the new policy: r9+r10 checked sets cover
+#: EVERY recomputing-oracle family (verified by the amended smoke
+#: test), so ZERO family keeps are required this round: 15 headliners
+#: + 1 changed-formulation re-entry + 34 FIRST-TIME slots.
+#: Re-entry REQUIRED (changed formulation, task 3):
+#: minhash_store_lifecycle_dedup now runs store_lifecycle_compact + a
+#: store_layout_stats one-file-per-bucket assertion between the append
+#: and the probe — rows bit-identical ⇒ same two-epoch oracle, and the
+#: compaction path (raw-path read, aligning repartition, swap, REFRESH)
+#: gets driver-hash evidence on every future check.
+#: All 34 r10-green non-headline, non-re-entry slots vacate
+#: (formulations unchanged — the r11 layout-marker versioning touches
+#: publication plumbing only; plans and outputs are bit-identical).
+#: First-time picks, biggest-pile-first per task 2 (never-checked after
+#: r10: experiments 55, text 13, llm_pipeline 13, similarity 11, dedup
+#: 10, tpch_shapes 10): experiments takes 14 slots (the five
+#: verdict-named first), text 5, llm_pipeline 5, similarity 4 (all four
+#: verdict-named), dedup 3, tpch_shapes 3 — never-checked drops
+#: 156 → 122 when green.
 PRIORITY: tuple[str, ...] = (
     # bench HEADLINE (perf and correctness gates cover the same
     # surface — all 15 locked)
@@ -412,45 +447,81 @@ PRIORITY: tuple[str, ...] = (
     "region_grow_component",
     "events_session_30m",
     "events_asof_last_view",
-    # family keeps — no never-checked member available in the module
-    "bpe_encode_stats",
-    "hll_register_sketch",
-    "xml_roundtrip_stats",
-    "phash_signatures",
-    "textdir_corpus_stats",
-    "interval_union_coverage",
-    "skew_diagnosis_join_keys",
-    "component_modularity",
-    "orc_roundtrip_stats",
-    "csv_roundtrip_stats",
-    "global_dense_ids_documents",
-    "log_compaction_tombstones",      # cdc (no never-checked member)
-    "bucketed_group_agg",             # bucketed (no never-checked member)
-    "rcte_hierarchy_rollup",          # recursive (no never-checked member)
-    "imaging_udf_augment",            # imaging_udf (family ran dry in r9)
-    "assoc_rules_lift",               # basket (family ran dry in r9)
-    "synthetic_session_windows",      # generator (family ran dry in r9)
-    "multimodal_audio_spectral_bands",  # multimodal (family ran dry in r9)
-    "partition_freshness_skew_report",  # maintenance (family ran dry in r9)
-    # family slots flipped to FIRST-TIME (never-driver-checked) members
-    "sprt_purchase_rate",             # experiments (named r10 deferral)
-    "rake_keyword_scores",            # text (named r10 deferral)
-    "equidepth_histogram_totalprice",  # analytics
-    "sssp_weighted_bellman",          # graph
-    "copurchase_modularity",          # graph_twins
-    "pii_mask_documents",             # llm_pipeline
-    "event_value_anomalies_mad",      # timeseries
-    "q2_min_price_per_part",          # tpch_shapes
-    # free slots: verdict-ordered entries first
-    "embedding_pca_covariance",       # task 1: changed formulation re-entry
-    "minhash_store_lifecycle_dedup",  # task 4: new query (invariant entry)
-    "simpsons_paradox_screen",        # named r10 deferral
-    "tukey_pairwise_contrasts",       # named r10 deferral
-    "quantile_normalize_event_values",  # named r10 deferral
-    "gopher_repetition_filters",      # named r10 deferral
-    "approx_distinct_parts",          # task 6: ledger's r1-era red row
-    "json_props_explode",             # task 6: ledger's r1-era red row
+    # changed-formulation re-entry (VERDICT r10 task 3)
+    "minhash_store_lifecycle_dedup",
+    # first-time: experiments (14 — the five verdict-named first)
+    "ab_chi_square_conversion",
+    "ab_welch_t_purchase_value",
+    "kl_domain_balance",
+    "mergeable_variance_states",
+    "ks_two_sample_purchase_value",
+    "mann_whitney_u_purchase_value",
+    "bootstrap_ci_mean_purchase",
+    "diff_in_diff_purchase_value",
+    "logrank_test_arms",
+    "psi_value_drift_halves",
+    "chi2_independence_type_dow",
+    "ols_price_on_quantity",
+    "james_stein_group_means",
+    "trimmed_mean_event_values",
+    # first-time: text (5)
+    "tfidf_topk_terms",
+    "zipf_slope_word_freq",
+    "doc_fingerprint",
+    "readability_flesch",
+    "bigram_pmi_collocations",
+    # first-time: llm_pipeline (5)
+    "chunk_packing_greedy",
+    "stratified_exact_k_sample",
+    "greedy_set_cover_top5",
+    "domain_mix_resample",
+    "group_kfold_assignment",
+    # first-time: similarity (4 — all verdict-named)
+    "pq_adc_topk",
+    "semantic_dedup_keep_first",
+    "hard_negative_mining_topk",
+    "mmr_diversified_topk",
+    # first-time: dedup (3)
+    "minhash_signatures",
+    "dedup_normalized",
+    "prefix_filter_jaccard_pairs",
+    # first-time: tpch_shapes (3)
+    "q7_nation_pair_volume",
+    "q8_market_share_by_year",
+    "q14_promo_revenue_share",
 )
+
+#: Rolling module-coverage horizon (r11 policy, VERDICT r10 task 1):
+#: current window + this many minus one most recent driver rounds.
+ROLLING_COVERAGE_ROUNDS = 3
+
+
+def recent_checked_names() -> set[str]:
+    """Query names hash-checked in the most recent
+    ``ROLLING_COVERAGE_ROUNDS - 1`` driver rounds, read from the
+    committed ``CORRECTNESS_r*.json`` artifacts at the repo root (their
+    keys ARE the round's checked window). Used by the module-coverage
+    smoke invariant: a family counts as covered if it holds a slot in
+    the CURRENT window or appeared in one of these recent rounds."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[int, str] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds[int(m.group(1))] = p
+    out: set[str] = set()
+    for r in sorted(rounds)[-(ROLLING_COVERAGE_ROUNDS - 1):]:
+        try:
+            with open(rounds[r]) as f:
+                out |= set(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return out
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -44,8 +44,9 @@ def test_contract_shape():
 def test_driver_window_samples_every_family():
     """The driver hash-checks only the first DRIVER_WINDOW queries; that
     prefix must be exactly PRIORITY: oracle-backed throughout, covering
-    every operator family, and containing every bench HEADLINE query so
-    perf and correctness gates cover the same surface."""
+    every operator family within the rolling horizon, and containing
+    every bench HEADLINE query so perf and correctness gates cover the
+    same surface."""
     import bench
 
     specs = registry.all_queries()
@@ -56,15 +57,25 @@ def test_driver_window_samples_every_family():
     assert window == list(registry.PRIORITY)
     # every windowed query carries a hashable oracle
     assert all(specs[n].oracle for n in window)
-    # every operator family (module) with a RECOMPUTING oracle has a
-    # representative inside the window; families whose only oracles are
-    # frozen sf0.01 goldens (pinned_sf) don't claim a slot — the window
-    # prefers cross-engine recomputation over golden comparison
+    # ROLLING-3 coverage (r11 policy, VERDICT r10 task 1): every
+    # operator family (module) with a RECOMPUTING oracle has a
+    # representative inside the current window OR in one of the two
+    # most recent driver-checked rounds — no module is ever more than
+    # ROLLING_COVERAGE_ROUNDS - 1 rounds from its last driver hash,
+    # while freed rep slots amortize never-checked queries. Families
+    # whose only oracles are frozen sf0.01 goldens (pinned_sf) don't
+    # claim coverage — the window prefers cross-engine recomputation
+    # over golden comparison.
     fam = lambda n: specs[n].fn.__module__.rsplit(".", 1)[-1]  # noqa: E731
     recompute_fams = {
         fam(n) for n in specs if specs[n].oracle and not specs[n].pinned_sf
     }
-    assert recompute_fams <= {fam(n) for n in window}
+    recent = {n for n in registry.recent_checked_names() if n in specs}
+    covered = {fam(n) for n in window} | {fam(n) for n in recent}
+    assert recompute_fams <= covered, (
+        f"families outside the rolling-{registry.ROLLING_COVERAGE_ROUNDS} "
+        f"coverage horizon: {sorted(recompute_fams - covered)}"
+    )
     # bench and driver check the same surface
     assert set(bench.HEADLINE) <= set(window)
     # rows-only queries never occupy a slot ahead of an oracle-backed one
