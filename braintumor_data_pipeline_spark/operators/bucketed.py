@@ -38,6 +38,12 @@ from ..sources.fixtures import load_table as _t
 
 N_BUCKETS = 8
 _BUCKET_SPECS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+
+#: Layout-format version of the bucketed warehouse. Bump whenever the
+#: stored encoding changes — N_BUCKETS, _BUCKET_SPECS keys/sort, or the
+#: table schemas — so cached warehouses built by older code are
+#: invalidated (ADVICE r10 class, completed tree-wide in r11).
+_WAREHOUSE_LAYOUT_VERSION = "1"
 #: (table, fingerprint) pairs this process already registered — skips
 #: the DROP/CREATE metadata round-trip on repeat ensure() calls.
 _REGISTERED: set[tuple[str, str]] = set()
@@ -93,7 +99,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
             )
             _REGISTERED.add((full, fp))
 
-        if _marker_valid(path, layout_marker_content(fp)):
+        if _marker_valid(
+            path, layout_marker_content(fp, _WAREHOUSE_LAYOUT_VERSION)
+        ):
             if (full, fp) not in _REGISTERED or not spark.catalog.tableExists(
                 full
             ):
@@ -111,7 +119,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
                 .saveAsTable(full)
             )
 
-        publish_derived_layout(path, fp, build)
+        publish_derived_layout(
+            path, fp, build, version=_WAREHOUSE_LAYOUT_VERSION
+        )
         _register(path)
     return db
 

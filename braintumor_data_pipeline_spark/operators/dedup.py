@@ -1954,6 +1954,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STORE_BATCH_MOD = 8
 STORE_N_BUCKETS = 8
 
+#: Layout-format version of the persisted band store. The source
+#: fingerprint only detects changed documents bytes; bump this whenever
+#: the stored ENCODING changes — _band_sigs_of (minhash seeds/params,
+#: band math), STORE_N_BUCKETS, the bucket_n fusion, or the row schema
+#: — so cached stores built by older code are invalidated (ADVICE r10
+#: class, completed tree-wide in r11).
+_STORE_LAYOUT_VERSION = "1"
+
 
 def _band_sigs_of(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) for an arbitrary documents-shaped frame.
@@ -2072,7 +2080,9 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
         )
         _STORE_REGISTERED.add((full, fp))
 
-    if _store_marker_valid(path, _store_marker_content(fp)):
+    if _store_marker_valid(
+        path, _store_marker_content(fp, _STORE_LAYOUT_VERSION)
+    ):
         if (full, fp) not in _STORE_REGISTERED or not spark.catalog.tableExists(
             full
         ):
@@ -2102,7 +2112,7 @@ def ensure_minhash_band_store(spark: SparkSession, sf_dir: str) -> str:
             .saveAsTable(full)
         )
 
-    publish_derived_layout(path, fp, build)
+    publish_derived_layout(path, fp, build, version=_STORE_LAYOUT_VERSION)
     _register(path)
     return full
 

@@ -15,6 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # align with maxPartitionBytes
 
+#: Layout-format version for THIS module's derived layouts (the
+#: schema-evolution generations and the day-partitioned events tree).
+#: The source fingerprint only detects changed input bytes; bump this
+#: whenever either builder's output format changes — the gen-2 quality
+#: derivation, the generation split, or the day-partition scheme
+#: (ADVICE r10 class, completed tree-wide in r11).
+_LAYOUT_VERSION = "1"
+
 
 def parquet_files(path: str) -> list[str]:
     return [
@@ -142,7 +150,7 @@ def write_evolved_generations(spark, sf_dir: str) -> str:
             "quality", (F.col("n_chars") % 7).cast("long")
         ).write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
 
-    return publish_derived_layout(base, fp, build)
+    return publish_derived_layout(base, fp, build, version=_LAYOUT_VERSION)
 
 
 def _register_evolution_query():
@@ -444,7 +452,7 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     base = _partitioned_events_dir(sf_dir)
     fp = _events_fingerprint(sf_dir)
     if (base, fp) in _PARTITIONED_WRITTEN and _marker_valid(
-        base, layout_marker_content(fp)
+        base, layout_marker_content(fp, _LAYOUT_VERSION)
     ):
         return base
 
@@ -458,7 +466,7 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
             .parquet(stage)
         )
 
-    publish_derived_layout(base, fp, build)
+    publish_derived_layout(base, fp, build, version=_LAYOUT_VERSION)
     _PARTITIONED_WRITTEN.add((base, fp))
     return base
 
