@@ -26,6 +26,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEPS = [
     ("doc-count drift", [sys.executable, "tools/gen_catalog.py", "--check"]),
     ("window ledger", [sys.executable, "tools/gen_window_ledger.py", "--check"]),
+    # window-policy invariants (r11): PRIORITY == checked prefix, all
+    # oracle-backed, headliners in-window, rolling-3 family coverage —
+    # seconds to run, and a bad rotation must fail THIS gate, not pytest
+    # hours later
+    (
+        "window invariants",
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_queries_smoke.py::test_driver_window_samples_every_family",
+            "-q",
+            "--no-header",
+            "-p",
+            "no:cacheprovider",
+        ],
+    ),
     ("plan audit", [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
     # quick scale-probe pass (VERDICT r6 task 6): x1/x4 factors of the
     # four probes, per-unit ratios asserted against stored bands so a
