@@ -2666,9 +2666,26 @@ def minhash_store_lifecycle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_tomb_bands"),
             (F.col("n_store_matches") > 0).cast("long").alias("is_near_dup"),
         )
+        # The eager checkpoint below replaces the returned plan with an
+        # RDD scan, so tools/plan_audit.py cannot see the probe's real
+        # shape — assert it HERE, on every execution (stronger than the
+        # audit: a probe plan that regrew a store-side Exchange or lost
+        # the bucketed scan fails the driver gate, not just a review):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if f"SelectedBucketsCount: {STORE_N_BUCKETS} " not in plan:
+            raise RuntimeError(
+                "lifecycle probe lost its bucketed store scan "
+                "(no SelectedBucketsCount in plan)"
+            )
         # eager: severs lineage from the catalog tables so the finally
         # below can reclaim them; output is one bounded row per probe doc
         return out.localCheckpoint(eager=True)
     finally:
-        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        # cleanup must never mask an in-flight exception (a dead
+        # session makes DROP DATABASE itself raise — the original
+        # error is the diagnosis)
+        try:
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        except Exception:
+            pass
         shutil.rmtree(base, ignore_errors=True)

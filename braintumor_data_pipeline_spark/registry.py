@@ -496,31 +496,49 @@ PRIORITY: tuple[str, ...] = (
 ROLLING_COVERAGE_ROUNDS = 3
 
 
-def recent_checked_names() -> set[str]:
-    """Query names hash-checked in the most recent
-    ``ROLLING_COVERAGE_ROUNDS - 1`` driver rounds, read from the
-    committed ``CORRECTNESS_r*.json`` artifacts at the repo root (their
-    keys ARE the round's checked window). Used by the module-coverage
-    smoke invariant: a family counts as covered if it holds a slot in
-    the CURRENT window or appeared in one of these recent rounds."""
+def recent_checked_names(root: str | None = None) -> set[str]:
+    """Query names hash-CONFIRMED (green: no err, rows + schema + hash
+    all matched) in the most recent ``ROLLING_COVERAGE_ROUNDS - 1``
+    driver rounds, read from the committed ``CORRECTNESS_r*.json``
+    artifacts at the repo root. Used by the module-coverage smoke
+    invariant: a family counts as covered if it holds a slot in the
+    CURRENT window or was confirmed in one of these recent rounds.
+    RED rows do NOT count — a family whose only recent check errored
+    or hash-mismatched (precedents: r1 nanos-timestamp errs, r2/r9
+    hash mismatches) still needs a live window slot, otherwise the
+    policy's "no module more than 2 rounds from its last driver hash"
+    would silently hold a failed hash."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    k = ROLLING_COVERAGE_ROUNDS - 1
+    if k <= 0:  # per-round policy: only the current window covers
+        return set()
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds: dict[int, str] = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             rounds[int(m.group(1))] = p
     out: set[str] = set()
-    for r in sorted(rounds)[-(ROLLING_COVERAGE_ROUNDS - 1):]:
+    for r in sorted(rounds)[-k:]:
         try:
             with open(rounds[r]) as f:
-                out |= set(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
-            pass
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            ):
+                out.add(name)
     return out
 
 

@@ -311,12 +311,14 @@ def _marker_valid(base: str, fp: str) -> bool:
         return False
 
 
-def layout_marker_content(fp: str, version: str = "1") -> str:
+def layout_marker_content(fp: str, version: str) -> str:
     """What ``publish_derived_layout`` stamps into ``_LAYOUT_VALID``:
     the SOURCE fingerprint plus the call site's LAYOUT-FORMAT version.
     Callers that keep their own fast-path ``_marker_valid`` check must
     compose the content through this helper so source changes AND
-    encoder changes both invalidate (ADVICE r10)."""
+    encoder changes both invalidate (ADVICE r10). ``version`` is
+    REQUIRED — every call site must name its layout-format constant, so
+    a new site cannot silently opt out of encoder invalidation."""
     return f"{fp}|v{version}"
 
 
@@ -331,7 +333,7 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
     return f"{pq.read_metadata(src).num_rows}-{os.path.getsize(src)}"
 
 
-def publish_derived_layout(path: str, fp: str, build, version: str = "1") -> str:
+def publish_derived_layout(path: str, fp: str, build, version: str) -> str:
     """THE publication protocol for every shared derived layout (r10
     consolidation — events by day, schema-evolution generations, text
     tree, JSONL/XML/ORC/CSV shards, MinHash band store, bucketed
@@ -404,20 +406,24 @@ def publish_derived_layout(path: str, fp: str, build, version: str = "1") -> str
 
 def reap_stale_siblings(base: str, max_age_s: float = 86400.0) -> None:
     """Best-effort prune of ``{base}.stale-*`` layouts a publish renamed
-    aside and of day-old ``{base}.tmp-*`` stage dirs (a crashed build
-    can leak its stage despite the try/finally — e.g. SIGKILL mid-build;
-    age-based deletion never races a live builder, which finishes in
-    minutes). Rename-aside (never rmtree a live dir) is the protocol's
-    safety property, but without reaping every fixture regeneration
-    accumulates a full stale copy indefinitely; anything aside for over
-    ``max_age_s`` has no live reader left (gates run minutes, not days)
-    and is deleted. Errors are swallowed — reaping is hygiene, never
-    correctness."""
+    aside and of day-old ``{base}.tmp-*`` / ``{base}.compact-*`` stage
+    dirs (a crashed build or compaction can leak its stage despite the
+    in-band cleanup — e.g. SIGKILL mid-write; age-based deletion never
+    races a live builder, which finishes in minutes). Rename-aside
+    (never rmtree a live dir) is the protocol's safety property, but
+    without reaping every fixture regeneration accumulates a full stale
+    copy indefinitely; anything aside for over ``max_age_s`` has no
+    live reader left (gates run minutes, not days) and is deleted.
+    Errors are swallowed — reaping is hygiene, never correctness."""
     import glob as _glob
     import shutil
     import time
 
-    for d in _glob.glob(f"{base}.stale-*") + _glob.glob(f"{base}.tmp-*"):
+    for d in (
+        _glob.glob(f"{base}.stale-*")
+        + _glob.glob(f"{base}.tmp-*")
+        + _glob.glob(f"{base}.compact-*")
+    ):
         try:
             if time.time() - os.path.getmtime(d) > max_age_s:
                 shutil.rmtree(d, ignore_errors=True)

@@ -352,7 +352,9 @@ def test_partitioned_layout_two_process_cold_race(spark, sf_dir, tmp_path):
         assert p.returncode == 0, err[-2000:]
         assert f"BASE={base}" in out
 
-    assert m._marker_valid(base, m.layout_marker_content(fp))
+    assert m._marker_valid(
+        base, m.layout_marker_content(fp, m._LAYOUT_VERSION)
+    )
     assert not glob.glob(f"{base}.tmp-*"), "tmp build dirs leaked"
     got = spark.read.parquet(base).count()
     want = load_table(spark, sf_dir, "events").count()
@@ -380,7 +382,9 @@ def test_partitioned_layout_stale_marker_replaced_atomically(
     m._PARTITIONED_WRITTEN.clear()
 
     assert m.write_events_partitioned(spark, sf_dir) == base
-    assert m._marker_valid(base, m.layout_marker_content(fp))
+    assert m._marker_valid(
+        base, m.layout_marker_content(fp, m._LAYOUT_VERSION)
+    )
     aside = glob.glob(f"{base}.stale-*")
     assert aside, "stale layout should be renamed aside, not overwritten"
     for d in aside:
@@ -432,7 +436,7 @@ def test_publish_raising_build_leaks_no_stage_dir(tmp_path):
         raise RuntimeError("simulated build crash")
 
     with pytest.raises(RuntimeError, match="simulated"):
-        m.publish_derived_layout(base, "fp-crash", bad_build)
+        m.publish_derived_layout(base, "fp-crash", bad_build, version="1")
     assert not glob.glob(f"{base}.tmp-*"), "stage dir leaked on raise"
     assert not os.path.isdir(base)
 
@@ -445,5 +449,5 @@ def test_publish_raising_build_leaks_no_stage_dir(tmp_path):
     def good_build(stage):
         os.makedirs(stage, exist_ok=True)
 
-    m.publish_derived_layout(base, "fp-ok", good_build)
+    m.publish_derived_layout(base, "fp-ok", good_build, version="1")
     assert not os.path.isdir(zombie), "aged tmp dir not reaped"

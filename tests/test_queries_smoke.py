@@ -116,3 +116,42 @@ def test_chunk_packing_invariants(spark, sf_dir):
     assert {(r.source, r.pack_id, r.doc_id) for r in rows} == {
         (r.source, r.pack_id, r.doc_id) for r in rows2
     }
+
+
+def test_rolling_coverage_counts_only_green_rows(tmp_path):
+    """recent_checked_names must treat a RED driver row (err, or any
+    match flag false/absent) as NOT covered — a family whose only
+    recent check failed still needs a live window slot — and must read
+    only the newest ROLLING_COVERAGE_ROUNDS - 1 artifacts."""
+    import json
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"too_old_green": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "green_recent": green,
+                "hash_red": {**green, "hash_match": False},
+                "errored": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "err": "Traceback ...",
+                },
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"green_newest": green, "rows_red": {**green, "rows_match": False}})
+    )
+    got = registry.recent_checked_names(root=str(tmp_path))
+    assert got == {"green_recent", "green_newest"}

@@ -320,6 +320,7 @@ def test_store_fingerprint_rejects_stale_and_partial_layouts(
     import uuid
 
     from braintumor_data_pipeline_spark.operators.dedup import (
+        _STORE_LAYOUT_VERSION,
         _STORE_MARKER,
         _store_marker_content,
         _store_marker_valid,
@@ -345,7 +346,9 @@ def test_store_fingerprint_rejects_stale_and_partial_layouts(
         pass  # _SUCCESS alone used to mean "done" — it must no longer
     full = ensure_minhash_band_store(spark, sf)
     fp1 = _documents_fingerprint(sf)
-    assert _store_marker_valid(path, _store_marker_content(fp1))
+    assert _store_marker_valid(
+        path, _store_marker_content(fp1, _STORE_LAYOUT_VERSION)
+    )
     n1 = spark.table(full).count()
     assert n1 > 0
     stale_now = [s for s in os.listdir(base) if s.startswith("band_store.stale-")]
@@ -362,7 +365,9 @@ def test_store_fingerprint_rejects_stale_and_partial_layouts(
     fp2 = _documents_fingerprint(sf)
     assert fp2 != fp1
     full2 = ensure_minhash_band_store(spark, sf)
-    assert _store_marker_valid(path, _store_marker_content(fp2))
+    assert _store_marker_valid(
+        path, _store_marker_content(fp2, _STORE_LAYOUT_VERSION)
+    )
     n2 = spark.table(full2).count()
     assert 0 < n2 < n1  # rebuilt from the smaller fixture, not adopted
     # aged asides reaped; the layout just displaced is fresh and kept
@@ -677,6 +682,7 @@ def test_store_foreign_fingerprint_never_adopted_across_processes(
     import uuid
 
     from braintumor_data_pipeline_spark.operators.dedup import (
+        _STORE_LAYOUT_VERSION,
         _STORE_MARKER,
         _store_marker_content,
         _documents_fingerprint,
@@ -732,7 +738,7 @@ def test_store_foreign_fingerprint_never_adopted_across_processes(
     path = os.path.join(base, "band_store")
     with open(os.path.join(path, _STORE_MARKER)) as f:
         assert f.read().strip() == _store_marker_content(
-            _documents_fingerprint(str(d1))
+            _documents_fingerprint(str(d1)), _STORE_LAYOUT_VERSION
         )
     assert not glob.glob(f"{path}.tmp*"), "stage dirs leaked"
     # each displacement renamed the loser aside (fresh -> not reaped)

@@ -5,13 +5,18 @@ because the audit ran before the last commits).
 
 Runs, in order, and fails fast on the first red:
 
-  1. doc-count drift     tools/gen_catalog.py --check
-  2. window ledger       tools/gen_window_ledger.py --check
-  3. physical-plan audit tools/plan_audit.py  (full catalog, sf0.001)
-  4. correctness gate    tools/verify_local.py /root/testdata/sf0.01
+  1. doc-count drift      tools/gen_catalog.py --check
+  2. window ledger        tools/gen_window_ledger.py --check
+  3. window invariants    the single test_queries_smoke window test
+                          (PRIORITY parity, headliners in-window,
+                          rolling-3 family coverage — seconds)
+  4. physical-plan audit  tools/plan_audit.py  (full catalog, sf0.001)
+  5. scale-probe bands    tools/scaling_probe.py quick (x1/x4 ratios)
+  6. correctness gate     tools/verify_local.py /root/testdata/sf0.01
 
-pytest is intentionally not included (it is its own CI surface and takes
-~10 min); run it separately. Usage: python tools/end_of_round.py
+The FULL pytest suite is intentionally not included (it is its own CI
+surface and takes ~20 min); run it separately. Usage:
+python tools/end_of_round.py
 """
 
 from __future__ import annotations
