@@ -2469,11 +2469,41 @@ def store_lifecycle_compact(spark: SparkSession, rows_table: str) -> None:
     (reaped only after a day); probes PLANNED before the compaction in
     this session must be re-built after it (their cached listing names
     the old files). Rows are bit-identical — compaction evaluates no
-    expressions."""
+    expressions.
+
+    Crash window (ADVICE r11): the swap is TWO renames, not one — a
+    SIGKILL between ``live→aside`` and ``stage→live`` leaves no live
+    dir at ``loc`` (the in-process ``except OSError`` restore cannot
+    run). The rows are never lost — they sit complete in the newest
+    ``.stale-*`` sibling — and the next maintainer call recovers by
+    ADOPTING that sibling (see the entry check below), mirroring how
+    ``publish_derived_layout`` treats a partial dir as displaceable
+    rather than fatal. Single-maintainer serialization makes the
+    adoption race-free."""
     import shutil
     import uuid
 
     loc = _table_location(spark, rows_table)
+    if not os.path.isdir(loc):
+        # recover from a previous maintainer killed mid-swap: the
+        # newest aside sibling holds the complete pre-swap rows
+        parent_dir = os.path.dirname(loc)
+        leaf = os.path.basename(loc)
+        asides = sorted(
+            (
+                os.path.join(parent_dir, d)
+                for d in os.listdir(parent_dir)
+                if d.startswith(f"{leaf}.stale-")
+            ),
+            key=os.path.getmtime,
+        )
+        if not asides:
+            raise RuntimeError(
+                f"rows relation missing at {loc} and no .stale-* "
+                "sibling to adopt — store needs a rebuild"
+            )
+        os.rename(asides[-1], loc)
+        spark.sql(f"REFRESH TABLE {rows_table}")
     nonce = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
     stage = f"{loc}.compact-{nonce}"
     tmp_tbl = f"{rows_table}_compact_stage"
@@ -2643,10 +2673,15 @@ def minhash_store_lifecycle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         store_lifecycle_compact(spark, rows_t)
         compacted = store_layout_stats(spark, rows_t)
-        if compacted["n_files"] != STORE_N_BUCKETS:
+        # AT MOST one file per bucket, not exactly STORE_N_BUCKETS files:
+        # a bucketed write emits NO file for an empty (band, band_sig)
+        # hash bucket, so an SF where some bucket is empty would fail an
+        # equality assert for layout reasons, not correctness (ADVICE
+        # r11). files_per_bucket <= 1.0 is the compaction contract.
+        if not 0 < compacted["n_files"] <= STORE_N_BUCKETS:
             raise RuntimeError(
-                f"compaction must leave exactly one file per bucket: "
-                f"{compacted}"
+                f"compaction must leave at most one file per bucket "
+                f"(and a non-empty store at least one): {compacted}"
             )
 
         probe = store_lifecycle_probe(spark, rows_t, tomb_p, day2)

@@ -429,6 +429,33 @@ DRIVER_WINDOW = 50
 #: verdict-named first), text 5, llm_pipeline 5, similarity 4 (all four
 #: verdict-named), dedup 3, tpch_shapes 3 — never-checked drops
 #: 156 → 122 when green.
+#:
+#: --- r12 rotation (VERDICT r11 tasks 2/3/6, ADVICE r11) ---
+#: Horizon at design time is (r10, r11) — anchored to the committed
+#: WINDOW_LEDGER.json per the ADVICE r11 fix, so the driver's
+#: mid-round CORRECTNESS_r12.json can no longer advance it under the
+#: smoke gate — and r10+r11 greens cover every recomputing-oracle
+#: family: ZERO family keeps, exactly as the verdict computed.
+#: Window = 15 locked headliners + 1 re-entry + 34 FIRST-TIME.
+#: Re-entry REQUIRED (mechanical rule, task 6): ADVICE r11 changed
+#: minhash_store_lifecycle_dedup's in-query post-compaction assert
+#: (== STORE_N_BUCKETS files → 0 < n ≤ STORE_N_BUCKETS: empty hash
+#: buckets emit no file) and store_lifecycle_compact gained crash
+#: recovery — rows and oracle unchanged, but the registered fn's body
+#: changed, so it re-enters the window.
+#: First-time picks per task 2, dual-purpose: prefer never-checked
+#: members from families last green in r10, which ALSO pre-satisfies
+#: the r13 horizon (r11 ∪ r12) for every family that still has
+#: never-checked members. analytics takes all 9, events all 7,
+#: graph_twins all 6, timeseries all 5, masks all 3, graph both 2,
+#: app_flow 1, segmentation 1 = 34 — eight families drain to ZERO
+#: never-checked; never-checked drops 122 → 88 when green. (The 19
+#: fully-confirmed families whose last green is r10 — bpe/sketch/
+#: xml_io/phash/jsonl/orc/csv/intervals/indexing/imaging_udf/
+#: multimodal/basket/bucketed/cdc/components/generator/maintenance/
+#: recursive/skew — stay covered by the r10 artifact this round and
+#: fall due as family keeps at r13 design time, a planned once-per-3-
+#: rounds pulse, not a gate surprise.)
 PRIORITY: tuple[str, ...] = (
     # bench HEADLINE (perf and correctness gates cover the same
     # surface — all 15 locked)
@@ -447,48 +474,51 @@ PRIORITY: tuple[str, ...] = (
     "region_grow_component",
     "events_session_30m",
     "events_asof_last_view",
-    # changed-formulation re-entry (VERDICT r10 task 3)
+    # changed-formulation re-entry (ADVICE r11: assert relaxation +
+    # compact crash recovery)
     "minhash_store_lifecycle_dedup",
-    # first-time: experiments (14 — the five verdict-named first)
-    "ab_chi_square_conversion",
-    "ab_welch_t_purchase_value",
-    "kl_domain_balance",
-    "mergeable_variance_states",
-    "ks_two_sample_purchase_value",
-    "mann_whitney_u_purchase_value",
-    "bootstrap_ci_mean_purchase",
-    "diff_in_diff_purchase_value",
-    "logrank_test_arms",
-    "psi_value_drift_halves",
-    "chi2_independence_type_dow",
-    "ols_price_on_quantity",
-    "james_stein_group_means",
-    "trimmed_mean_event_values",
-    # first-time: text (5)
-    "tfidf_topk_terms",
-    "zipf_slope_word_freq",
-    "doc_fingerprint",
-    "readability_flesch",
-    "bigram_pmi_collocations",
-    # first-time: llm_pipeline (5)
-    "chunk_packing_greedy",
-    "stratified_exact_k_sample",
-    "greedy_set_cover_top5",
-    "domain_mix_resample",
-    "group_kfold_assignment",
-    # first-time: similarity (4 — all verdict-named)
-    "pq_adc_topk",
-    "semantic_dedup_keep_first",
-    "hard_negative_mining_topk",
-    "mmr_diversified_topk",
-    # first-time: dedup (3)
-    "minhash_signatures",
-    "dedup_normalized",
-    "prefix_filter_jaccard_pairs",
-    # first-time: tpch_shapes (3)
-    "q7_nation_pair_volume",
-    "q8_market_share_by_year",
-    "q14_promo_revenue_share",
+    # first-time: analytics (9 — family drains to zero)
+    "try_arithmetic_scalars",
+    "full_outer_customer_activity",
+    "map_functions_surface",
+    "event_type_affinity",
+    "benford_first_digit_orders",
+    "mode_event_type_per_user",
+    "interpolated_quartiles_by_group",
+    "stickiness_dau_mau",
+    "decision_stump_gini",
+    # first-time: events (7 — family drains to zero)
+    "events_sliding_10m_5m",
+    "events_dedup_keyed",
+    "events_rate_per_minute",
+    "events_view_purchase_within_30m",
+    "events_tumbling_distinct_users",
+    "watermark_sizing_report",
+    "events_session_capped",
+    # first-time: graph_twins (6 — family drains to zero)
+    "copurchase_sssp_bellman",
+    "copurchase_link_prediction",
+    "copurchase_local_clustering",
+    "copurchase_harmonic_centrality",
+    "copurchase_assortativity",
+    "copurchase_rich_club",
+    # first-time: timeseries (5 — family drains to zero)
+    "recency_weighted_user_value",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "fano_overdispersion",
+    "page_hinkley_drift",
+    # first-time: masks (3 — family drains to zero)
+    "mask_region_means",
+    "tumor_probability",
+    "mask_moments_ellipse",
+    # first-time: graph (2 — family drains to zero)
+    "link_prediction_common_neighbors",
+    "degree_assortativity",
+    # first-time: app_flow (1 — family drains to zero)
+    "app_analysis_chain",
+    # first-time: segmentation (1 — family drains to zero)
+    "region_grow_faithful",
 )
 
 #: Rolling module-coverage horizon (r11 policy, VERDICT r10 task 1):
@@ -507,7 +537,20 @@ def recent_checked_names(root: str | None = None) -> set[str]:
     or hash-mismatched (precedents: r1 nanos-timestamp errs, r2/r9
     hash mismatches) still needs a live window slot, otherwise the
     policy's "no module more than 2 rounds from its last driver hash"
-    would silently hold a failed hash."""
+    would silently hold a failed hash.
+
+    Horizon definition (ADVICE r11): the ``k`` newest rounds RECORDED
+    IN ``WINDOW_LEDGER.json`` — the ledger is regenerated and committed
+    at ROUND START (standing first action), so the horizon is fixed at
+    window-design time and cannot shift when the driver drops the
+    in-progress round's ``CORRECTNESS_r*.json`` into the repo root
+    mid-round. (The previous newest-two-artifacts-ON-DISK rule shifted
+    forward exactly then: a window designed with zero family keeps
+    against rounds (N-2, N-1) could trip the smoke gate under the
+    judge's post-round pytest once round N's artifact landed, because
+    coverage only ever SHRINKS when the horizon advances.) Fallback
+    when no ledger exists at ``root``: the ``k`` newest artifacts on
+    disk, the old semantics."""
     import glob
     import json
     import os
@@ -523,8 +566,15 @@ def recent_checked_names(root: str | None = None) -> set[str]:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             rounds[int(m.group(1))] = p
+    horizon = sorted(rounds)
+    try:
+        with open(os.path.join(root, "WINDOW_LEDGER.json")) as f:
+            ledger_rounds = json.load(f)["rounds"]
+        horizon = sorted(r for r in rounds if r in set(ledger_rounds))
+    except (OSError, ValueError, KeyError, TypeError):
+        pass  # no committed ledger: newest-k on disk (old semantics)
     out: set[str] = set()
-    for r in sorted(rounds)[-k:]:
+    for r in horizon[-k:]:
         try:
             with open(rounds[r]) as f:
                 rows = json.load(f)

@@ -318,7 +318,19 @@ def layout_marker_content(fp: str, version: str) -> str:
     compose the content through this helper so source changes AND
     encoder changes both invalidate (ADVICE r10). ``version`` is
     REQUIRED — every call site must name its layout-format constant, so
-    a new site cannot silently opt out of encoder invalidation."""
+    a new site cannot silently opt out of encoder invalidation.
+
+    Token guard (ADVICE r11): '|' is the field delimiter and 'v' the
+    version prefix — an fp containing '|' (or a non-alphanumeric
+    version token) could make distinct (fp, version) pairs compose to
+    the same marker string, validating a layout against the wrong
+    identity. Malformed tokens fail loudly at publish time instead."""
+    if "|" in fp:
+        raise ValueError(f"layout fingerprint must not contain '|': {fp!r}")
+    if not str(version).isalnum():
+        raise ValueError(
+            f"layout version must be alphanumeric: {version!r}"
+        )
     return f"{fp}|v{version}"
 
 

@@ -451,3 +451,18 @@ def test_publish_raising_build_leaks_no_stage_dir(tmp_path):
 
     m.publish_derived_layout(base, "fp-ok", good_build, version="1")
     assert not os.path.isdir(zombie), "aged tmp dir not reaped"
+
+
+def test_layout_marker_content_rejects_malformed_tokens():
+    """ADVICE r11: '|' delimits fp from version in the marker — a
+    token that could make distinct (fp, version) pairs compose to the
+    same string must fail loudly at publish time."""
+    from braintumor_data_pipeline_spark.sources import maintenance as m
+
+    assert m.layout_marker_content("123-456", "1") == "123-456|v1"
+    with pytest.raises(ValueError, match="fingerprint"):
+        m.layout_marker_content("123|v1", "1")
+    with pytest.raises(ValueError, match="version"):
+        m.layout_marker_content("123-456", "1|extra")
+    with pytest.raises(ValueError, match="version"):
+        m.layout_marker_content("123-456", "")

@@ -155,3 +155,39 @@ def test_rolling_coverage_counts_only_green_rows(tmp_path):
     )
     got = registry.recent_checked_names(root=str(tmp_path))
     assert got == {"green_recent", "green_newest"}
+
+
+def test_rolling_coverage_horizon_anchored_to_ledger(tmp_path):
+    """ADVICE r11: the horizon must be the newest rounds RECORDED IN
+    the committed WINDOW_LEDGER.json, so a CORRECTNESS artifact the
+    driver drops MID-ROUND cannot silently advance the horizon and
+    trip a window designed with zero family keeps. With a ledger
+    listing rounds [1, 2], artifact r03 on disk must be IGNORED."""
+    import json
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"green_r1": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"green_r2": green})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"green_inprogress": green})
+    )
+    (tmp_path / "WINDOW_LEDGER.json").write_text(
+        json.dumps({"rounds": [1, 2], "queries": {}, "summary": {}})
+    )
+    got = registry.recent_checked_names(root=str(tmp_path))
+    assert got == {"green_r1", "green_r2"}
+    # corrupt ledger: falls back to newest-k artifacts on disk
+    (tmp_path / "WINDOW_LEDGER.json").write_text("not json")
+    got = registry.recent_checked_names(root=str(tmp_path))
+    assert got == {"green_r2", "green_inprogress"}

@@ -608,6 +608,62 @@ def test_store_lifecycle_compact_one_file_per_bucket(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_store_lifecycle_compact_adopts_stale_sibling_after_crash(
+    spark, tmp_path
+):
+    """ADVICE r11: the compact swap is two renames — a maintainer
+    SIGKILLed between live→aside and stage→live leaves NO live dir.
+    The next maintainer call must ADOPT the newest .stale-* sibling
+    (the complete pre-swap rows) instead of failing on a missing
+    path, and then compact normally — rows preserved."""
+    import os
+    import uuid
+
+    from braintumor_data_pipeline_spark.operators.dedup import (
+        _table_location,
+        store_layout_stats,
+        store_lifecycle_append,
+        store_lifecycle_compact,
+        store_lifecycle_init,
+    )
+
+    def df(rs):
+        return spark.createDataFrame(rs, "doc_id long, text string")
+
+    day0 = [(i, f"crashy base doc {i} " + "pad " * (i % 4))
+            for i in range(30)]
+    day1 = [(100 + i, f"crashy day1 doc {i} tokens") for i in range(8)]
+
+    db = f"crashadopt_{uuid.uuid4().hex[:8]}"
+    rows_t, counts_p, tomb_p = store_lifecycle_init(
+        spark, df(day0), db, str(tmp_path / "store")
+    )
+    store_lifecycle_append(spark, rows_t, counts_p, tomb_p, df(day1))
+    before_rows = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in spark.table(rows_t).collect()
+    )
+
+    # simulate the crash window: live dir moved aside, stage never
+    # renamed in (a decoy OLDER sibling must not win the adoption)
+    loc = _table_location(spark, rows_t)
+    old_decoy = f"{loc}.stale-00000000-decoy"
+    os.makedirs(old_decoy)
+    os.utime(old_decoy, (1, 1))
+    os.rename(loc, f"{loc}.stale-{uuid.uuid4().hex[:8]}")
+    assert not os.path.isdir(loc)
+
+    store_lifecycle_compact(spark, rows_t)
+
+    after = store_layout_stats(spark, rows_t)
+    assert 0 < after["n_files"] <= after["n_buckets"]
+    after_rows = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in spark.table(rows_t).collect()
+    )
+    assert after_rows == before_rows
+
+
 def test_store_probe_shapes_agree_build_once_vs_lifecycle(spark, sf_dir):
     """The registered probe (fused layout-time bucket_n, row predicate
     bucket_n <= CAP) and the lifecycle probe (tombstone anti-join,
