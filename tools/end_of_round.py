@@ -10,9 +10,13 @@ Runs, in order, and fails fast on the first red:
   3. window invariants    the single test_queries_smoke window test
                           (PRIORITY parity, headliners in-window,
                           rolling-3 family coverage — seconds)
-  4. physical-plan audit  tools/plan_audit.py  (full catalog, sf0.001)
-  5. scale-probe bands    tools/scaling_probe.py quick (x1/x4 ratios)
-  6. correctness gate     tools/verify_local.py /root/testdata/sf0.01
+  4. window determinism   tools/determinism_sweep.py sf0.001 (the
+                          3-session certificate — 5-part / 32-part /
+                          AQE-off — over the exact window the driver
+                          is about to hash; VERDICT r11 task 7)
+  5. physical-plan audit  tools/plan_audit.py  (full catalog, sf0.001)
+  6. scale-probe bands    tools/scaling_probe.py quick (x1/x4 ratios)
+  7. correctness gate     tools/verify_local.py /root/testdata/sf0.01
 
 The FULL pytest suite is intentionally not included (it is its own CI
 surface and takes ~20 min); run it separately. Usage:
@@ -47,6 +51,15 @@ STEPS = [
             "-p",
             "no:cacheprovider",
         ],
+    ),
+    # window-scope 3-session determinism certificate (VERDICT r11
+    # task 7): the exact PRIORITY surface the driver will hash, under
+    # 5/32 shuffle partitions and an AQE-off pass, in separate
+    # processes — partition-count- or scheduling-dependent results
+    # fail HERE, not at the driver (~3 min at sf0.001)
+    (
+        "window determinism",
+        [sys.executable, "tools/determinism_sweep.py", "/root/testdata/sf0.001"],
     ),
     ("plan audit", [sys.executable, "tools/plan_audit.py", "/root/testdata/sf0.001"]),
     # quick scale-probe pass (VERDICT r6 task 6): x1/x4 factors of the
