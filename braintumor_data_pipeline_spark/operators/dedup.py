@@ -377,17 +377,23 @@ _SHINGLES_ORACLE = """
 """
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per document, built by array slicing —
-    a NARROW transform+explode (no shuffle), vs the window-lead
-    formulation the DuckDB oracle uses (same shingle set, two
-    independent constructions). Only the final distinct shuffles.
+def shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr, n_sh): each document's DISTINCT 3-token shingle
+    set as a SORTED array of 60-bit md5-prefix hashes, plus its size —
+    built entirely NARROW (split → per-element hash → array_distinct →
+    array_sort), no shuffle anywhere.
 
-    The shingle is carried as a 60-bit md5-prefix hash, not the raw
-    string: the distinct shuffle and the inverted-index self-join move
-    and compare 8-byte longs instead of ~20-40-byte strings. Collisions
-    are negligible (~n²/2⁶¹) and the oracle hashes identically, so the
-    comparison stays exact."""
+    This is the shared base of every shingle consumer. Doing distinct
+    per-doc in the array (instead of a row-level ``.distinct()`` after
+    explode) removes one full exchange from every downstream query,
+    and having the per-doc set SIZE and SORTED ORDER available as
+    narrow columns removes the per-doc count aggregation (+ its join)
+    and the PPJoin prefix row_number window outright.
+
+    The shingle is carried as a 60-bit hash, not the raw string: joins
+    move and compare 8-byte longs instead of ~20-40-byte strings.
+    Collisions are negligible (~n²/2⁶¹) and the oracle hashes
+    identically, so comparisons stay exact."""
     d = _t(spark, sf_dir, "documents")
     # materialize the token array FIRST: referencing split() inside the
     # transform lambda would inline a fresh split per element access
@@ -397,22 +403,48 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    hashed = F.transform(
         starts,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i),
-            F.element_at(t, i + 1),
-            F.element_at(t, i + 2),
-        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
     )
-    shingle_h = F.conv(
-        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
-    ).cast("bigint")
-    return (
-        toks.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", shingle_h.alias("shingle"))
-        .distinct()
+    return toks.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(hashed)).alias("sh_arr"),
+    ).withColumn("n_sh", F.size("sh_arr"))
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per document as rows — explode of
+    :func:`shingle_arrays_df`, still fully NARROW (the old row-level
+    ``.distinct()`` exchange is gone; dedup happens per-doc in the
+    array), vs the window-lead formulation the DuckDB oracle uses
+    (same shingle set, two independent constructions)."""
+    return shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    )
+
+
+def shingles_with_count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, shingle) rows: :func:`shingles_df` with the
+    per-doc distinct-set size carried as a narrow column, so join
+    consumers never need a count aggregation + re-join."""
+    return shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", "n_sh", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -441,36 +473,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shingle (co-occurrence pruning: disjoint docs never pair). The
     shuffle key is the shingle — content-uniform, skew-free.
 
-    The shingle relation feeds THREE plan branches (per-doc counts and
-    both self-join sides); persisting it materializes the tokenize+
-    distinct work once instead of three times (2.0→1.2 s at sf0.1).
-    MEMORY_AND_DISK spills gracefully at scale, and Spark's
-    ContextCleaner unpersists when the query's reference is collected."""
-    sh = shingles_df(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    Each side of the self-join CARRIES its per-doc set size n_sh (a
+    narrow column of :func:`shingle_arrays_df`), so the pair aggregate
+    already holds everything the Jaccard needs — the former per-doc
+    count aggregation and its two broadcast joins (whose identical
+    subplan Catalyst built and shuffled TWICE) are gone: 4 exchanges +
+    3 broadcasts → 1 exchange + 1 broadcast (r12, plan diff in
+    plans/r12/). The shingle relation feeds both self-join sides;
+    persisting it materializes the tokenize work once. MEMORY_AND_DISK
+    spills gracefully at scale, and Spark's ContextCleaner unpersists
+    when the query's reference is collected."""
+    sh = shingles_with_count_df(spark, sf_dir).persist()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
     jac = F.col("n_inter") * F.lit(1.0) / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter")
+        F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= 0.05).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -836,41 +866,33 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final algebra. The keep threshold (either direction ≥ ½) is
     evaluated by INTEGER cross-multiplication — no float in any
     filter, so the cut is engine-exact; the reported ratios are
-    display-rounded only."""
-    sh = shingles_df(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    display-rounded only.
+
+    r12: per-doc set sizes ride the self-join as narrow columns
+    (:func:`shingles_with_count_df`) — the count aggregation and both
+    broadcast count-joins are gone, same plan diff as
+    ``ngram_jaccard_pairs``."""
+    sh = shingles_with_count_df(spark, sf_dir).persist()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    keep = (2 * F.col("n_inter") >= F.col("ca.n_sh")) | (
-        2 * F.col("n_inter") >= F.col("cb.n_sh")
+    keep = (2 * F.col("n_inter") >= F.col("na")) | (
+        2 * F.col("n_inter") >= F.col("nb")
     )
-    return (
-        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(keep)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter") / F.col("ca.n_sh"), 6).alias(
-                "cont_a_in_b"
-            ),
-            F.round(F.col("n_inter") / F.col("cb.n_sh"), 6).alias(
-                "cont_b_in_a"
-            ),
-        )
+    return inter.filter(keep).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / F.col("na"), 6).alias("cont_a_in_b"),
+        F.round(F.col("n_inter") / F.col("nb"), 6).alias("cont_b_in_a"),
     )
 
 
@@ -971,14 +993,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer (threshold as the exact cross-multiplied
     2·inter ≥ 1·union, prefix length in
     integer div); the oracle recomputes the same pair set with NO
-    prefix filter, so the driver hash certifies zero pruning loss."""
-    from pyspark.sql import Window
+    prefix filter, so the driver hash certifies zero pruning loss.
 
-    sh = shingles_df(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("shingle")
-    )
+    r12 restructure (plan diff in plans/r12/): the per-doc shingle set
+    is already a SORTED array (:func:`shingle_arrays_df`), so the
+    prefix is a narrow ``slice`` of it — the row_number window (one
+    exchange + sort) and the counts join are gone — and the verify
+    stage intersects the two full sets with ``array_intersect`` per
+    candidate pair instead of double-exploding both sets through a
+    join + groupBy (two more exchanges gone). Per-pair verify cost is
+    O(|A|+|B|), same as the streamed join, but with zero shuffle."""
+    arr = shingle_arrays_df(spark, sf_dir).persist()
     # p = n − ceil(t·n) + 1, with ceil(n/2) = (n+1) div 2 exactly
     plen = (
         F.col("n_sh")
@@ -988,11 +1013,8 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
-    pref = (
-        sh.select("doc_id", "shingle", rk.alias("rk"))
-        .join(counts, "doc_id")
-        .filter(F.col("rk") <= plen)
-        .select("doc_id", "shingle")
+    pref = arr.select(
+        "doc_id", F.explode(F.slice("sh_arr", F.lit(1), plen)).alias("shingle")
     )
     a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1002,26 +1024,25 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b")
+    sa = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
     )
-    inter = (
+    sb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    verified = (
         cands.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("sh_a") == F.col("sh_b")),
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b"))
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(
+        verified.filter(
             F.lit(PPJOIN_T_DEN) * F.col("n_inter")
             >= F.lit(PPJOIN_T_NUM)
             * (F.col("na") + F.col("nb") - F.col("n_inter"))
@@ -1089,28 +1110,26 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole report is one row of exact BIGINTs with two final divisions.
     Scale: both pair sets are bounded by their own sub-quadratic
     generation (shingle co-occurrence / band collision); the report
-    only ever joins PAIRS, never enumerates the N² space it measures."""
-    sh = shingles_df(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    only ever joins PAIRS, never enumerates the N² space it measures.
+
+    r12: per-doc set sizes ride the truth self-join as narrow columns
+    (:func:`shingles_with_count_df`) — counts agg + both broadcast
+    count-joins gone, as in ``ngram_jaccard_pairs``."""
+    sh = shingles_with_count_df(spark, sf_dir).persist()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     truth = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(
+        inter.filter(
             2 * F.col("n_inter")
             >= F.col("na") + F.col("nb") - F.col("n_inter")
         )
@@ -1400,27 +1419,28 @@ def minhash_jaccard_estimation_error(
             ).alias("k_match")
         )
     )
-    sh = shingles_df(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
+    # r12: exact Jaccard for the surfaced pairs via array_intersect of
+    # the per-doc sorted shingle arrays — the shingle self-join +
+    # pair groupBy + count agg + two broadcast count-joins collapse
+    # into two joins and a narrow intersect (same plan diff family as
+    # prefix_filter_jaccard_pairs).
+    arr = shingle_arrays_df(spark, sf_dir)
+    ca = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("n_sh").alias("nb"),
+    )
     joined = (
-        kmatch.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        kmatch.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b"))
+        )
         .select(
             "k_match",
             F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter2"),

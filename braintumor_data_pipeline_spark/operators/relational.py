@@ -222,21 +222,30 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. customer/nation/
-    region are broadcast (no fact shuffle for dims); lineitem ⋈ orders is
-    the one key shuffle, AQE-managed. Revenue uses the split-sum fast
-    path (functions/money.py) — exact, long-path, hash-stable."""
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. r12 restructure
+    (guide §3): the dim chain collapses into orders FIRST (customer/
+    nation/region broadcast onto the orders scan — three probes over
+    the small side), so the lineitem fact probes ONE prepared relation
+    (o_orderkey → r_name, n_name) instead of chaining four hash
+    lookups per fact row. The fact-side join strategy is left to the
+    planner: broadcast at bench scale, sort-merge on the key shuffle
+    at 100 TB — the dim collapse is the right shape either way.
+    Revenue uses the split-sum fast path (functions/money.py) — exact,
+    long-path, hash-stable."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    dims = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "r_name", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(dims, li.l_orderkey == dims.o_orderkey)
         .groupBy("r_name", "n_name")
         .agg(*split_sum_aggs(rev, "rev"), F.count("*").alias("n_items"))
         .select(
@@ -684,22 +693,30 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk", "filter"),
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape. r12 restructure (guide §3): the BUILDING-segment
+    customer filter semi-reduces ORDERS first (broadcast customer onto
+    the orders scan), so the lineitem fact probes one pre-filtered,
+    pre-joined relation — one hash lookup per fact row instead of two,
+    and the fact side meets the most selective combined filter as
+    early as possible. Join strategy for the fact probe is the
+    planner's (broadcast at bench scale, SMJ at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
-        .join(
-            o.filter(
-                F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    building_orders = (
+        o.filter(
+            F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
         )
         .join(
             F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        .join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(*split_sum_aggs(rev, "rev"))
         .select(

@@ -26,7 +26,6 @@ Images here are dense 32×32 grids derived deterministically from
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -108,21 +107,125 @@ def grid_images_df(
     )
 
 
-def _bfs_apply(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Uncapped BFS region growth on one image (numpy frontier masks)."""
-    img = np.zeros((GRID, GRID), dtype=np.uint8)
-    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-    mask = region_growing_np(
-        img, SEED_YX, threshold=THRESHOLD, connectivity=4,
-        max_iterations=None, morphology=False,
+def _grid_arrays_df(g: DataFrame) -> DataFrame:
+    """(image_id, varr): each complete 32×32 image packed into ONE
+    row-major 1024-int array.
+
+    r12 Python-boundary optimization (guide §4): the old path shuffled
+    per-PIXEL rows into ``groupBy(image_id).applyInPandas`` — an
+    Exchange + per-group Sort, then one pandas DataFrame per image and
+    4 Arrow columns × 1024 rows per image across the boundary. Packing
+    first means the exchange moves map-side-combined partial arrays,
+    the reduce side needs NO sort, and the boundary moves one array
+    cell per image each way. The BFS itself is unchanged numpy."""
+    return (
+        g.select(
+            "image_id", (F.col("y") * GRID + F.col("x")).alias("pos"), "v"
+        )
+        .groupBy("image_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("varr")
+        )
     )
-    ys, xs = np.nonzero(mask)
-    return pd.DataFrame(
-        {
-            "image_id": np.full(len(ys), int(pdf["image_id"].iloc[0]), dtype="int32"),
-            "y": ys.astype("int32"),
-            "x": xs.astype("int32"),
-        }
+
+
+def _grow_arrow_fn(emit: str, **grow_kwargs):
+    """mapInArrow worker over packed grids: decode every image of a
+    batch with ONE flatten+reshape (no per-row Python), run the numpy
+    BFS per image, emit ``pos`` (admitted positions as an int array),
+    ``area`` (post-morphology pixel count) or ``adaptive``
+    (area, threshold_used)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("image_id")
+            flat = batch.column("varr").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
+            if emit == "pos":
+                pos_lists = []
+                for i in range(n):
+                    mask = region_growing_np(imgs[i], SEED_YX, **grow_kwargs)
+                    ys, xs = np.nonzero(mask)
+                    pos_lists.append(
+                        (ys.astype(np.int32) * GRID + xs.astype(np.int32))
+                    )
+                lens = [len(p) for p in pos_lists]
+                offsets = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum(lens)]
+                ).astype(np.int32)
+                values = (
+                    np.concatenate(pos_lists)
+                    if pos_lists
+                    else np.array([], np.int32)
+                )
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(values, pa.int32()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, arr], ["image_id", "pos"]
+                )
+            elif emit == "area":
+                areas = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    mask = region_growing_np(imgs[i], SEED_YX, **grow_kwargs)
+                    areas[i] = int(mask.sum())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(areas, pa.int64())],
+                    ["image_id", "area"],
+                )
+            else:  # adaptive
+                areas = np.empty(n, dtype=np.int64)
+                thrs = np.empty(n, dtype=np.float64)
+                for i in range(n):
+                    mask, thr = region_growing_adaptive_np(
+                        imgs[i], SEED_YX, **grow_kwargs
+                    )
+                    areas[i] = int(mask.sum())
+                    thrs[i] = round(float(thr), 6)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(areas, pa.int64()),
+                        pa.array(thrs, pa.float64()),
+                    ],
+                    ["image_id", "area", "threshold_used"],
+                )
+
+    return fn
+
+
+def _grown_positions(
+    g: DataFrame,
+    threshold: float,
+    connectivity: int,
+    max_iterations: int | None,
+) -> DataFrame:
+    """Shared packed-grid BFS → (image_id, y, x) rows."""
+    grown = _grid_arrays_df(g).mapInArrow(
+        _grow_arrow_fn(
+            "pos",
+            threshold=threshold,
+            connectivity=connectivity,
+            max_iterations=max_iterations,
+            morphology=False,
+        ),
+        "image_id int, pos array<int>",
+    )
+    return grown.select("image_id", F.explode("pos").alias("p")).select(
+        "image_id",
+        F.expr("p div 32").cast("int").alias("y"),
+        (F.col("p") % 32).cast("int").alias("x"),
     )
 
 
@@ -151,13 +254,13 @@ def _bfs_apply(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def region_grow_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncapped region growing = seed-connected component of the
-    admissible pixel set. Spark runs the numpy BFS per image inside
-    applyInPandas; the oracle recomputes the identical set with a DuckDB
+    admissible pixel set. Spark runs the numpy BFS per image over
+    packed grid arrays (``_grid_arrays_df`` + ``mapInArrow`` — r12:
+    sort-free aggregate, one array cell per image across the Python
+    boundary); the oracle recomputes the identical set with a DuckDB
     recursive CTE — two independent formulations of G1."""
     g = grid_images_df(spark, sf_dir)
-    return g.groupBy("image_id").applyInPandas(
-        _bfs_apply, schema="image_id int, y int, x int"
-    )
+    return _grown_positions(g, THRESHOLD, 4, None)
 
 
 #: Threshold for the capped variant — chosen so the seed component is
@@ -173,25 +276,6 @@ _OFFSETS_8_SQL = (
     " {'dy': 1, 'dx': 1}, {'dy': 1, 'dx': 0}, {'dy': 1, 'dx': -1},"
     " {'dy': 0, 'dx': -1}, {'dy': -1, 'dx': -1}]"
 )
-
-
-def _capped_apply(pdf: pd.DataFrame) -> pd.DataFrame:
-    """FIFO BFS with the reference's 100-dequeue cap, no morphology —
-    isolates the truncation quirk for exact value parity."""
-    img = np.zeros((GRID, GRID), dtype=np.uint8)
-    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-    mask = region_growing_np(
-        img, SEED_YX, threshold=CAP_THRESHOLD, connectivity=8,
-        max_iterations=100, morphology=False,
-    )
-    ys, xs = np.nonzero(mask)
-    return pd.DataFrame(
-        {
-            "image_id": np.full(len(ys), int(pdf["image_id"].iloc[0]), dtype="int32"),
-            "y": ys.astype("int32"),
-            "x": xs.astype("int32"),
-        }
-    )
 
 
 @register(
@@ -250,30 +334,22 @@ def region_grow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on. Morphology is off — that post-pass is covered by
     ``region_grow_faithful`` goldens."""
     g = grid_images_df(spark, sf_dir)
-    return g.groupBy("image_id").applyInPandas(
-        _capped_apply, schema="image_id int, y int, x int"
+    return _grown_positions(g, CAP_THRESHOLD, 8, 100)
+
+
+def _grown_area(g: DataFrame, threshold: float) -> DataFrame:
+    """Shared packed-grid faithful chain (capped BFS + morphology) →
+    (image_id, area)."""
+    return _grid_arrays_df(g).mapInArrow(
+        _grow_arrow_fn(
+            "area",
+            threshold=threshold,
+            connectivity=8,
+            max_iterations=100,
+            morphology=True,
+        ),
+        "image_id int, area long",
     )
-
-
-def _faithful_apply_at(threshold: float):
-    """applyInPandas fn: FIFO BFS with the max_iterations dequeue cap
-    (default 100) and open(3×3)+close(5×5) morphology, at ``threshold``."""
-
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = np.zeros((GRID, GRID), dtype=np.uint8)
-        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-        mask = region_growing_np(
-            img, SEED_YX, threshold=threshold, connectivity=8,
-            max_iterations=100, morphology=True,
-        )
-        return pd.DataFrame(
-            {
-                "image_id": [int(pdf["image_id"].iloc[0])],
-                "area": [int(mask.sum())],
-            }
-        )
-
-    return apply
 
 
 def _faithful_oracle(threshold: float) -> str:
@@ -389,9 +465,7 @@ def region_grow_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     component is smaller than the 3×3 opening) — the non-degenerate
     morphology path is exercised by ``region_grow_capped_morph``."""
     g = grid_images_df(spark, sf_dir)
-    return g.groupBy("image_id").applyInPandas(
-        _faithful_apply_at(THRESHOLD), schema="image_id int, area long"
-    )
+    return _grown_area(g, THRESHOLD)
 
 
 #: Threshold for the morphology-exercising variant: at 0.85 the capped
@@ -414,24 +488,21 @@ def region_grow_capped_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sieve holes) and both engines must agree on the transformed area,
     not on a vacuous empty/identity result."""
     g = grid_images_df(spark, sf_dir)
-    return g.groupBy("image_id").applyInPandas(
-        _faithful_apply_at(MORPH_THRESHOLD), schema="image_id int, area long"
-    )
+    return _grown_area(g, MORPH_THRESHOLD)
 
 
-def _adaptive_apply(pdf: pd.DataFrame) -> pd.DataFrame:
-    img = np.zeros((GRID, GRID), dtype=np.uint8)
-    img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-    mask, thr = region_growing_adaptive_np(
-        img, SEED_YX, initial_threshold=0.05, max_threshold=0.3,
-        connectivity=4, max_iterations=100000,
-    )
-    return pd.DataFrame(
-        {
-            "image_id": [int(pdf["image_id"].iloc[0])],
-            "area": [int(mask.sum())],
-            "threshold_used": [round(float(thr), 6)],
-        }
+def _grown_adaptive(g: DataFrame) -> DataFrame:
+    """Shared packed-grid adaptive wrapper → (image_id, area,
+    threshold_used)."""
+    return _grid_arrays_df(g).mapInArrow(
+        _grow_arrow_fn(
+            "adaptive",
+            initial_threshold=0.05,
+            max_threshold=0.3,
+            connectivity=4,
+            max_iterations=100000,
+        ),
+        "image_id int, area long, threshold_used double",
     )
 
 
@@ -601,9 +672,7 @@ def region_grow_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     size and replays the up/down schedule in SQL (integer size-band
     predicates; float32 admissibility via REAL casts)."""
     g = grid_images_df(spark, sf_dir)
-    return g.groupBy("image_id").applyInPandas(
-        _adaptive_apply, schema="image_id int, area long, threshold_used double"
-    )
+    return _grown_adaptive(g)
 
 
 @register(
@@ -621,6 +690,4 @@ def region_grow_adaptive_first8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF. The Spark side runs the exact same applyInPandas operator code
     path; only the input grid is bounded."""
     g = grid_images_df(spark, sf_dir).filter(F.col("image_id") < 8)
-    return g.groupBy("image_id").applyInPandas(
-        _adaptive_apply, schema="image_id int, area long, threshold_used double"
-    )
+    return _grown_adaptive(g)

@@ -148,7 +148,11 @@ HEADLINE_EXCHANGE_BUDGET = {
     "rollup_lineitem": (1, 0),
     "histogram_totalprice": (1, 1),
     "minhash_dedup_groups": (2, 0),
-    "ngram_jaccard_pairs": (7, 3),
+    # r12: carried-counts restructure — per-doc n_sh rides the self-join
+    # as a narrow column and distinct happens per-doc in the array, so
+    # the counts aggregation + its two broadcast re-joins and the
+    # row-level distinct exchange are gone (7, 3) → (1, 1)
+    "ngram_jaccard_pairs": (1, 1),
     "knn_bruteforce_cosine": (1, 0),
     "pixel_minmax_normalize": (1, 0),
     "mask_metrics": (1, 0),
