@@ -861,9 +861,13 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join runs on the per-DAY aggregate (≤ calendar days rows) — the
     raw events are touched once, in a partial-aggregable rollup."""
     e = _t(spark, sf_dir, "events")
+    # r12 diamond rule: the day-grain aggregate feeds tot and (via dev)
+    # both self-join sides and the denominator — persist it so the raw
+    # events are scanned+aggregated once, not four times. The cached
+    # frame is <= calendar-days rows at any corpus size.
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
-    )
+    ).persist()
     tot = daily.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "d", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
@@ -2274,12 +2278,14 @@ def xcorr_views_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — so the lead-lag profile is engine-identical. Joins and
     windows touch only the ~30-row daily aggregate."""
     e = _t(spark, sf_dir, "events")
+    # r12 diamond rule: same as acf_daily_revenue — persist the
+    # calendar-bounded day-grain aggregate that feeds every branch.
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "np"
         ),
-    )
+    ).persist()
     tot = daily.agg(
         F.count("*").alias("n"), F.sum("nv").alias("sv"), F.sum("np").alias("sp")
     )

@@ -331,13 +331,18 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     baseline of the link-prediction literature). One two-hop self-join
     on the symmetric edge list (cost Σ deg², bounded by LSH bucket
     sizes), an anti-join to drop existing edges, exact integer counts,
-    top-20 with total-order tie-breaks."""
+    top-20 with total-order tie-breaks.
+
+    r12: the edge list feeds THREE plan branches (both two-hop sides
+    and the anti-join) — persist it once, like every sibling graph
+    query (the diamond rule); before this the bands-join+distinct
+    subplan was built and executed three times."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).persist()
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     b = edges.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     two_hop = (

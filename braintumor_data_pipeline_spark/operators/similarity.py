@@ -1589,12 +1589,17 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # r12 diamond rule (as in text.bm25_search_topk): dl feeds stats AND
+    # the scorer join, tf feeds dfreq AND the scorer join — persist the
+    # aggregated frames so the scan+explode subplan builds once per
+    # branch head instead of four times.
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len")).persist()
     stats = dl.agg(F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs"))
     tf = (
         tok.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -1749,7 +1754,7 @@ def behavior_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(F.count("*").alias("c"))
-    )
+    ).persist()  # r12 diamond rule: feeds totals and BOTH overlap sides
     tot = day_cnt.groupBy("user_id").agg(F.sum("c").alias("total"))
     tot = tot.select(
         "user_id", "total", F.length(F.expr("bin(total)")).alias("blk")

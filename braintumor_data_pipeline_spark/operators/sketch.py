@@ -580,15 +580,20 @@ def hll_set_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..sources.fixtures import load_table as _lt
 
     e = load_table_events = _lt(spark, sf_dir, "events")
+    # r12 diamond rule: each distinct user set feeds the union, its
+    # own sketch, its exact count and the semijoin — persist both so
+    # the scan+filter+distinct builds once per set, not four times.
     va = (
         e.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("key"))
         .distinct()
+        .persist()
     )
     vb = (
         e.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("key"))
         .distinct()
+        .persist()
     )
     vu = va.union(vb).distinct()
     za = _hll_z(va).select(F.col("z").alias("za"), F.col("v").alias("va0"))

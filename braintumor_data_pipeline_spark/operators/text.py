@@ -279,7 +279,15 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated (term → postings) table fed by the same tf plan."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # dl feeds stats AND the scorer join; tf feeds df AND the scorer
+    # join — persist the two AGGREGATED frames (doc-grain / query-term
+    # grain) so the scan+explode subplan builds once per branch head
+    # instead of four times (r12 diamond rule). Persisting tok itself
+    # would dedupe harder but caches the raw token stream — at 100 TB
+    # the aggregates are the right thing to hold, the scan is not.
+    dl = (
+        tok.groupBy("doc_id").agg(F.count("*").alias("doc_len")).persist()
+    )
     stats = dl.agg(
         F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs")
     )
@@ -287,6 +295,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -487,7 +496,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the scorer join and the df aggregation — without the
+    # persist, Catalyst builds (and the AQE-off determinism sessions
+    # execute) the scan+explode+aggregate subplan twice (r12; same
+    # diamond rule as ngram_jaccard_pairs / indexing.blocked_*)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
