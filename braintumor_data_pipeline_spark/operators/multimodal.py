@@ -41,30 +41,54 @@ IMAGE_TABLE_SCHEMA = (
 
 
 def images_as_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage 1: the multimodal image table — (metadata…, payload binary)."""
+    """Stage 1: the multimodal image table — (metadata…, payload binary).
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = np.zeros((GRID, GRID), dtype=np.uint8)
-        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-        png = encode_png(img)
-        return pd.DataFrame(
-            [
-                {
-                    "image_id": int(pdf["image_id"].iloc[0]),
-                    "format": "png",
-                    "width": GRID,
-                    "height": GRID,
-                    "n_bytes": len(png),
-                    "payload": png,
-                }
-            ]
-        )
+    r12 packed-grid boundary (same rewrite as segmentation/phash): the
+    per-pixel rows aggregate into one row-major int array per image via
+    a map-side-combinable collect_list (no per-group Sort), and one
+    mapInArrow batch decodes every image with a single flatten+reshape
+    before the PNG encode — no per-image pandas DataFrame."""
+    from pyspark.sql import functions as F
 
-    return (
+    packed = (
         grid_images_df(spark, sf_dir)
+        .select(
+            "image_id", (F.col("y") * GRID + F.col("x")).alias("pos"), "v"
+        )
         .groupBy("image_id")
-        .applyInPandas(encode, schema=IMAGE_TABLE_SCHEMA)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("varr")
+        )
     )
+
+    def encode_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column("varr").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
+            payloads = [encode_png(imgs[i]) for i in range(n)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("image_id"),
+                    pa.array(["png"] * n, pa.string()),
+                    pa.array([GRID] * n, pa.int32()),
+                    pa.array([GRID] * n, pa.int32()),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                ["image_id", "format", "width", "height", "n_bytes", "payload"],
+            )
+
+    return packed.mapInArrow(encode_batches, IMAGE_TABLE_SCHEMA)
 
 
 def image_features_df(df: DataFrame) -> DataFrame:

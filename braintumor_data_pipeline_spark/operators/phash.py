@@ -125,14 +125,40 @@ def phash_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pix = base.unionByName(variant)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = np.zeros((GRID, GRID), dtype=np.uint8)
-        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
-        return pd.DataFrame(
-            [{"pid": int(pdf["pid"].iloc[0]), "payload": encode_png(img)}]
+    # r12 packed-grid boundary (same rewrite as segmentation): pack each
+    # image into one row-major int array via a map-side-combinable
+    # collect_list (no per-group Sort), decode a whole Arrow batch with
+    # one flatten+reshape, and PNG-encode per image — 2 boundary cells
+    # per image instead of 4×1024, no per-image pandas DataFrame.
+    packed = (
+        pix.select("pid", (F.col("y") * GRID + F.col("x")).alias("pos"), "v")
+        .groupBy("pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("varr")
         )
+    )
 
-    return pix.groupBy("pid").applyInPandas(encode, "pid int, payload binary")
+    def encode_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column("varr").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
+            payloads = [encode_png(imgs[i]) for i in range(n)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("pid"), pa.array(payloads, pa.binary())],
+                ["pid", "payload"],
+            )
+
+    return packed.mapInArrow(encode_batches, "pid int, payload binary")
 
 
 def phash_bands_df(images: DataFrame) -> DataFrame:
