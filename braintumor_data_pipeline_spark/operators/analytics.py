@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import dec_col, dec_sum
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -869,7 +870,7 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-sized table. Counts are exact; lift is one float division
     rounded for display."""
     ev = _t(spark, sf_dir, "events")
-    per_user = ev.select("user_id", "event_type").distinct().persist()
+    per_user = ev.select("user_id", "event_type").distinct().transform(persist_tracked)
     nu = per_user.agg(F.countDistinct("user_id").alias("nu"))
     singles = per_user.groupBy("event_type").agg(F.count("*").alias("n"))
     a = per_user.alias("a")
@@ -1245,7 +1246,7 @@ def interpolated_quartiles_by_group(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.row_number().over(w_rn).alias("rn"),
         F.count("*").over(w_n).alias("n"),
-    ).persist()
+    ).transform(persist_tracked)
     groups = v.select("grp", "n").distinct()
     idx = (
         groups.select(

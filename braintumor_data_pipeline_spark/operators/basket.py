@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -119,7 +120,7 @@ def frequent_triples_apriori(
         .filter(F.col("n") >= BASKET_SUP)
         .select("item")
     )
-    b1 = b.join(l1, "item", "left_semi").persist()
+    b1 = b.join(l1, "item", "left_semi").transform(persist_tracked)
     a_side = b1.select(
         F.col("cust"), F.col("item").alias("ia")
     )
@@ -136,7 +137,7 @@ def frequent_triples_apriori(
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= BASKET_SUP)
         .select("ia", "ib")
-        .persist()  # feeds candidate gen three ways — diamond
+        .transform(persist_tracked)  # feeds candidate gen three ways — diamond
     )
     p = l2.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
     q = l2.select(F.col("ia").alias("qa"), F.col("ib").alias("c"))
@@ -221,7 +222,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggs; the rule scoring joins a support-filtered
     small relation against the item-count dimension (broadcast) — no
     quadratic stage survives the support gate."""
-    b = _basket(spark, sf_dir).persist()
+    b = _basket(spark, sf_dir).transform(persist_tracked)
     nb = b.select(F.count_distinct("cust").alias("n"))
     ic = b.groupBy("item").agg(F.count("*").alias("ci"))
     a_side = b.select("cust", F.col("item").alias("ia"))

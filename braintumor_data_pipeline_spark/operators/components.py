@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from .dedup import bands_df
 
@@ -168,7 +169,7 @@ def component_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees shuffle on content-uniform keys; nothing global moves."""
     from .dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     comp = dedup_connected_components(spark, sf_dir)
     m_df = pairs.agg(F.count("*").alias("m"))
     ec = (

@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -223,7 +224,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs appear only when a full band collides, which is the standard
     sub-quadratic near-dup candidate generation. The band relation feeds
     both self-join sides, so it persists (built once, not twice)."""
-    bands = bands_df(spark, sf_dir).persist()
+    bands = bands_df(spark, sf_dir).transform(persist_tracked)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -483,7 +484,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting it materializes the tokenize work once. MEMORY_AND_DISK
     spills gracefully at scale, and Spark's ContextCleaner unpersists
     when the query's reference is collected."""
-    sh = shingles_with_count_df(spark, sf_dir).persist()
+    sh = shingles_with_count_df(spark, sf_dir).transform(persist_tracked)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -798,7 +799,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bucket-quadratic, bounded by band width (more bits per band →
     smaller buckets → more bands to keep the distance guarantee:
     bands = distance + 1)."""
-    sigs = simhash_signatures(spark, sf_dir).persist()
+    sigs = simhash_signatures(spark, sf_dir).transform(persist_tracked)
     bands = sigs.select(
         "doc_id",
         "simhash60",
@@ -872,7 +873,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`shingles_with_count_df`) — the count aggregation and both
     broadcast count-joins are gone, same plan diff as
     ``ngram_jaccard_pairs``."""
-    sh = shingles_with_count_df(spark, sf_dir).persist()
+    sh = shingles_with_count_df(spark, sf_dir).transform(persist_tracked)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -932,7 +933,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus². Fixture split: even doc_ids play the corpus, odd ones the
     arriving batch; output = new docs colliding with ≥1 old doc, their
     collision count and earliest colliding corpus doc."""
-    bands = bands_df(spark, sf_dir).persist()
+    bands = bands_df(spark, sf_dir).transform(persist_tracked)
     old = bands.filter(F.col("doc_id") % 2 == 0).alias("o")
     new = bands.filter(F.col("doc_id") % 2 == 1).alias("n")
     return (
@@ -1003,7 +1004,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair instead of double-exploding both sets through a
     join + groupBy (two more exchanges gone). Per-pair verify cost is
     O(|A|+|B|), same as the streamed join, but with zero shuffle."""
-    arr = shingle_arrays_df(spark, sf_dir).persist()
+    arr = shingle_arrays_df(spark, sf_dir).transform(persist_tracked)
     # p = n − ceil(t·n) + 1, with ceil(n/2) = (n+1) div 2 exactly
     plen = (
         F.col("n_sh")
@@ -1115,7 +1116,7 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12: per-doc set sizes ride the truth self-join as narrow columns
     (:func:`shingles_with_count_df`) — counts agg + both broadcast
     count-joins gone, as in ``ngram_jaccard_pairs``."""
-    sh = shingles_with_count_df(spark, sf_dir).persist()
+    sh = shingles_with_count_df(spark, sf_dir).transform(persist_tracked)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -1134,7 +1135,7 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("na") + F.col("nb") - F.col("n_inter")
         )
         .select("doc_a", "doc_b")
-    ).persist()
+    ).transform(persist_tracked)
     cand = minhash_lsh_pairs(spark, sf_dir)
     t = truth.agg(F.count("*").alias("n_true"))
     c = cand.agg(F.count("*").alias("n_cand"))
@@ -1318,7 +1319,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked.join(F.broadcast(offsets), "_blk")
         .withColumn("r", F.row_number().over(wblk) + F.col("_off"))
         .select("doc_id", "k", "r")
-    ).persist()
+    ).transform(persist_tracked)
     pairs = None
     for gap in range(1, SN_WINDOW):
         b = ranked.select(
@@ -1401,7 +1402,7 @@ def minhash_jaccard_estimation_error(
     bounded by the candidate set (never all pairs); exact Jaccard
     joins the shingle index only for pairs the LSH already surfaced
     (pairs sharing no shingle keep |∩| = 0 via the left join)."""
-    cand = minhash_lsh_pairs(spark, sf_dir).persist()
+    cand = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     sigs = minhash_signature_df(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
@@ -1424,7 +1425,12 @@ def minhash_jaccard_estimation_error(
     # pair groupBy + count agg + two broadcast count-joins collapse
     # into two joins and a narrow intersect (same plan diff family as
     # prefix_filter_jaccard_pairs).
-    arr = shingle_arrays_df(spark, sf_dir)
+    # n_sh > 0 keeps the algebra identical to the oracle's, which
+    # builds counts from EXPLODED shingles and so never has a row for
+    # a zero-shingle doc. Unreachable today (LSH candidates require
+    # signatures built from shingles) but guards the inner joins below
+    # against a future upstream change (ADVICE r12).
+    arr = shingle_arrays_df(spark, sf_dir).filter(F.col("n_sh") > 0)
     ca = arr.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_arr").alias("arr_a"),
@@ -1558,7 +1564,7 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-    ).persist()
+    ).transform(persist_tracked)
     a = attrs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),

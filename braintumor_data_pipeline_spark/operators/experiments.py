@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -867,7 +868,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is <= calendar-days rows at any corpus size.
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
-    ).persist()
+    ).transform(persist_tracked)
     tot = daily.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "d", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
@@ -2285,7 +2286,7 @@ def xcorr_views_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "np"
         ),
-    ).persist()
+    ).transform(persist_tracked)
     tot = daily.agg(
         F.count("*").alias("n"), F.sum("nv").alias("sv"), F.sum("np").alias("sp")
     )
@@ -4064,7 +4065,7 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("c"))
     )
-    cells = cells.persist()
+    cells = cells.transform(persist_tracked)
     rows_ = cells.groupBy(F.col("lang").alias("label")).agg(
         F.sum("c").alias("r")
     )
@@ -4681,7 +4682,7 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("next_day").cast("string")), 1, 1) < "c"
         ).alias("is_train"),
     )
-    trans = trans.persist()
+    trans = trans.transform(persist_tracked)
     counts = (
         trans.filter("is_train")
         .groupBy("prev_type", "next_type")
@@ -4849,7 +4850,7 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", pred.alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
-    ).persist()
+    ).transform(persist_tracked)
     rows_ = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
     return (
         cells.join(F.broadcast(rows_), "lang")

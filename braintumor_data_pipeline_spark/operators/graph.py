@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 from .dedup import LSH_PAIRS_SQL, minhash_lsh_pairs
@@ -114,9 +115,9 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .persist()
+        .transform(persist_tracked)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(persist_tracked)
 
     pr = docs.crossJoin(F.broadcast(base)).select(
         "doc_id", F.col("base").alias("pr")
@@ -185,7 +186,7 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm. On this corpus the id orientation is already uniform.
     Clustering coefficient = 3·triangles / wedges, an exact int/int
     division both engines compute identically."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
@@ -342,7 +343,7 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).transform(persist_tracked)
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     b = edges.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     two_hop = (
@@ -584,7 +585,7 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the two-hop join per corner. LCC = 2·tri_v/(deg·(deg−1))
     is one exact int/int float division per row; nodes of degree < 2
     (undefined denominator) are excluded on both engines."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tris = (
         e1.join(
@@ -680,7 +681,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph), and the whole r is one float expression on the single
     output row. Two broadcast-degree joins + one partial-aggregable
     reduction; nothing touches the graph twice."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     deg = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionAll(pairs.select(F.col("doc_b").alias("v")))
@@ -762,13 +763,13 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end: club sizes from a degree filter per k (the 3-value k
     domain broadcasts), club-internal edges by two broadcast degree
     joins over the bounded pair set, φ one int/int division per k."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs = minhash_lsh_pairs(spark, sf_dir).transform(persist_tracked)
     deg = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionAll(pairs.select(F.col("doc_b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
-    ).persist()
+    ).transform(persist_tracked)
     # k domain via explode of a literal array — narrow 3× expansion,
     # no join node (the audit-clean constant-domain form)
     k_arr = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
@@ -976,7 +977,7 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -1080,9 +1081,9 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(persist_tracked)
     base = part.agg(
         F.expr(f"cast({PR_SCALE} div count(*) as bigint)").alias("base")
     )

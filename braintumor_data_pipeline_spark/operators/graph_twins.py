@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 from .graph import (
@@ -268,7 +269,7 @@ def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBys; contribution = e_c/m − (d_c/2m)² as
     ONE float expression per output row (integer-valued doubles ≪ 2⁵³);
     the scalar m rides a 1-row broadcast cross join."""
-    pairs = _repeat_pairs(spark, sf_dir).persist()
+    pairs = _repeat_pairs(spark, sf_dir).transform(persist_tracked)
     edges = _sym(pairs).localCheckpoint()
     comp = _cc_labels(edges).select(
         F.col("node").alias("part_id"), F.col("label").alias("component")
@@ -569,7 +570,7 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-2 graph is sparse enough that ≥2-witness non-edges vanish
     at sf0.1 and the check would be vacuous."""
     pairs = _repeat_pairs(spark, sf_dir)
-    edges = _sym(pairs).persist()
+    edges = _sym(pairs).transform(persist_tracked)
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     b = edges.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     two_hop = (
@@ -630,7 +631,7 @@ def copurchase_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest vertex, EXPLODED to credit all three corners; LCC =
     2·tri/(deg·(deg−1)) one exact int/int float division per row,
     degree-<2 rows excluded on both engines."""
-    pairs = _repeat_pairs(spark, sf_dir).persist()
+    pairs = _repeat_pairs(spark, sf_dir).transform(persist_tracked)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tris = (
         e1.join(
@@ -813,7 +814,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("deg")
@@ -898,14 +899,14 @@ def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     deg = (
         pairs.select(F.col("pa").alias("v"))
         .unionAll(pairs.select(F.col("pb").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
-    ).persist()
+    ).transform(persist_tracked)
     k_arr = F.array(*[F.lit(k) for k in RICH_KS])
     club = (
         deg.select("deg", F.explode(k_arr).alias("k"))

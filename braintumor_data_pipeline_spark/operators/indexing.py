@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked, release_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -99,30 +100,23 @@ _COARSE = 32  # sqrt(RANGE_BLOCKS): boundary lookup = 2×31 comparisons
 #: one-query sessions can ignore it (ContextCleaner reclaims on ref
 #: drop). Without the hook, 366-gate runs accumulate cached blocks
 #: until GC-driven reclamation — nondeterministic storage pressure
-#: (ADVICE r7).
-_PERSISTED_INPUTS: list[DataFrame] = []
+#: (ADVICE r7). Since r13 the registry itself lives in
+#: braintumor_data_pipeline_spark.caching and tracks EVERY module's
+#: diamond persists; this public name is kept because bench.py and the
+#: gate tools call it between queries.
 
 
 def release_blocked_caches() -> int:
-    """Unpersist every input the blocked_* helpers cached since the
-    last call; returns how many were released. Safe to call once the
-    frames returned by those helpers have been fully consumed (e.g.
-    between queries in a gate sweep) — unpersisting is correctness-
-    neutral, it only forfeits reuse."""
-    n = len(_PERSISTED_INPUTS)
-    for df in _PERSISTED_INPUTS:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    _PERSISTED_INPUTS.clear()
-    return n
+    """Unpersist every frame any query builder persist-tracked since
+    the last call (see :mod:`..caching`); returns how many were
+    released. Safe to call once the frames returned by the builders
+    have been fully consumed (e.g. between queries in a gate sweep) —
+    unpersisting is correctness-neutral, it only forfeits reuse."""
+    return release_tracked()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    out = df.persist()
-    _PERSISTED_INPUTS.append(out)
-    return out
+    return persist_tracked(df)
 
 
 def _with_range_block(df: DataFrame, key_col: str) -> DataFrame:

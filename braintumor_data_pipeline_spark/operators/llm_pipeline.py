@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import dec_sum
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -1197,7 +1198,7 @@ def repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s.start_pos") + 7).alias("end_pos"),
             F.col("s.h").alias("h"),
         )
-    ).persist()
+    ).transform(persist_tracked)
     rep = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1463,7 +1464,7 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("n_chars div 100").cast("long").alias("len_bucket"),
         "source",
-    ).persist()
+    ).transform(persist_tracked)
     glob = base.groupBy("source").agg(F.count("*").alias("g"))
     n_all = base.agg(F.count("*").alias("n"))
     cells = base.groupBy("lang", "len_bucket", "source").agg(
@@ -1579,7 +1580,7 @@ def greedy_set_cover_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so both engines replay the identical greedy trajectory."""
     from .dedup import shingles_df
 
-    sh = shingles_df(spark, sf_dir).persist()
+    sh = shingles_df(spark, sf_dir).transform(persist_tracked)
     covered = None
     picked: list[int] = []
     out_rows = []
@@ -1955,7 +1956,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    feats = feats.persist()  # feeds raw counts, target counts, and the
+    feats = feats.transform(persist_tracked)  # feeds raw counts, target counts, and the
     # per-doc weight join — the dedup-diamond persist rule
     raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
     tgt = (
@@ -2193,7 +2194,7 @@ def memorization_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    wins = wins.persist()  # feeds the shared screen AND the per-doc
+    wins = wins.transform(persist_tracked)  # feeds the shared screen AND the per-doc
     # fraction — the dedup-diamond persist rule
     shared = (
         wins.groupBy("h")
@@ -2330,7 +2331,7 @@ def memorization_max_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= MEM_WINDOW)
         .select("doc_id", F.explode(wins_structs).alias("s"))
         .select("doc_id", "s.start_pos", "s.end_pos", "s.h")
-        .persist()  # feeds the shared screen AND the hit join — diamond
+        .transform(persist_tracked)  # feeds the shared screen AND the hit join — diamond
     )
     shared = (
         wins.groupBy("h")

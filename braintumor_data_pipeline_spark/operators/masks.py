@@ -23,6 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from .pixels import PIXELS_SQL, pixels_df
 
@@ -196,7 +197,7 @@ def mask_boundary_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked_df(spark, sf_dir)
         .filter(F.col("pred") == 1)
         .select("image_id", "y", "x")
-        .persist()  # feeds both self-join sides; build the grid once
+        .transform(persist_tracked)  # feeds both self-join sides; build the grid once
     )
     a = m.alias("a")
     b = m.alias("b")

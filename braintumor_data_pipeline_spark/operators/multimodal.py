@@ -74,6 +74,12 @@ def images_as_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = batch.column("varr").flatten().to_numpy(
                 zero_copy_only=False
             )
+            if flat.size != n * GRID * GRID:  # incomplete grid would
+                # silently mis-tile ACROSS images after reshape
+                raise ValueError(
+                    f"packed grid expects {n}x{GRID}x{GRID} pixels, "
+                    f"got {flat.size}"
+                )
             imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
             payloads = [encode_png(imgs[i]) for i in range(n)]
             yield pa.RecordBatch.from_arrays(
@@ -109,9 +115,9 @@ def image_features_df(df: DataFrame) -> DataFrame:
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples():
                 # magic-byte dispatch: PNG/BMP/JPEG/TIFF payloads all work
-                img = decode_image(bytes(r["payload"]))
+                img = decode_image(bytes(r.payload))
                 if img.ndim == 3:
                     img = to_grayscale(img)
                 a = img.astype(np.int64)
@@ -134,7 +140,7 @@ def image_features_df(df: DataFrame) -> DataFrame:
                 h = a.shape[0] // 2
                 rows.append(
                     {
-                        "image_id": int(r["image_id"]),
+                        "image_id": int(r.image_id),
                         "mean_v": mean,
                         "std_v": std,
                         "edge_energy_micro": em,
@@ -269,8 +275,8 @@ def audio_features_df(df: DataFrame, codec=None) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                samples, rate = decode_audio(bytes(r["payload"]), codec=codec)
+            for r in pdf.itertuples():
+                samples, rate = decode_audio(bytes(r.payload), codec=codec)
                 flat = samples.astype(np.int64).reshape(-1)
                 # widen before abs: |int16 -32768| overflows int16
                 # No rounding on rms/duration: every intermediate sum is
@@ -281,7 +287,7 @@ def audio_features_df(df: DataFrame, codec=None) -> DataFrame:
                 rms = float(np.sqrt(np.mean(flat.astype(np.float64) ** 2)))
                 rows.append(
                     {
-                        "key": int(r["key"]),
+                        "key": int(r.key),
                         "n_samples": int(samples.shape[0]),
                         "n_channels": int(samples.shape[1]),
                         "sample_rate": int(rate),
@@ -317,13 +323,13 @@ def video_frame_features_df(
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples():
                 for idx, fr in decode_video_frames(
-                    bytes(r["payload"]), every_nth=every_nth, codec=codec
+                    bytes(r.payload), every_nth=every_nth, codec=codec
                 ):
                     rows.append(
                         {
-                            "key": int(r["key"]),
+                            "key": int(r.key),
                             "frame_idx": idx,
                             "mean_v": round(float(fr.mean()), 6),
                             "std_v": round(float(fr.std()), 6),
@@ -350,15 +356,15 @@ def image_resize_df(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                img = decode_image(bytes(r["payload"]))
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.payload))
                 if img.ndim == 3:
                     img = to_grayscale(img)
                 small = _resize_nearest(img, (out_size, out_size))
                 png = encode_png(small.astype(np.uint8))
                 rows.append(
                     {
-                        "image_id": int(r["image_id"]),
+                        "image_id": int(r.image_id),
                         "format": "png",
                         "width": out_size,
                         "height": out_size,
@@ -398,11 +404,11 @@ def documents_as_wav_table(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                key = int(r["doc_id"])
+            for r in pdf.itertuples():
+                key = int(r.doc_id)
                 rate = 8000 + 4000 * (key % 3)
                 wav = encode_wav(
-                    _doc_samples(str(r["text"]).encode("utf-8")), rate
+                    _doc_samples(str(r.text).encode("utf-8")), rate
                 )
                 rows.append(
                     {"key": key, "n_bytes": len(wav), "payload": wav}
@@ -479,9 +485,9 @@ def documents_as_mjpeg_table(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                key = int(r["doc_id"])
-                text = str(r["text"]).encode("utf-8")[: side * side]
+            for r in pdf.itertuples():
+                key = int(r.doc_id)
+                text = str(r.text).encode("utf-8")[: side * side]
                 tex = np.zeros(side * side, dtype=np.float64)
                 tex[: len(text)] = np.frombuffer(text, dtype=np.uint8)
                 tex = tex.reshape(side, side)
@@ -641,12 +647,12 @@ def multimodal_audio_spectral_bands(
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                samples, _rate = decode_audio(bytes(r["payload"]))
+            for r in pdf.itertuples():
+                samples, _rate = decode_audio(bytes(r.payload))
                 energies = spectral_band_energy_np(samples)
                 for k, e in zip(SPEC_BINS, energies):
                     rows.append(
-                        {"key": int(r["key"]), "bin": int(k), "energy": e}
+                        {"key": int(r.key), "bin": int(k), "energy": e}
                     )
             yield pd.DataFrame(rows, columns=["key", "bin", "energy"])
 
@@ -697,8 +703,8 @@ def documents_as_png_video_table(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                tb = str(r["text"]).encode("utf-8")
+            for r in pdf.itertuples():
+                tb = str(r.text).encode("utf-8")
                 parts = []
                 for f in range(VID_FRAMES):
                     png = encode_png(_vid_frame_np(tb, f))
@@ -706,7 +712,7 @@ def documents_as_png_video_table(
                 payload = b"".join(parts)
                 rows.append(
                     {
-                        "key": int(r["doc_id"]),
+                        "key": int(r.doc_id),
                         "n_bytes": len(payload),
                         "payload": payload,
                     }
@@ -795,10 +801,10 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples():
                 frames = [
                     decode_png(fb).astype(np.int64)
-                    for fb in _split_png_container(bytes(r["payload"]))
+                    for fb in _split_png_container(bytes(r.payload))
                 ]
                 diffs = [
                     int(np.abs(b - a).sum())
@@ -809,7 +815,7 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows.append(
                     {
-                        "key": int(r["key"]),
+                        "key": int(r.key),
                         "n_frames": len(frames),
                         "n_shots": n_shots,
                         "total_abs_diff": sum(diffs),

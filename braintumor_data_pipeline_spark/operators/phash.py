@@ -151,6 +151,12 @@ def phash_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = batch.column("varr").flatten().to_numpy(
                 zero_copy_only=False
             )
+            if flat.size != n * GRID * GRID:  # incomplete grid would
+                # silently mis-tile ACROSS images after reshape
+                raise ValueError(
+                    f"packed grid expects {n}x{GRID}x{GRID} pixels, "
+                    f"got {flat.size}"
+                )
             imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
             payloads = [encode_png(imgs[i]) for i in range(n)]
             yield pa.RecordBatch.from_arrays(

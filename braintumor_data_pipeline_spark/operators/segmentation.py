@@ -150,6 +150,12 @@ def _grow_arrow_fn(emit: str, **grow_kwargs):
             flat = batch.column("varr").flatten().to_numpy(
                 zero_copy_only=False
             )
+            if flat.size != n * GRID * GRID:  # incomplete grid would
+                # silently mis-tile ACROSS images after reshape
+                raise ValueError(
+                    f"packed grid expects {n}x{GRID}x{GRID} pixels, "
+                    f"got {flat.size}"
+                )
             imgs = flat.astype(np.uint8).reshape(n, GRID, GRID)
             if emit == "pos":
                 pos_lists = []
@@ -224,8 +230,8 @@ def _grown_positions(
     )
     return grown.select("image_id", F.explode("pos").alias("p")).select(
         "image_id",
-        F.expr("p div 32").cast("int").alias("y"),
-        (F.col("p") % 32).cast("int").alias("x"),
+        F.expr(f"p div {GRID}").cast("int").alias("y"),
+        (F.col("p") % GRID).cast("int").alias("x"),
     )
 
 
@@ -687,7 +693,7 @@ def region_grow_adaptive_first8(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay costs ~330 s over sf0.1's 146 images, so the twin pins the
     image subset (rn0 < 8·1024 on both sides — the identical grid
     prefix) and replays the IDENTICAL adaptive schedule there at any
-    SF. The Spark side runs the exact same applyInPandas operator code
-    path; only the input grid is bounded."""
+    SF. The Spark side runs the exact same packed-grid mapInArrow
+    operator code path; only the input grid is bounded."""
     g = grid_images_df(spark, sf_dir).filter(F.col("image_id") < 8)
     return _grown_adaptive(g)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from . import _pinned_sql as _pinned
 from ..sources.fixtures import load_table as _t
@@ -356,7 +357,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _vectors(spark, sf_dir)
     # sigs feeds both bucket-join sides (and vec three branches): persist
     # the narrow signature relation so it materializes once.
-    sigs = _sign_signatures(vec).persist()
+    sigs = _sign_signatures(vec).transform(persist_tracked)
     cand = (
         sigs.alias("a")
         .join(
@@ -469,7 +470,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _vectors(spark, sf_dir)
     # sigs feeds both bucket-join sides (and vec three branches): persist
     # the narrow signature relation so it materializes once.
-    sigs = _sign_signatures(vec).persist()
+    sigs = _sign_signatures(vec).transform(persist_tracked)
     cand = (
         sigs.alias("a")
         .join(
@@ -1593,13 +1594,13 @@ def hybrid_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scorer join, tf feeds dfreq AND the scorer join — persist the
     # aggregated frames so the scan+explode subplan builds once per
     # branch head instead of four times.
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len")).persist()
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len")).transform(persist_tracked)
     stats = dl.agg(F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs"))
     tf = (
         tok.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist()
+        .transform(persist_tracked)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -1754,7 +1755,7 @@ def behavior_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(F.count("*").alias("c"))
-    ).persist()  # r12 diamond rule: feeds totals and BOTH overlap sides
+    ).transform(persist_tracked)  # r12 diamond rule: feeds totals and BOTH overlap sides
     tot = day_cnt.groupBy("user_id").agg(F.sum("c").alias("total"))
     tot = tot.select(
         "user_id", "total", F.length(F.expr("bin(total)")).alias("blk")
@@ -3334,7 +3335,7 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(embedding, x -> cast(round(cast(x as double)"
         f" * {NCC_SCALE}) as bigint))"
     )
-    q = vec.select("vec_id", qexpr.alias("qv")).persist()
+    q = vec.select("vec_id", qexpr.alias("qv")).transform(persist_tracked)
     selected = _kcenter_loop(q, KCENTER_T)[0]
     return spark.createDataFrame(
         selected, "step int, center_id bigint, sel_gap bigint"
@@ -3367,7 +3368,7 @@ def _kcenter_loop(
     mind = (
         q.withColumn("cv", c)
         .select("vec_id", "qv", dist.alias("mind"))
-        .persist()
+        .transform(persist_tracked)
     )
     prev = q  # predecessor cache: safe to drop once `mind` materializes
     for step in range(2, t + 1):
@@ -3387,7 +3388,7 @@ def _kcenter_loop(
                     "qv",
                     F.least(F.col("mind"), dist).alias("mind"),
                 )
-                .persist()
+                .transform(persist_tracked)
             )
             prev, mind = mind, nxt_mind
     mind.unpersist()

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..registry import register
 from ..sources.fixtures import load_table as _t
 
@@ -587,13 +588,13 @@ def hll_set_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         e.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("key"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     vb = (
         e.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("key"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     vu = va.union(vb).distinct()
     za = _hll_z(va).select(F.col("z").alias("za"), F.col("v").alias("va0"))

@@ -28,6 +28,44 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _term_tf_pairs(col: str = "text"):
+    """NARROW per-document term frequencies: array<struct<term,tf>>
+    computed entirely inside the row via sort + run-length encoding —
+    the (doc_id, term)-keyed shuffle that a groupBy tf needs is gone
+    (r13, guide §2.4). O(n log n) per doc, no Python, no exchange.
+
+    Construction: sort the token array, find run starts (positions
+    whose token differs from the previous), pair each start with the
+    next start — the gap is the term's count. Index arithmetic stays
+    ANSI-safe: position 1 is always a run start (prepended, so no
+    element_at(0)), and sequence() is guarded for single-token docs
+    (sequence(2, 1) would DESCEND, not return empty)."""
+    st = F.array_sort(_tokens(col))
+    n = F.size(st)
+    later = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(st, i) != F.element_at(st, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), later)
+    nxt = F.concat(
+        F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1)
+    )
+    pairs = F.zip_with(
+        starts,
+        nxt,
+        lambda a, b: F.struct(
+            F.element_at(st, a).alias("term"),
+            (b - a).cast("long").alias("tf"),
+        ),
+    )
+    # null text: explode of the null array yields no rows, matching
+    # the explode(split(text)) formulation this replaces
+    return F.when(st.isNotNull(), pairs)
+
+
 @register(
     "token_stats",
     oracle="""
@@ -278,24 +316,32 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny broadcasts. At 100 TB the inverted-index analog is the
     pre-aggregated (term → postings) table fed by the same tf plan."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    # dl feeds stats AND the scorer join; tf feeds df AND the scorer
-    # join — persist the two AGGREGATED frames (doc-grain / query-term
-    # grain) so the scan+explode subplan builds once per branch head
-    # instead of four times (r12 diamond rule). Persisting tok itself
-    # would dedupe harder but caches the raw token stream — at 100 TB
-    # the aggregates are the right thing to hold, the scan is not.
-    dl = (
-        tok.groupBy("doc_id").agg(F.count("*").alias("doc_len")).persist()
+    # r13 restructure (guide §2.4): doc_len is size(tokens) — a narrow
+    # column, so the former doc-grain groupBy exchange is gone; tf for
+    # the query terms comes from the narrow per-doc run-length pairs
+    # (:func:`_term_tf_pairs`), so the (doc_id, term) exchange is gone
+    # too. doc_len rides the same row as tf — the former dl re-join
+    # (and both r12 persists of corpus-grain frames) disappear. What
+    # remains: two tiny aggregates (corpus stats, per-term df) that
+    # broadcast back, and the final per-doc score aggregation.
+    base = d.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("doc_len"),
+        F.filter(
+            _term_tf_pairs(),
+            lambda p: p["term"].isin(*_BM25_TERMS),
+        ).alias("tfs"),
     )
-    stats = dl.agg(
+    stats = base.agg(
         F.avg("doc_len").alias("avgdl"), F.count("*").alias("n_docs")
     )
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
+    tf = base.select(
+        "doc_id", "doc_len", F.explode("tfs").alias("p")
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -305,8 +351,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 - _BM25_B + _BM25_B * F.col("doc_len") / F.col("avgdl")
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
+        tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
@@ -489,18 +534,22 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on), and ranking breaks ties by term so both engines cut the same
     top-3.
 
-    Scale shape: tf aggregates shuffle on (doc_id, term), df on term —
-    both content-keyed and uniform; the corpus size joins in as a
-    1-row broadcast scalar, never a driver round trip."""
+    Scale shape (r13 single-build restructure, guide §2.4): tf is
+    computed NARROWLY inside each document row (:func:`_term_tf_pairs`
+    run-length encoding) — the former (doc_id, term)-keyed exchange,
+    the corpus-grain aggregate behind it, and the r12 persist that
+    deduplicated its double build are all gone. df aggregates the
+    narrow tf rows on term (content-keyed, uniform, map-side partial)
+    and broadcasts back; the corpus size joins in as a 1-row broadcast
+    scalar, never a driver round trip. The tf subplan now feeds both
+    branches as a plain narrow scan — rebuilding a scan per branch is
+    the at-scale-correct trade vs caching a corpus-grain frame."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    # tf feeds BOTH the scorer join and the df aggregation — without the
-    # persist, Catalyst builds (and the AQE-off determinism sessions
-    # execute) the scan+explode+aggregate subplan twice (r12; same
-    # diamond rule as ngram_jaccard_pairs / indexing.blocked_*)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf = d.select(
+        "doc_id", F.explode(_term_tf_pairs()).alias("p")
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -27,8 +27,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             rows.append((name, -1, -1, -1, -1, f"ERR {type(e).__name__}"))
             continue
-        ex = plan.count("Exchange ") + plan.count("Exchange\n")
-        bx = plan.count("BroadcastExchange")
+        # count per-line on node-name prefixes so ReusedExchange (a free
+        # runtime reuse, not a shuffle) is not tallied (ADVICE r12)
+        heads = [
+            ln.lstrip("+-*: |(0123456789) ") for ln in plan.splitlines()
+        ]
+        ex = sum(h.startswith("Exchange") for h in heads)
+        bx = sum(h.startswith("BroadcastExchange") for h in heads)
         srt = plan.count("Sort ")
         py = (
             plan.count("BatchEvalPython")
@@ -37,7 +42,7 @@ def main() -> None:
             + plan.count("MapInPandas")
             + plan.count("FlatMapGroupsInPandas")
         )
-        rows.append((name, ex - bx, bx, srt, py, ""))
+        rows.append((name, ex, bx, srt, py, ""))
     rows.sort(key=lambda r: -(r[1] + r[2]))
     print(f"{'query':45s} shuffles bcasts sorts py")
     for name, ex, bx, srt, py, err in rows:
